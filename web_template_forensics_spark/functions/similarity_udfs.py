@@ -1,0 +1,80 @@
+"""Pairwise-comparator UDFs (the reference's C-operators as Arrow batches).
+
+Each wraps a pure function from ``..oracle.similarity`` so scores are
+bit-identical to the reference formulas (SURVEY.md §2.4). These run per
+candidate PAIR — the engine always prunes candidates with cheap signatures
+or LSH buckets first so the quadratic reference loops become bounded
+equi-join fan-outs (SURVEY.md §4.2 "candidate pruning").
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..oracle.similarity import (
+    compare_structures,
+    hybrid_jaccard,
+    seq_ratio,
+    tree_similarity,
+)
+
+
+@F.pandas_udf(T.DoubleType())
+def seq_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """difflib ratio (reference core/structure_comparator.py:327-329)."""
+    return pd.Series(
+        [seq_ratio("" if x is None else x, "" if y is None else y) for x, y in zip(a, b)]
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def tree_similarity_udf(a_json: pd.Series, b_json: pd.Series) -> pd.Series:
+    """Normalized-AST similarity (core/jsx_treesitter_parser.py:95-125)."""
+    out = []
+    for a, b in zip(a_json, b_json):
+        na = json.loads(a) if a else None
+        nb = json.loads(b) if b else None
+        out.append(tree_similarity(na, nb))
+    return pd.Series(out)
+
+
+_STRUCT_SCHEMA = T.StructType(
+    [
+        T.StructField("score", T.DoubleType()),
+        T.StructField("matching", T.IntegerType()),
+        T.StructField("different", T.IntegerType()),
+        T.StructField("missing", T.IntegerType()),
+        T.StructField("extra", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_STRUCT_SCHEMA)
+def structure_compare_udf(a_json: pd.Series, b_json: pd.Series) -> pd.DataFrame:
+    """Reference compare_structures (core/structure_comparator.py:430-477)."""
+    rows = []
+    for a, b in zip(a_json, b_json):
+        res = compare_structures(
+            json.loads(a) if a else None, json.loads(b) if b else None
+        )
+        rows.append(
+            (res.similarity_score, res.matching, res.different, res.missing, res.extra)
+        )
+    return pd.DataFrame(
+        rows, columns=["score", "matching", "different", "missing", "extra"]
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def hybrid_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Tailwind hybrid similarity over class->count maps
+    (core/tailwind_analyzer.py:71-80)."""
+    out = []
+    for x, y in zip(a, b):
+        out.append(hybrid_jaccard(Counter(x or {}), Counter(y or {})))
+    return pd.Series(out)

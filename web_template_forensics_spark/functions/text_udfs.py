@@ -1,0 +1,248 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Language-ID, quality scoring, token counting, fingerprinting, MinHash /
+SimHash signatures. Two tiers:
+
+  * **Exactly-specified, SQL-expressible rules** (lang-ID, quality score,
+    token count): implemented as pure Spark SQL Column builders (JVM-side,
+    whole-stage-codegen) AND as generated ANSI-SQL strings so the DuckDB
+    oracle recomputes identical values. No UDF in the hot path at all.
+  * **Signature UDFs** (MinHash, SimHash, rolling-hash fingerprint): numpy
+    inside Arrow batches; validated against pure-Python reference
+    implementations in pytest (not SQL-expressible — the driver records
+    the weaker rows-only check for queries built on them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Exactly-specified rules (shared spec for Spark + DuckDB)
+# --------------------------------------------------------------------------
+
+# tiny per-language stopword markers; counts decide lang (ties -> 'und',
+# then alphabetical lang order as secondary tiebreak)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "que", "los", "una"),
+    "fr": ("le", "la", "les", "et", "une"),
+    "pt": ("o", "de", "que", "em", "uma"),
+}
+
+
+def _count_token_occurrences_col(text: Column, token: str) -> Column:
+    """Occurrences of ' token ' in ' '||text||' ' via length/replace —
+    identical integer semantics in Spark and DuckDB."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    pat = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+
+
+def _count_token_occurrences_sql(text_expr: str, token: str) -> str:
+    pat = f" {token} "
+    padded = f"(' ' || ({text_expr}) || ' ')"
+    return f"cast((length({padded}) - length(replace({padded}, '{pat}', ''))) / {len(pat)} as bigint)"
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    s = None
+    for tok in LANG_MARKERS[lang]:
+        c = _count_token_occurrences_col(text, tok)
+        s = c if s is None else s + c
+    return s
+
+
+def lang_id_col(text: Column) -> Column:
+    """Winner lang by marker count; 'und' when all zero; alphabetical tiebreak."""
+    langs = sorted(LANG_MARKERS)
+    scores = {lg: lang_score_col(text, lg) for lg in langs}
+    best = None
+    for lg in langs:
+        best = scores[lg] if best is None else F.greatest(best, scores[lg])
+    result = F.lit("und")
+    for lg in reversed(langs):  # earlier alphabetical wins ties -> apply last
+        result = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(result)
+    return result
+
+
+def lang_id_sql(text_expr: str) -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        lg: "(" + " + ".join(_count_token_occurrences_sql(text_expr, t) for t in LANG_MARKERS[lg]) + ")"
+        for lg in langs
+    }
+    best = "greatest(" + ", ".join(score_exprs[lg] for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {score_exprs[lg]} = {best} AND {best} > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count: length-diff trick (no regex edge cases).
+
+    tokens = chars - spaces_after_collapse... we instead count transitions:
+    size(split) differs between engines on empty strings, so use:
+    number of non-space runs = count of positions where a non-space follows
+    a space in ' '||text. Computed as length(regexp-collapse) arithmetic.
+    """
+    padded = F.concat(F.lit(" "), text)
+    # collapse runs of whitespace to single ' ', then count remaining spaces
+    collapsed = F.regexp_replace(padded, F.lit(r"\s+"), F.lit(" "))
+    trimmed = F.rtrim(collapsed)
+    return (
+        F.length(trimmed) - F.length(F.regexp_replace(trimmed, F.lit(" "), F.lit("")))
+    ).cast("long")
+
+
+def token_count_sql(text_expr: str) -> str:
+    padded = f"(' ' || ({text_expr}))"
+    collapsed = f"regexp_replace({padded}, '\\s+', ' ', 'g')"
+    trimmed = f"rtrim({collapsed})"
+    return f"cast(length({trimmed}) - length(replace({trimmed}, ' ', '')) as bigint)"
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic quality heuristic (documented spec; same in SQL):
+    0.3*min(1, tokens/64) + 0.4*alpha_ratio + 0.3*min(1, chars/512), round 6."""
+    n_chars = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(F.lower(text), F.lit("[^a-z]"), F.lit(""))).cast("double")
+    tokens = token_count_col(text).cast("double")
+    score = (
+        F.lit(0.3) * F.least(F.lit(1.0), tokens / F.lit(64.0))
+        + F.lit(0.4) * (n_alpha / F.greatest(n_chars, F.lit(1.0)))
+        + F.lit(0.3) * F.least(F.lit(1.0), n_chars / F.lit(512.0))
+    )
+    return F.round(score, 6)
+
+
+def quality_score_sql(text_expr: str) -> str:
+    n_chars = f"cast(length({text_expr}) as double)"
+    n_alpha = f"cast(length(regexp_replace(lower({text_expr}), '[^a-z]', '', 'g')) as double)"
+    tokens = f"cast({token_count_sql(text_expr)} as double)"
+    return (
+        f"round(0.3 * least(1.0, {tokens} / 64.0)"
+        f" + 0.4 * ({n_alpha} / greatest({n_chars}, 1.0))"
+        f" + 0.3 * least(1.0, {n_chars} / 512.0), 6)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Signature UDFs (numpy in Arrow batches)
+# --------------------------------------------------------------------------
+
+_MERSENNE61 = (1 << 61) - 1
+N_MINHASH = 64
+_rng = np.random.RandomState(20250816)
+_MH_A = _rng.randint(1, _MERSENNE61, size=N_MINHASH).astype(np.uint64)
+_MH_B = _rng.randint(0, _MERSENNE61, size=N_MINHASH).astype(np.uint64)
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """MinHash over word k-gram shingles: sig[i] = min((a_i*h + b_i) mod M61)."""
+    sh = set(word_shingles(text, k))
+    if not sh:
+        return np.full(N_MINHASH, np.uint64(_MERSENNE61), dtype=np.uint64)
+    hv = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64) % np.uint64(_MERSENNE61)
+    # (n_shingles, N_MINHASH) broadcast, all mod-2^64 wrap then mod M61:
+    # use python-object fallback avoided by doing mod in uint64 with M61 < 2^61
+    prod = (hv[:, None] * _MH_A[None, :] + _MH_B[None, :]) % np.uint64(_MERSENNE61)
+    return prod.min(axis=0)
+
+
+def simhash64(text: str) -> int:
+    """SimHash over whitespace tokens: sign of per-bit weighted sums."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in set(text.split()):
+        h = _stable_hash64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
+
+
+def doc_fingerprint(text: str) -> int:
+    """Rolling polynomial hash (base 257 mod 2^61-1) of the normalized text
+    (lowercased, whitespace-collapsed) -> signed int64."""
+    norm = " ".join(text.lower().split())
+    h = 0
+    for ch in norm.encode("utf-8"):
+        h = (h * 257 + ch) % _MERSENNE61
+    return h
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(
+        lambda t: minhash_signature(t or "").astype(np.int64).tolist()
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: simhash64(t or ""))
+
+
+@F.pandas_udf(T.LongType())
+def doc_fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: doc_fingerprint(t or ""))
+
+
+@F.pandas_udf(T.LongType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    return text.fillna("").str.count(r"\S+").astype("int64")
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    langs = sorted(LANG_MARKERS)
+    padded = " " + text.fillna("") + " "
+    scores = pd.DataFrame(
+        {
+            lg: sum(padded.str.count(f" {tok} ") for tok in LANG_MARKERS[lg])
+            for lg in langs
+        }
+    )
+    best = scores.max(axis=1)
+    winner = scores.idxmax(axis=1)  # first (alphabetical) on ties
+    return winner.where(best > 0, "und")
+
+
+@F.pandas_udf(T.DoubleType())
+def quality_score_udf(text: pd.Series) -> pd.Series:
+    s = text.fillna("")
+    n_chars = s.str.len().astype("float64")
+    n_alpha = s.str.lower().str.count(r"[a-z]").astype("float64")
+    tokens = s.str.count(r"\S+").astype("float64")
+    score = (
+        0.3 * np.minimum(1.0, tokens / 64.0)
+        + 0.4 * (n_alpha / np.maximum(n_chars, 1.0))
+        + 0.3 * np.minimum(1.0, n_chars / 512.0)
+    )
+    return np.round(score, 6)

@@ -1,0 +1,113 @@
+"""The reference's matching cascade as dataflow operators.
+
+J1 exact equi-join + anti remainders (core/file_matcher.py:46-58) and the
+greedy 1:1 best-unused similarity assignment that underlies its fuzzy /
+structure / contextual / content joins (core/file_matcher.py:61-82,
+186-323, 325-360, 374-395).
+
+The greedy pass is inherently sequential *within a comparison group*
+(later picks depend on earlier ones — SURVEY.md §4.3), so it runs as a
+grouped-map pandas UDF per block: candidate scoring fans out as a blocked
+join (distributed, prunable), only the small per-block assignment replays
+the reference's exact left-order greedy loop. Determinism: left keys are
+processed in ascending order and ties keep the first-seen right key in
+that same order — matching the reference's list-iteration semantics when
+fixtures are generated under sorted file order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_match(
+    left: DataFrame, right: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """J1: (matches, unmatched_left, unmatched_right)."""
+    matches = left.join(right.select(key).distinct(), key, "inner")
+    un_l = left.join(right, key, "left_anti")
+    un_r = right.join(left, key, "left_anti")
+    return matches, un_l, un_r
+
+
+def greedy_similarity_match(
+    scored_pairs: DataFrame,
+    left_col: str = "left_key",
+    right_col: str = "right_key",
+    score_col: str = "score",
+    block_col: str | None = None,
+    threshold: float = 0.75,
+) -> DataFrame:
+    """Greedy 1:1 assignment over pre-scored candidate pairs.
+
+    Replays the reference loop (core/file_matcher.py:61-82): iterate left
+    keys in order; each takes the best not-yet-used right key with
+    strictly-greater score (first-seen wins ties); keep if >= threshold.
+
+    ``scored_pairs`` must already be blocked/pruned (the distributed part).
+    Returns (block?, left_key, right_key, score).
+    """
+    blk = block_col or "_blk"
+    df = scored_pairs
+    if block_col is None:
+        df = df.withColumn(blk, F.lit(0))
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([left_col, right_col], kind="mergesort").reset_index(drop=True)
+        used: set = set()
+        out = []
+        for lk, grp in pdf.groupby(left_col, sort=True):
+            best_score = 0.0
+            best_rk = None
+            for rk, sc in zip(grp[right_col], grp[score_col]):
+                if rk in used:
+                    continue
+                if sc > best_score:
+                    best_score = sc
+                    best_rk = rk
+            if best_score >= threshold and best_rk is not None:
+                used.add(best_rk)
+                out.append((grp[blk].iloc[0], lk, best_rk, float(best_score)))
+        return pd.DataFrame(out, columns=[blk, left_col, right_col, score_col])
+
+    schema_fields = []
+    for name in (blk, left_col, right_col, score_col):
+        dtype = dict(df.dtypes)[name]
+        schema_fields.append(f"{name} {dtype}")
+    result = df.groupBy(blk).applyInPandas(assign, schema=", ".join(schema_fields))
+    if block_col is None:
+        result = result.drop(blk)
+    return result
+
+
+def fuzzy_filename_scores(
+    left: DataFrame,
+    right: DataFrame,
+    path_col: str = "path",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Candidate scores for the fuzzy filename join (J2).
+
+    Blocked pairing (same block, e.g. filetype) + difflib ratio on
+    basenames via the seq_ratio UDF. Feed into greedy_similarity_match.
+    """
+    from ..functions.similarity_udfs import seq_ratio_udf
+
+    base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+    l = left.select(
+        F.col(path_col).alias("left_key"),
+        base(F.col(path_col)).alias("_lbase"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")] ),
+    )
+    r = right.select(
+        F.col(path_col).alias("right_key"),
+        base(F.col(path_col)).alias("_rbase"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")] ),
+    )
+    return (
+        l.join(r, "_blk")
+        .withColumn("score", seq_ratio_udf("_lbase", "_rbase"))
+        .select("_blk", "left_key", "right_key", "score")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side arithmetic: the
+dot product is ``aggregate(zip_with(a, b, *), 0.0, +)`` — no Python in the
+loop). The scale path is sign-LSH bucketing: 2^bits hyperplane buckets
+prune the candidate set so the pairing is an equi-join; recall is tunable
+by ``probe_hamming`` (multi-probe into adjacent buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ac, bc = F.col(a), F.col(b)
+    denom = _norm(ac) * _norm(bc)
+    return df.withColumn(
+        out, F.when(denom > 0, _dot(ac, bc) / denom).otherwise(F.lit(0.0))
+    )
+
+
+def cosine_topk_bruteforce(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k -> (probe_id, neighbor_id, rank, cosine).
+
+    Deterministic total order (cosine desc, neighbor_id asc). The corpus
+    side is broadcast when small; at scale, replicate-probes x partitioned
+    corpus (a crossJoin Catalyst handles with BroadcastNestedLoopJoin).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("p_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+    )
+    pairs = p.crossJoin(F.broadcast(c))
+    if exclude_self:
+        pairs = pairs.filter(F.col("probe_id") != F.col("neighbor_id"))
+    scored = with_cosine(pairs, "p_vec", "c_vec")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _sign_lsh_udf(dim: int, bits: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, bits))
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy())  # (n, dim)
+        signs = (mat @ planes) > 0  # (n, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return _bucket
+
+
+def cosine_topk_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    probe_hamming: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH buckets (the ANN scale path).
+
+    Candidates = corpus vectors whose bucket is within ``probe_hamming``
+    bit flips of the probe's bucket; then exact cosine + window top-k.
+    """
+    dim = len(probes.select(vec_col).first()[0])
+    bucket = _sign_lsh_udf(dim, bits)
+
+    # probe bucket expansion: all buckets within hamming distance
+    flips = [0]
+    if probe_hamming >= 1:
+        flips += [1 << b for b in range(bits)]
+    if probe_hamming >= 2:
+        flips += [
+            (1 << b1) | (1 << b2) for b1 in range(bits) for b2 in range(b1 + 1, bits)
+        ]
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("p_vec"),
+        bucket(F.col(vec_col)).alias("p_bucket"),
+    ).withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("p_bucket").bitwiseXOR(F.lit(fl)) for fl in flips])),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    pairs = p.join(c, "bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("probe_id") != F.col("neighbor_id"))
+    pairs = pairs.dropDuplicates(["probe_id", "neighbor_id"])
+    scored = with_cosine(pairs, "p_vec", "c_vec")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

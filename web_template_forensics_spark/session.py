@@ -1,0 +1,52 @@
+"""SparkSession factory with the engine's pinned configuration.
+
+Local mode is the sandbox proxy for a multi-executor cluster: partitioning,
+broadcast and skew decisions are made as if each of the N threads were an
+executor. The same builder config ships unchanged in the ``spark-submit
+--py-files`` job (`jobs/run_pipeline.py`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "web_template_forensics_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    cores=None -> ``local[*]``. Shuffle partitions default to the core count:
+    on a real cluster this is overridden to ~2-3x total executor cores; AQE
+    coalesces downward at runtime either way.
+    """
+    cores_s = "*" if cores is None else str(cores)
+    effective_cores = cores if cores is not None else (os.cpu_count() or 8)
+    n_shuffle = shuffle_partitions or effective_cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores_s}]")
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting (north rule names it).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow is the only Python<->JVM crossing we allow (vectorized UDFs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # Deterministic timestamps vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
