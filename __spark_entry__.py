@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine lives in ``web_template_forensics_spark/`` — this module is a
+thin adapter. ``queries()`` covers the operator inventory of SURVEY.md §2
+(relational core, WGQ cells/tiles, PIP + kNN spatial joins, the oracle
+text-extraction invariant, crawl dedup, class extraction, text analysis,
+exact/LSH dedup, embedding similarity search); ``oracle_sql()`` holds the
+DuckDB-recomputable counterpart for every SQL-expressible query. The
+hash-signature queries (minhash/simhash/LSH-ANN) and the full pages
+pipeline are rows-only by design.
 """
 
 from __future__ import annotations
@@ -13,26 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from web_template_forensics_spark.plans.queries import ORACLE_SQL, QUERIES, flagship
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship geo pipeline on /root/testdata/sf0.001: documents-derived
+    points -> WGQ cells -> broadcast PIP join -> salted tile rollup."""
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

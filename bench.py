@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline suite (lower = better);
+per-query seconds in ``queries``. Throughput fields for the scaling
+protocol (BENCH/BASELINE.md) are included under "pages_per_sec" when the
+pages pipeline runs.
+
+Usage: python bench.py            # sf0.1, all headline queries
+       SPARK_GRAFT_CPUS=8 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages_rows = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from web_template_forensics_spark.session import get_spark
+    from web_template_forensics_spark.plans.queries import QUERIES
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    headline = [
+        "pricing_summary",
+        "revenue_by_nation",
+        "doc_cells",
+        "tile_rollup_z6",
+        "pip_rectangles",
+        "knn_k5",
+        "extract_text",
+        "text_stats",
+        "exact_dedup",
+        "minhash_pairs",
+        "embedding_topk",
+        "pages_pipeline_tiles",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # pages-pipeline throughput at bench scale (for the N vs 4N protocol)
+    from web_template_forensics_spark.plans.pipeline import run_pages_pipeline
+
+    t0 = time.perf_counter()
+    stats = run_pages_pipeline(spark, n_pages=pages_rows, seed=42)
+    pipe_wall = time.perf_counter() - t0
+    pages_per_sec = round(pages_rows / pipe_wall, 1)
+    print(
+        f"# pages_pipeline: {pages_rows} pages in {pipe_wall:.1f}s -> "
+        f"{pages_per_sec} pages/sec ({stats})",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pages_per_sec": pages_per_sec,
+                "pages_rows": pages_rows,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

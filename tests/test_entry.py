@@ -1,0 +1,60 @@
+"""Driver-contract tests: entry() smoke + a fast oracle-compare subset at
+sf0.001 (the full sweep runs via tools/compare_oracle.py at sf0.01)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+FAST_SUBSET = [
+    "pricing_summary",
+    "doc_cells",
+    "tile_rollup_z6",
+    "pip_rectangles",
+    "extract_text",
+    "latest_crawl_dedup",
+    "text_stats",
+    "label_stats",
+]
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    assert df.count() > 0
+    assert "page_count" in df.columns
+
+
+def test_queries_have_oracles_or_are_flagged(spark):
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    # only hash-signature / LSH / full-pipeline queries may be rows-only
+    assert rows_only == {
+        "minhash_pairs",
+        "simhash_pairs",
+        "ann_lsh_topk",
+        "pages_pipeline_tiles",
+    }
+
+
+def test_fast_oracle_subset(spark):
+    import __spark_entry__ as em
+    from tools.compare_oracle import compare, duck_con
+
+    con = duck_con(SF)
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    failures = {}
+    for name in FAST_SUBSET:
+        sdf = qs[name](spark, SF).toPandas()
+        ddf = con.sql(oracles[name]).df()
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures[name] = problems
+    assert not failures, failures

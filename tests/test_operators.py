@@ -1,0 +1,262 @@
+"""Operator-level Spark tests: UDF==oracle parity, round-trips, greedy
+matching fidelity, dedup signatures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_template_forensics_spark.geo import cells
+
+
+def test_cell_udf_matches_sql_columns(spark):
+    """Arrow UDF and pure-SQL morton column must agree exactly."""
+    from web_template_forensics_spark.functions.geo_udfs import (
+        cell_encode_udf,
+        cell_id_col,
+        tile_ix_col,
+        tile_iy_col,
+    )
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-89, 89, 500), "lon": rng.uniform(-180, 179.9, 500)}
+    )
+    df = spark.createDataFrame(pdf)
+    lvl = 12
+    out = df.select(
+        cell_encode_udf(lvl)(F.col("lat"), F.col("lon")).alias("udf_cell"),
+        cell_id_col(F.col("lat"), F.col("lon"), lvl).alias("sql_cell"),
+        tile_ix_col(F.col("lon"), lvl).alias("ix"),
+        tile_iy_col(F.col("lat"), lvl).alias("iy"),
+    ).toPandas()
+    assert (out.udf_cell == out.sql_cell).all()
+    # and both agree with the numpy spec
+    spec = cells.cell_encode(pdf.lat.to_numpy(), pdf.lon.to_numpy(), lvl)
+    assert np.array_equal(np.sort(out.udf_cell.to_numpy()), np.sort(spec))
+
+
+def test_raster_vector_roundtrip(spark):
+    from web_template_forensics_spark.operators.tiles import (
+        rasterize_tiles,
+        tile_rollup,
+        vectorize_raster,
+    )
+
+    rng = np.random.RandomState(4)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-60, 60, 2000), "lon": rng.uniform(-170, 170, 2000)}
+    )
+    df = spark.createDataFrame(pdf)
+    z_base, depth = 3, 3
+    raster = rasterize_tiles(df, z_base, depth)
+    back = vectorize_raster(raster, depth).toPandas()
+    # direct fine-tile rollup must equal the raster->vector extraction
+    direct = (
+        tile_rollup(df, z_base + depth)
+        .toPandas()
+        .rename(columns={"tile_x": "fine_x", "tile_y": "fine_y", "page_count": "n"})
+    )
+    a = back.sort_values(["fine_x", "fine_y"]).reset_index(drop=True)
+    b = direct[["fine_x", "fine_y", "n"]].sort_values(["fine_x", "fine_y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["fine_x", "fine_y", "n"]], b)
+    # grid cells sum to total points
+    assert back.n.sum() == 2000
+
+
+def test_knn_matches_bruteforce(spark):
+    from web_template_forensics_spark.operators.spatial_join import knn_join
+
+    rng = np.random.RandomState(5)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "lat": rng.uniform(-80, 80, n),
+            "lon": rng.uniform(-179, 179, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("id") % 10 == 0)
+    got = (
+        knn_join(spark, probes, df, k=4, level=3)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # pure-numpy brute force
+    lats, lons = pdf.lat.to_numpy(), pdf.lon.to_numpy()
+    rows = []
+    for pid in range(0, n, 10):
+        d2 = (lats[pid] - lats) ** 2 + (lons[pid] - lons) ** 2
+        order = sorted((float(d2[j]), j) for j in range(n) if j != pid)[:4]
+        for r, (dd, j) in enumerate(order, 1):
+            rows.append((pid, j, r, dd))
+    exp = pd.DataFrame(rows, columns=["probe_id", "neighbor_id", "rank", "dist2"])
+    assert len(got) == len(exp)
+    assert (got.probe_id.to_numpy() == exp.probe_id.to_numpy()).all()
+    assert (got.neighbor_id.to_numpy() == exp.neighbor_id.to_numpy()).all()
+    assert np.array_equal(got.dist2.to_numpy(), exp.dist2.to_numpy())
+
+
+def test_greedy_match_replays_reference_semantics(spark):
+    """greedy_similarity_match == the reference fuzzy loop
+    (core/file_matcher.py:61-82) run on sorted inputs."""
+    import difflib
+
+    from web_template_forensics_spark.operators.matching import (
+        fuzzy_filename_scores,
+        greedy_similarity_match,
+    )
+
+    files1 = sorted(
+        ["src/index.html", "src/about.html", "css/main.css", "js/app.js", "js/util.js"]
+    )
+    files2 = sorted(
+        ["src/index2.html", "src/about.html", "css/maine.css", "js/apps.js", "js/extra.js"]
+    )
+    l = spark.createDataFrame([(p,) for p in files1], "path string")
+    r = spark.createDataFrame([(p,) for p in files2], "path string")
+    scored = fuzzy_filename_scores(l, r)
+    got = {
+        (row.left_key, row.right_key): row.score
+        for row in greedy_similarity_match(scored, threshold=0.75).collect()
+    }
+
+    # reference loop replay (left order = sorted, rights in sorted order)
+    used = set()
+    exp = {}
+    for f1 in files1:
+        b1 = f1.split("/")[-1]
+        best, best_f2 = 0.0, None
+        for f2 in files2:
+            if f2 in used:
+                continue
+            s = difflib.SequenceMatcher(None, b1, f2.split("/")[-1]).ratio()
+            if s > best:
+                best, best_f2 = s, f2
+        if best >= 0.75 and best_f2:
+            used.add(best_f2)
+            exp[(f1, best_f2)] = best
+    assert got == exp
+
+
+def test_exact_and_latest_dedup(spark):
+    from web_template_forensics_spark.operators.dedup import (
+        exact_dedup,
+        latest_crawl_dedup,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "a", "b", "c", "c", "c"],
+            "warc_ts": pd.to_datetime(
+                ["2025-01-01", "2025-01-03", "2025-01-02", "2025-01-01", "2025-01-05", "2025-01-04"]
+            ),
+            "text": ["x", "x2", "y", "z", "z5", "z4"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    latest = latest_crawl_dedup(df).toPandas().set_index("url")
+    assert latest.loc["a", "text"] == "x2"
+    assert latest.loc["c", "text"] == "z5"
+
+    dd = exact_dedup(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["t", "t", "u", "t"]})
+        ),
+        "doc_id",
+        "text",
+    ).toPandas()
+    byhash = dd.set_index("content_hash")
+    assert sorted(dd.dup_count.tolist()) == [1, 3]
+    assert byhash.loc[dd[dd.dup_count == 3].content_hash.iloc[0], "canonical_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from web_template_forensics_spark.operators.dedup import minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight").split()
+    docs = []
+    for i in range(30):
+        words = list(base)
+        words[i % len(words)] = f"tok{i}"  # near-dup of base
+        docs.append((i, " ".join(words)))
+    docs.append((100, " ".join(f"z{i}" for i in range(20))))  # unrelated
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).toPandas()
+    assert len(pairs) > 100  # near-dup cluster found
+    assert 100 not in set(pairs.id_a) | set(pairs.id_b)
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_simhash_hamming(spark):
+    from web_template_forensics_spark.operators.dedup import simhash_near_dup_pairs
+
+    # large token count -> a one-token edit flips only a few simhash bits
+    a = " ".join(f"w{i}" for i in range(400))
+    b = a.replace("w3 ", "q3 ")  # one-token diff
+    c = " ".join(f"v{i}" for i in range(400))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).toPandas()
+    assert {(1, 2)} == set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    from web_template_forensics_spark.operators.similarity_search import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    rng = np.random.RandomState(6)
+    # clustered vectors (real-embedding shape): LSH recall is only
+    # meaningful when neighbors are genuinely close in angle
+    centers = rng.standard_normal((10, 16))
+    vecs = (
+        centers[np.arange(200) % 10] + 0.15 * rng.standard_normal((200, 16))
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(probes, df, k=5).toPandas()
+    # numpy verification of top-1
+    m64 = vecs.astype(np.float64)
+    m = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = m[:20] @ m.T
+    np.fill_diagonal(sims[:, :20], -2)
+    for pid in range(20):
+        best = int(np.argmax(sims[pid]))
+        got = exact[(exact.probe_id == pid) & (exact["rank"] == 1)].neighbor_id.iloc[0]
+        assert got == best
+    approx = cosine_topk_lsh(probes, df, k=5, bits=8, probe_hamming=1).toPandas()
+    hits = len(
+        set(map(tuple, exact[["probe_id", "neighbor_id"]].values))
+        & set(map(tuple, approx[["probe_id", "neighbor_id"]].values))
+    )
+    assert hits / len(exact) > 0.5  # recall sanity at hamming-1 probing
+
+
+def test_structure_compare_udf_matches_oracle(spark):
+    from web_template_forensics_spark.functions.similarity_udfs import (
+        structure_compare_udf,
+    )
+    from web_template_forensics_spark.oracle.html_oracle import (
+        parse_html_tree,
+        tree_to_json,
+    )
+    from web_template_forensics_spark.oracle.similarity import compare_structures
+
+    pairs = [
+        ("<div><span>Hello</span></div>", "<div><span>Hello</span></div>"),
+        ('<div class="a"><p>x</p></div>', '<div class="b"><p>y</p></div>'),
+        ("<ul><li>1</li><li>2</li></ul>", "<ul><li>1</li></ul>"),
+    ]
+    rows = [(tree_to_json(parse_html_tree(a)), tree_to_json(parse_html_tree(b))) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(structure_compare_udf("a", "b").alias("r")).select("r.*").toPandas()
+    for i, (a, b) in enumerate(pairs):
+        exp = compare_structures(parse_html_tree(a), parse_html_tree(b))
+        assert got.score[i] == pytest.approx(exp.similarity_score, abs=0)
+        assert got.matching[i] == exp.matching
+        assert got.missing[i] == exp.missing

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()``
+entry exists, the same query in DuckDB over the identical parquet files,
+then compares row count, column-name set and exact cell values
+(order-insensitive). Usage:
+
+    python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        else:
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return problems
+    if len(sdf) != len(ddf):
+        problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
+        return problems
+    a, b = canon(sdf), canon(ddf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            eq = (av.to_numpy() == bv.to_numpy()) | (av.isna() & b[c].isna()).to_numpy()
+            bad = int((~eq).sum())
+            if bad:
+                i = int(np.argmax(~eq))
+                problems.append(
+                    f"col {c}: {bad} float mismatches, first at row {i}: "
+                    f"{av.iloc[i]!r} vs {bv.iloc[i]!r} (diff {abs(av.iloc[i]-bv.iloc[i]):.3e})"
+                )
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            bad = int((~eq).sum())
+            if bad:
+                i = int(np.argmax((~eq).to_numpy()))
+                problems.append(
+                    f"col {c}: {bad} mismatches, first at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+    from web_template_forensics_spark.session import get_spark
+
+    spark = get_spark("compare-oracle", cores=8, shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows, cols {list(sdf.columns)}")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"[FAIL] {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            print(f"[OK]   {name}: {len(sdf)} rows match exactly")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,7 +45,11 @@ class Polygon:
             a = np.asarray(ring, dtype=np.float64)
             if a.ndim != 2 or a.shape[1] != 2 or a.shape[0] < 3:
                 raise ValueError("ring must be (n>=3, 2) of (lat, lon)")
-            if a[:, 1].max() - a[:, 1].min() > 180.0:
+            # shorter-arc convention: an edge whose raw lon span exceeds 180
+            # degrees is taken to cross the antimeridian (every polygon edge
+            # is assumed to span < 180 degrees of longitude).
+            dlon = np.abs(np.diff(np.concatenate([a[:, 1], a[:1, 1]])))
+            if np.any(dlon > 180.0):
                 crosses = True
             arrs.append(a)
         if crosses:

@@ -1,0 +1,693 @@
+"""The engine's query surface with DuckDB-recomputable oracles.
+
+Each entry pairs an idiomatic-Spark implementation with an ANSI-SQL string
+that DuckDB executes over the same parquet tables; the driver compares
+row counts, schemas and order-insensitive value hashes. Determinism
+rules making exact value-hash matches possible:
+
+  * geo points derive from integer columns via pure +,-,*,/,//,% on
+    int64/float64 — correctly-rounded IEEE ops are bit-identical across
+    numpy / Spark / DuckDB;
+  * money aggregates go through ``cast(x as decimal(18,6))`` sums (exact
+    decimal arithmetic in both engines) and only then back to double;
+  * timestamps are only ever compared/exported as epoch microseconds
+    (session-timezone-proof on both sides);
+  * every ranking has a documented total order with an id tiebreak;
+  * floating aggregates whose addition order is engine-dependent are
+    rounded to a precision far above the accumulated error.
+
+Point derivation spec (documents table -> synthetic page coordinates):
+  h   = (doc_id * 2654435761) % 2^31
+  lat = (h % 160001) / 1000.0 - 80.0          in [-80, 80.001)
+  lon = ((h // 1024) % 359001) / 1000.0 - 179.5
+Multiplier is odd -> bijective mod 2^31, so points are well-spread and
+collision-free. The same spec feeds cells (level 12), tiles (z 6), the
+PIP rectangles and the kNN fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.geo_udfs import cell_encode_udf, cell_id_sql, morton_sql, tile_ix_col, tile_ix_sql, tile_iy_col, tile_iy_sql
+from ..functions.html_udfs import extract_text_udf, html_class_counts_udf
+from ..functions.text_udfs import (
+    lang_id_col,
+    lang_id_sql,
+    quality_score_col,
+    quality_score_sql,
+    token_count_col,
+    token_count_sql,
+)
+from ..geo.polygons import Polygon
+from ..operators.dedup import (
+    exact_dedup,
+    latest_crawl_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.similarity_search import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.spatial_join import knn_join, pip_join
+from ..operators.tiles import tile_rollup
+
+# ---------------------------------------------------------------------------
+# shared spec
+# ---------------------------------------------------------------------------
+
+H_MULT = 2654435761
+H_MOD = 1 << 31
+CELL_LEVEL = 12
+TILE_Z = 6
+KNN_LEVEL = 4
+KNN_K = 5
+PROBE_MOD = 25
+NGRAM_THRESHOLD = 0.004
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch_us(col_name: str):
+    """Epoch micros from a TIMESTAMP_NTZ column, session-timezone-proof
+    (mirrors DuckDB's epoch_us on naive timestamps)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col_name})"
+    )
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(H_MULT)) % F.lit(H_MOD)
+    lat = (h % F.lit(160001)).cast("double") / F.lit(1000.0) - F.lit(80.0)
+    lon = (
+        ((h.cast("long") / F.lit(1024)).cast("long") % F.lit(359001)).cast("double")
+        / F.lit(1000.0)
+        - F.lit(179.5)
+    )
+    return d.select(
+        F.col("doc_id"), F.col("lang"), F.col("n_chars"),
+        lat.alias("lat"), lon.alias("lon"),
+    )
+
+
+_DOC_POINTS_SQL = f"""
+  SELECT doc_id, lang, n_chars,
+         ((doc_id * {H_MULT}) % {H_MOD}) % 160001 / 1000.0 - 80.0 AS lat,
+         (((doc_id * {H_MULT}) % {H_MOD}) // 1024) % 359001 / 1000.0 - 179.5 AS lon
+  FROM documents
+"""
+
+
+def rect_polygons() -> list[tuple[int, float, float, float, float]]:
+    """(poly_id, lat0, lon0, lat1, lon1) — deterministic rectangle set.
+
+    Membership (matching the ray-cast half-open rule): lat0 <= lat < lat1
+    AND lon0 <= lon < lon1. Overlapping + disjoint + skew-heavy regions.
+    """
+    rects = []
+    pid = 1
+    for i in range(6):
+        lat0 = -70.0 + 22.0 * i
+        lon0 = -170.0 + 50.0 * i
+        rects.append((pid, lat0, lon0, lat0 + 30.0, lon0 + 55.0))
+        pid += 1
+    # overlapping hot band near the .de anchor + a thin equatorial strip
+    rects.append((pid, 40.0, -10.0, 62.0, 30.0)); pid += 1
+    rects.append((pid, 45.0, 0.0, 58.0, 20.0)); pid += 1
+    rects.append((pid, -5.0, -150.0, 5.0, 150.0)); pid += 1
+    return rects
+
+
+def _rect_poly_objects() -> list[Polygon]:
+    # insert lon midpoints so no edge spans >= 180 degrees (the polygon
+    # model's shorter-arc antimeridian convention requires it)
+    out = []
+    for pid, a, b, c, d in rect_polygons():
+        m = (b + d) / 2.0
+        ring = [(a, b), (a, m), (a, d), (c, d), (c, m), (c, b)]
+        out.append(Polygon.make(pid, f"rect{pid}", [ring]))
+    return out
+
+
+def _rects_values_sql() -> str:
+    rows = ", ".join(
+        f"({pid}, {a!r}, {b!r}, {c!r}, {d!r})" for pid, a, b, c, d in rect_polygons()
+    )
+    return f"(VALUES {rows}) AS r(poly_id, lat0, lon0, lat1, lon1)"
+
+
+_ESCAPED_TEXT_SQL = (
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+
+def _escaped_text_col():
+    e = F.regexp_replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    e = F.regexp_replace(e, F.lit("<"), F.lit("&lt;"))
+    return F.regexp_replace(e, F.lit(">"), F.lit("&gt;"))
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/filter/join/agg/window/anti/rollup coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A1 aggregate family). Decimal sums -> exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = 904694400000000  # 1998-09-02 UTC in epoch micros
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return (
+        li.filter(_epoch_us("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec(F.col("l_quantity")).alias("sum_qty"),
+            dec(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         cast(sum(cast(l_quantity as decimal(18,6))) as double) AS sum_qty,
+         cast(sum(cast(l_extendedprice as decimal(18,6))) as double) AS sum_base_price,
+         cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,6))) as double) AS sum_disc_price,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) <= 904694400000000
+  GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join + agg; dims broadcast (J1 equi-join family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q_REVENUE_SQL = """
+  SELECT n_name,
+         cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,6))) as double) AS revenue,
+         count(*) AS n_lineitems
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+"""
+
+
+def q_top_suppliers_per_nation(spark, sf_dir):
+    """Ranking window top-k (T2: the reference's best-match argmax shape)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "s_suppkey", "s_acctbal", "rank")
+    )
+
+
+_Q_TOP_SUPPLIERS_SQL = """
+  WITH ranked AS (
+    SELECT n_name, s_suppkey, s_acctbal,
+           row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+  SELECT n_name, s_suppkey, s_acctbal, cast(rank as int) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """As-of dedup window (J10)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", _epoch_us("ts").alias("ts_us"), "event_type")
+    )
+
+
+_Q_LATEST_EVENT_SQL = """
+  WITH ranked AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  SELECT user_id, event_id, ts_us, event_type FROM ranked WHERE rn = 1
+"""
+
+
+def q_parts_never_returned(spark, sf_dir):
+    """Left-anti join (the reference's 'unmatched' lists, file_matcher.py:80-82):
+    parts that never appear on a returned ('R') lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45.0)
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+_Q_PARTS_ANTI_SQL = """
+  SELECT p_partkey, p_name FROM part
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND l_quantity >= 45.0)
+"""
+
+
+def q_event_type_rollup(spark, sf_dir):
+    """ROLLUP aggregate (grouping-sets coverage)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_Q_EVENT_ROLLUP_SQL = """
+  SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+         cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+  FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+def q_mktsegment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+_Q_MKTSEG_SQL = """
+  SELECT c_mktsegment, count(*) AS n_orders,
+         cast(count(DISTINCT o_custkey) as bigint) AS n_customers,
+         cast(sum(cast(o_totalprice as decimal(18,6))) as double) AS total_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo: cells, tiles, PIP, kNN
+# ---------------------------------------------------------------------------
+
+
+def q_doc_cells(spark, sf_dir):
+    """Cell encoding through the Arrow UDF (checked against pure-SQL morton)."""
+    pts = doc_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        tile_ix_col(F.col("lon"), CELL_LEVEL).alias("cell_ix"),
+        tile_iy_col(F.col("lat"), CELL_LEVEL).alias("cell_iy"),
+        cell_encode_udf(CELL_LEVEL)(F.col("lat"), F.col("lon")).alias("cell_id"),
+    )
+
+
+def _q_doc_cells_sql():
+    ix = tile_ix_sql("lon", CELL_LEVEL)
+    iy = tile_iy_sql("lat", CELL_LEVEL)
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL}),
+  ij AS (SELECT doc_id, lat, lon, {ix} AS cell_ix, {iy} AS cell_iy FROM pts)
+  SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon, cell_ix, cell_iy,
+         {CELL_LEVEL} * {1 << 52} + {morton_sql('cell_ix', 'cell_iy', CELL_LEVEL)} AS cell_id
+  FROM ij
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    """A9 per-tile rollup: counts + byte sums at z=6 (salted two-phase agg)."""
+    pts = doc_points(spark, sf_dir)
+    return tile_rollup(
+        pts, TILE_Z, weight_col="n_chars", salted=True
+    ).withColumnRenamed("byte_count", "char_count")
+
+
+def _q_tile_rollup_sql():
+    ix = tile_ix_sql("lon", TILE_Z)
+    iy = tile_iy_sql("lat", TILE_Z)
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL})
+  SELECT {TILE_Z} AS tile_z, {ix} AS tile_x, {iy} AS tile_y,
+         count(*) AS page_count, cast(sum(n_chars) as bigint) AS char_count
+  FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def q_pip_rectangles(spark, sf_dir):
+    """Exact PIP join (J8): real ray-cast UDF vs half-open bbox oracle."""
+    pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    out = pip_join(spark, pts, _rect_poly_objects(), index_level=5)
+    return out.select(F.col("id").alias("doc_id"), "poly_id")
+
+
+def _q_pip_sql():
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL})
+  SELECT doc_id, poly_id
+  FROM pts, {_rects_values_sql()}
+  WHERE lat >= lat0 AND lat < lat1 AND lon >= lon0 AND lon < lon1
+"""
+
+
+def q_knn(spark, sf_dir):
+    """kNN via iterative k-ring expansion (J9) vs brute-force oracle."""
+    pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    probes = pts.filter(F.col("id") % PROBE_MOD == 0)
+    return knn_join(spark, probes, pts, k=KNN_K, level=KNN_LEVEL).select(
+        "probe_id", "neighbor_id", "rank", "dist2"
+    )
+
+
+def _q_knn_sql():
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL}),
+  probes AS (SELECT * FROM pts WHERE doc_id % {PROBE_MOD} = 0),
+  pairs AS (
+    SELECT p.doc_id AS probe_id, n.doc_id AS neighbor_id,
+           (p.lat - n.lat) * (p.lat - n.lat) + (p.lon - n.lon) * (p.lon - n.lon) AS dist2
+    FROM probes p JOIN pts n ON p.doc_id <> n.doc_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+    FROM pairs)
+  SELECT probe_id, neighbor_id, cast(rank as int) AS rank, dist2 FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# pages-path: oracle text extraction, crawl dedup, class extraction
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text(spark, sf_dir):
+    """The north-rule invariant as a query: build page markup, run the real
+    Arrow extraction UDF, must reproduce the source text byte-identically."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>d"), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><div id=\"d"), F.col("doc_id").cast("string"),
+        F.lit("\"><p>"), _escaped_text_col(), F.lit("</p></div></body></html>"),
+    )
+    return d.select(
+        "doc_id", extract_text_udf(F.encode(html, "utf-8")).alias("text")
+    )
+
+
+_Q_EXTRACT_SQL = "SELECT doc_id, text FROM documents"
+
+
+def q_latest_crawl(spark, sf_dir):
+    """Latest-crawl dedup (J10) over synthetic duplicate urls."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        (F.col("doc_id") % 211).alias("url_key"),
+        F.col("doc_id"),
+        ((F.col("doc_id") * 7919) % 1000000007).alias("ts_us"),
+    )
+    return latest_crawl_dedup(pages, key="url_key", ts="ts_us").select(
+        "url_key", "doc_id", "ts_us"
+    )
+
+
+_Q_LATEST_CRAWL_SQL = """
+  WITH pages AS (
+    SELECT doc_id % 211 AS url_key, doc_id, (doc_id * 7919) % 1000000007 AS ts_us
+    FROM documents),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY url_key ORDER BY ts_us DESC) AS rn FROM pages)
+  SELECT url_key, doc_id, ts_us FROM ranked WHERE rn = 1
+"""
+
+
+def q_class_counts(spark, sf_dir):
+    """Utility-class extraction (P5/C17 family): markup -> parse tree ->
+    class tokens -> exploded (class, count) aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    html = F.concat(
+        F.lit("<div class=\""),
+        F.array_join(F.slice(toks, 1, 3), " "),
+        F.lit("\"><span>x</span></div>"),
+    )
+    counts = d.select(html_class_counts_udf(F.encode(html, "utf-8")).alias("m"))
+    return (
+        counts.select(F.explode("m").alias("cls", "n"))
+        .groupBy("cls")
+        .agg(F.sum("n").alias("total_count"))
+    )
+
+
+_Q_CLASS_COUNTS_SQL = r"""
+  WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+  cls AS (
+    SELECT unnest(t[1:3]) AS cls FROM toks)
+  SELECT cls, cast(count(*) as bigint) AS total_count FROM cls GROUP BY cls
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis + dedup + similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+_Q_EXACT_DEDUP_SQL = """
+  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count
+  FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _q_text_stats_sql():
+    return f"""
+  SELECT doc_id, {token_count_sql('text')} AS n_tokens,
+         {quality_score_sql('text')} AS quality,
+         {lang_id_sql('text')} AS lang_pred
+  FROM documents
+"""
+
+
+def q_ngram_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", "lang", threshold=NGRAM_THRESHOLD, n=3
+    )
+
+
+_Q_NGRAM_SQL = rf"""
+  WITH toks AS (
+    SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t FROM documents),
+  g0 AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                 gs -> array_to_string(t[gs:gs+2], ' '))) AS gram
+    FROM toks),
+  g AS (SELECT DISTINCT doc_id, lang, gram FROM g0 WHERE length(gram) > 0),
+  sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+    FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.n + sb.n - ni) >= {NGRAM_THRESHOLD}
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    return cosine_topk_bruteforce(probes, e, k=3)
+
+
+_Q_EMB_TOPK_SQL = f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  probes AS (SELECT * FROM e WHERE vec_id % {PROBE_MOD} = 0),
+  pairs AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           CASE WHEN sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)) > 0
+                THEN list_dot_product(p.v, c.v) /
+                     (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+                ELSE 0.0 END AS cosine
+    FROM probes p JOIN e c ON p.vec_id <> c.vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs)
+  SELECT probe_id, neighbor_id, cast(rank as int) AS rank, round(cosine, 6) AS cosine
+  FROM ranked WHERE rank <= 3
+"""
+
+
+def q_label_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.element_at("embedding", 1).cast("double")), 4).alias("sum_dim0"),
+    )
+
+
+_Q_LABEL_STATS_SQL = """
+  SELECT label, count(*) AS n, round(sum(embedding[1]::DOUBLE), 4) AS sum_dim0
+  FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: hash-family signatures, LSH, the
+# full pages pipeline) — driver records the weaker rows-only check
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    return cosine_topk_lsh(probes, e, k=3, bits=8, probe_hamming=1)
+
+
+def q_pages_pipeline_tiles(spark, sf_dir):
+    """Flagship end-to-end slice on the real pages table: generate ->
+    geocode (meta tag > TLD anchor) -> cells -> salted tile rollup."""
+    from ..sources.pages import build_pages_df, geocode_pages
+
+    pages = build_pages_df(spark, 2000, seed=42)
+    geo = geocode_pages(spark, pages).filter(F.col("lat").isNotNull())
+    geo = geo.select("url", "lang", "lat", "lon", F.length("html").alias("n_bytes"))
+    return tile_rollup(geo, 5, weight_col="n_bytes", salted=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_suppliers_per_nation": q_top_suppliers_per_nation,
+    "latest_event_per_user": q_latest_event_per_user,
+    "parts_never_returned": q_parts_never_returned,
+    "event_type_rollup": q_event_type_rollup,
+    "mktsegment_stats": q_mktsegment_stats,
+    "doc_cells": q_doc_cells,
+    "tile_rollup_z6": q_tile_rollup,
+    "pip_rectangles": q_pip_rectangles,
+    "knn_k5": q_knn,
+    "extract_text": q_extract_text,
+    "latest_crawl_dedup": q_latest_crawl,
+    "class_counts": q_class_counts,
+    "exact_dedup": q_exact_dedup,
+    "text_stats": q_text_stats,
+    "ngram_jaccard_pairs": q_ngram_pairs,
+    "embedding_topk": q_embedding_topk,
+    "label_stats": q_label_stats,
+    # rows-only (non-SQL-expressible)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "pages_pipeline_tiles": q_pages_pipeline_tiles,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": _Q_PRICING_SQL,
+    "revenue_by_nation": _Q_REVENUE_SQL,
+    "top_suppliers_per_nation": _Q_TOP_SUPPLIERS_SQL,
+    "latest_event_per_user": _Q_LATEST_EVENT_SQL,
+    "parts_never_returned": _Q_PARTS_ANTI_SQL,
+    "event_type_rollup": _Q_EVENT_ROLLUP_SQL,
+    "mktsegment_stats": _Q_MKTSEG_SQL,
+    "doc_cells": _q_doc_cells_sql(),
+    "tile_rollup_z6": _q_tile_rollup_sql(),
+    "pip_rectangles": _q_pip_sql(),
+    "knn_k5": _q_knn_sql(),
+    "extract_text": _Q_EXTRACT_SQL,
+    "latest_crawl_dedup": _Q_LATEST_CRAWL_SQL,
+    "class_counts": _Q_CLASS_COUNTS_SQL,
+    "exact_dedup": _Q_EXACT_DEDUP_SQL,
+    "text_stats": _q_text_stats_sql(),
+    "ngram_jaccard_pairs": _Q_NGRAM_SQL,
+    "embedding_topk": _Q_EMB_TOPK_SQL,
+    "label_stats": _Q_LABEL_STATS_SQL,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """entry() target: the geo pipeline over documents-derived points."""
+    pts = doc_points(spark, sf_dir)
+    pip = pip_join(
+        spark, pts.withColumnRenamed("doc_id", "id"), _rect_poly_objects(), index_level=5
+    )
+    per_poly = pip.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_pages"))
+    tiles = tile_rollup(pts, 5, weight_col="n_chars", salted=True)
+    return tiles.join(
+        per_poly.select(F.sum("n_pages").alias("pip_assignments")), how="cross"
+    )
