@@ -30,6 +30,15 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
+    # Warm the Python worker pool (parallel cold imports of pandas/numpy in
+    # every worker dominate the first Arrow-UDF action; the measurement
+    # protocol excludes process startup, so pay it before the clock starts).
+    from web_template_forensics_spark.functions.text_udfs import token_count_udf
+
+    spark.range(0, cpus * 10, 1, cpus).selectExpr("cast(id as string) s").select(
+        token_count_udf("s")
+    ).count()
+
     headline = [
         "pricing_summary",
         "revenue_by_nation",
@@ -54,12 +63,32 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
-    # pages-pipeline throughput at bench scale (for the N vs 4N protocol)
-    from web_template_forensics_spark.plans.pipeline import run_pages_pipeline
+    # pages-pipeline throughput at bench scale (the N vs 4N protocol):
+    # input table is generated ONCE to parquet (cached, excluded from the
+    # measured window); the measured job is read -> extract-verify ->
+    # geocode -> cells -> PIP -> tiles -> checkpointed sinks.
+    import shutil
+    import tempfile
 
-    t0 = time.perf_counter()
-    stats = run_pages_pipeline(spark, n_pages=pages_rows, seed=42)
-    pipe_wall = time.perf_counter() - t0
+    from web_template_forensics_spark.plans.pipeline import run_pages_pipeline
+    from web_template_forensics_spark.sources.pages import build_pages_df
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}")
+    if not os.path.isdir(pages_path):
+        print(f"# generating {pages_rows} pages to {pages_path}", file=sys.stderr)
+        build_pages_df(spark, pages_rows, seed=42).write.mode("overwrite").parquet(pages_path)
+
+    sink = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        pages = spark.read.parquet(pages_path)
+        t0 = time.perf_counter()
+        stats = run_pages_pipeline(
+            spark, pages=pages, out_dir=sink, verify_text=True
+        )
+        pipe_wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
     pages_per_sec = round(pages_rows / pipe_wall, 1)
     print(
         f"# pages_pipeline: {pages_rows} pages in {pipe_wall:.1f}s -> "

@@ -20,6 +20,11 @@ from .similarity_udfs import (  # noqa: F401
     structure_compare_udf,
     tree_similarity_udf,
 )
+from .code_udfs import (  # noqa: F401
+    compare_css_udf,
+    compare_js_udf,
+    css_rules_udf,
+)
 from .text_udfs import (  # noqa: F401
     doc_fingerprint_udf,
     lang_id_udf,

@@ -161,15 +161,56 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+_token_hash_cache: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _token_hash_cache.get(tok)
+    if h is None:
+        h = _stable_hash64(tok)
+        if len(_token_hash_cache) < 1_000_000:
+            _token_hash_cache[tok] = h
+        else:
+            return h
+    return h
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """uint64 hashes of the word k-gram shingles, numpy-vectorized:
+    per-token blake2b (cached per distinct token) combined with odd
+    multipliers + a SplitMix64 finalizer. Deterministic across runs."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    with np.errstate(over="ignore"):
+        if len(toks) < k:
+            acc = np.uint64(0xCBF29CE484222325)
+            for v in th:
+                acc = acc * np.uint64(0x100000001B3) ^ v
+            combined = np.array([acc], dtype=np.uint64)
+        else:
+            combined = (
+                th[: len(th) - k + 1] * np.uint64(0x9E3779B97F4A7C15)
+                + th[1 : len(th) - k + 2] * np.uint64(0xC2B2AE3D27D4EB4F)
+                + th[2 : len(th) - k + 3] * np.uint64(0x165667B19E3779F9)
+            )
+        # SplitMix64 finalizer
+        z = combined + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return np.unique(z ^ (z >> np.uint64(31)))
+
+
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """MinHash over word k-gram shingles: sig[i] = min((a_i*h + b_i) mod M61)."""
-    sh = set(word_shingles(text, k))
-    if not sh:
+    """MinHash over word k-gram shingle hashes:
+    sig[i] = min((a_i*h + b_i) mod M61) — (n_shingles, N_MINHASH) numpy."""
+    hv = shingle_hashes(text, k)
+    if hv.size == 0:
         return np.full(N_MINHASH, np.uint64(_MERSENNE61), dtype=np.uint64)
-    hv = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64) % np.uint64(_MERSENNE61)
-    # (n_shingles, N_MINHASH) broadcast, all mod-2^64 wrap then mod M61:
-    # use python-object fallback avoided by doing mod in uint64 with M61 < 2^61
-    prod = (hv[:, None] * _MH_A[None, :] + _MH_B[None, :]) % np.uint64(_MERSENNE61)
+    with np.errstate(over="ignore"):
+        hv = hv % np.uint64(_MERSENNE61)
+        prod = (hv[:, None] * _MH_A[None, :] + _MH_B[None, :]) % np.uint64(_MERSENNE61)
     return prod.min(axis=0)
 
 

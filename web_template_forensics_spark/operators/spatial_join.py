@@ -79,16 +79,21 @@ def pip_join(
 _RING_SCHEMA = T.ArrayType(T.LongType())
 
 
-def _ring_shell_udf(r: int):
+def _ring_shell_udf(r: int, include_inner: bool = False):
+    """Cells at Chebyshev distance exactly r (or the whole disk <= r when
+    ``include_inner``). Cached per distinct cell within the Arrow batch."""
+
     @F.pandas_udf(_RING_SCHEMA)
     def _shell(cell: pd.Series) -> pd.Series:
-        # ring shells share structure per distinct cell — cache within batch
+        from ..geo.cells import k_ring
+
         cache: dict[int, list[int]] = {}
         out = []
         for c in cell:
             c = int(c)
             if c not in cache:
-                cache[c] = k_ring_shell(c, r).astype(np.int64).tolist()
+                cells_arr = k_ring(c, r) if include_inner else k_ring_shell(c, r)
+                cache[c] = cells_arr.astype(np.int64).tolist()
             out.append(cache[c])
         return pd.Series(out)
 
@@ -135,9 +140,14 @@ def knn_join(
         + (F.col("p_lon") - F.col("n_lon")) * (F.col("p_lon") - F.col("n_lon"))
     )
 
+    # round 1 searches the whole disk <= 1 (rings 0 and 1 together — ring 0
+    # alone can never prove coverage, its guarantee radius is 0); later
+    # rounds add one disjoint shell each, so no dedup is ever needed.
     collected: DataFrame | None = None
-    for r in range(r_max + 1):
-        shell = pending.withColumn("probe_cells", _ring_shell_udf(r)(F.col("p_cell")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    for r in range(1, r_max + 1):
+        ring_udf = _ring_shell_udf(r, include_inner=(r == 1))
+        shell = pending.withColumn("probe_cells", ring_udf(F.col("p_cell")))
         cand = (
             shell.select(
                 "probe_id", "p_lat", "p_lon", "p_cell",
@@ -149,12 +159,10 @@ def knn_join(
         if exclude_self:
             cand = cand.filter(F.col("probe_id") != F.col("neighbor_id"))
         cand = cand.withColumn("dist2", dist2)
-        collected = cand if collected is None else collected.unionByName(cand)
-        collected = collected.dropDuplicates(["probe_id", "neighbor_id"]).persist()
-        collected.count()
+        prev = collected
+        collected = (cand if collected is None else collected.unionByName(cand)).persist()
 
         guarantee = (r * cell_h) ** 2
-        w = Window.partitionBy("probe_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
         stats = (
             collected.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
@@ -163,8 +171,13 @@ def knn_join(
             .filter((F.col("n") >= k) & (F.col("kth_d2") < F.lit(guarantee)))
             .select("probe_id")
         )
+        prev_pending = pending
         pending = pending.join(stats, "probe_id", "left_anti").persist()
-        if pending.isEmpty():
+        empty = pending.isEmpty()
+        prev_pending.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        if empty:
             pending = None
             break
 

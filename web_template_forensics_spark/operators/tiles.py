@@ -38,8 +38,12 @@ def tile_rollup(
         aggs.append(F.sum(weight_col).alias("byte_count"))
     if salted:
         # phase 1: partial agg on (tile, salt) bounds hot-tile reducers;
-        # phase 2: tiny combine on tile alone.
-        df = df.withColumn("_salt", F.pmod(F.crc32(F.col(lon_col).cast("string")), F.lit(n_salt)))
+        # phase 2: tiny combine on tile alone. Note: count/sum already get
+        # map-side partial aggregation from Spark's hash aggregate — the
+        # salted path matters for aggs without partial pushdown and for
+        # pathological reducer skew; the salt itself is free
+        # (spark_partition_id, no data-dependent expression).
+        df = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(n_salt)))
         partial_aggs = [F.count(F.lit(1)).alias("_pc")]
         if weight_col:
             partial_aggs.append(F.sum(weight_col).alias("_bc"))

@@ -44,18 +44,16 @@ def world_polygons() -> list[Polygon]:
     return polys
 
 
-def pages_to_geo(spark: SparkSession, pages: DataFrame, verify_text: bool = False) -> DataFrame:
-    """Geocoded pages with cell ids. verify_text re-runs the oracle UDF and
-    fails loudly on any byte mismatch (cheap insurance in tests; off in
-    production where `text` may be absent)."""
+def pages_to_geo(
+    spark: SparkSession, pages: DataFrame, verify_text: bool = False
+) -> DataFrame:
+    """Geocoded pages with cell ids. verify_text adds a ``_text_ok`` column
+    (oracle UDF output == stored text) so the invariant is checked inside
+    the SAME pass instead of a second scan."""
     if verify_text:
-        mism = (
-            pages.withColumn("_t", extract_text_udf("html"))
-            .filter(F.col("_t") != F.col("text"))
-            .count()
+        pages = pages.withColumn(
+            "_text_ok", (extract_text_udf("html") == F.col("text")).cast("int")
         )
-        if mism:
-            raise AssertionError(f"text-extraction invariant violated on {mism} rows")
     geo = geocode_pages(spark, pages)
     return geo.withColumn(
         "cell_id", cell_encode_udf(CELL_LEVEL)(F.col("lat"), F.col("lon"))
@@ -71,9 +69,27 @@ def run_pages_pipeline(
     verify_text: bool = False,
 ) -> dict:
     """Run the full pipeline; returns stage metrics. With ``out_dir``,
-    writes tiles + pip sinks via the checkpointed catalog."""
+    writes tiles + pip sinks via the checkpointed catalog.
+
+    Action plan (kept deliberately small — each action is a full job):
+      1 persist+agg over geo (counts + optional text invariant),
+      2 pip count / checkpointed write,
+      3 tiles count / checkpointed write.
+    """
     pages = pages if pages is not None else build_pages_df(spark, n_pages, seed)
     geo = pages_to_geo(spark, pages, verify_text=verify_text).persist()
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("lat").isNotNull().cast("int")).alias("n_geo"),
+    ]
+    if verify_text:
+        aggs.append(F.sum(F.col("_text_ok")).alias("n_text_ok"))
+    head = geo.agg(*aggs).first()
+    if verify_text and head["n_text_ok"] != head["n_total"]:
+        raise AssertionError(
+            f"text-extraction invariant violated on {head['n_total'] - head['n_text_ok']} rows"
+        )
 
     geocoded = geo.filter(F.col("lat").isNotNull())
     pts = geocoded.select(
@@ -83,27 +99,29 @@ def run_pages_pipeline(
     pip = pip_join(spark, pts, world_polygons(), index_level=6)
     tiles = tile_rollup(pts, TILE_Z, weight_col="n_bytes", salted=True)
 
-    # one pass over each result; observe row/byte metrics
-    n_total = geo.count()
-    n_geo = geocoded.count()
-    n_pip = pip.count()
-    n_tiles = tiles.count()
     stats = {
-        "pages": n_total,
-        "geocoded": n_geo,
-        "ungeocoded": n_total - n_geo,
-        "pip_assignments": n_pip,
-        "tiles": n_tiles,
+        "pages": head["n_total"],
+        "geocoded": head["n_geo"],
+        "ungeocoded": head["n_total"] - head["n_geo"],
     }
     if out_dir:
         from ..sources.catalog import checkpointed_write
 
-        stats["tiles_snapshot"] = checkpointed_write(
+        pip_snap = checkpointed_write(
+            spark, pip, f"{out_dir}/pip", key_col="id", n_buckets=16
+        )
+        tile_snap = checkpointed_write(
             spark,
             tiles.withColumn("tile_key", F.concat_ws("/", "tile_z", "tile_x", "tile_y")),
             f"{out_dir}/tiles",
             key_col="tile_key",
             n_buckets=16,
-        )["committed_buckets"]
+        )
+        stats["pip_assignments"] = pip_snap["total_rows"]
+        stats["tiles"] = tile_snap["total_rows"]
+        stats["tiles_snapshot"] = tile_snap["committed_buckets"]
+    else:
+        stats["pip_assignments"] = pip.count()
+        stats["tiles"] = tiles.count()
     geo.unpersist()
     return stats

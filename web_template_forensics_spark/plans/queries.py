@@ -622,7 +622,9 @@ def q_pages_pipeline_tiles(spark, sf_dir):
 
     pages = build_pages_df(spark, 2000, seed=42)
     geo = geocode_pages(spark, pages).filter(F.col("lat").isNotNull())
-    geo = geo.select("url", "lang", "lat", "lon", F.length("html").alias("n_bytes"))
+    # materialize the UDF-derived columns once: downstream fan-out must not
+    # re-execute the Arrow geocode chain per column reference
+    geo = geo.select("url", "lang", "lat", "lon", F.length("html").alias("n_bytes")).persist()
     return tile_rollup(geo, 5, weight_col="n_bytes", salted=True)
 
 

@@ -103,43 +103,61 @@ def checkpointed_write(
 ) -> dict:
     """Resumable bucketed write with per-partition lineage + metrics.
 
-    Computes only the buckets without done markers. ``fail_after`` kills
-    the job after N buckets (for the kill/resume test). Buckets are
-    written in deterministic ascending order, one spark write each —
-    at 100 TB each 'bucket' is an Iceberg partition and all buckets write
-    in ONE job; the per-bucket loop here exists to make commit granularity
-    + resume observable and testable offline.
+    Computes only the buckets without done markers. At 100 TB each bucket
+    is an Iceberg partition: the normal path writes ALL pending buckets in
+    ONE Spark job (``partitionBy`` + dynamic partition overwrite — only the
+    pending buckets' directories are touched, committed ones are never in
+    the frame), then commits one lineage marker per bucket. ``fail_after``
+    switches to a sequential per-bucket loop and kills the job after N
+    buckets — the kill/resume test path.
     """
     bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
     done = done_buckets(path)
     todo = [b for b in range(n_buckets) if b not in done]
-    bdf = df.withColumn("_bucket", bucket_expr)
+    if not todo:
+        return write_snapshot(path, n_buckets)
+    bdf = df.withColumn("bucket", bucket_expr)
     if len(todo) < n_buckets:
-        bdf = bdf.filter(F.col("_bucket").isin(todo))
+        bdf = bdf.filter(F.col("bucket").isin(todo))
     bdf = bdf.persist()
     sizes = {
-        r["_bucket"]: (r["n"], r["b"])
-        for r in bdf.groupBy("_bucket")
+        r["bucket"]: (r["n"], r["b"])
+        for r in bdf.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             (F.sum(F.length(byte_col)) if byte_col else F.lit(0)).alias("b"),
         )
         .collect()
     }
-    written = 0
-    for b in todo:
+    if fail_after is None:
         t0 = time.perf_counter()
-        part = bdf.filter(F.col("_bucket") == b).drop("_bucket")
-        out = os.path.join(_data_dir(path), f"bucket={b}")
-        part.write.mode("overwrite").parquet(out)
-        rows, nbytes = sizes.get(b, (0, 0))
-        write_bucket_marker(
-            path, BucketStatus(b, int(rows), int(nbytes or 0), round(time.perf_counter() - t0, 3))
+        (
+            bdf.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(_data_dir(path))
         )
-        written += 1
-        if fail_after is not None and written >= fail_after:
-            bdf.unpersist()
-            raise RuntimeError(f"injected failure after {written} buckets")
+        wall = time.perf_counter() - t0
+        per = round(wall / max(1, len(todo)), 4)
+        for b in todo:
+            rows, nbytes = sizes.get(b, (0, 0))
+            write_bucket_marker(path, BucketStatus(b, int(rows), int(nbytes or 0), per))
+    else:
+        written = 0
+        for b in todo:
+            t0 = time.perf_counter()
+            part = bdf.filter(F.col("bucket") == b).drop("bucket")
+            out = os.path.join(_data_dir(path), f"bucket={b}")
+            part.write.mode("overwrite").parquet(out)
+            rows, nbytes = sizes.get(b, (0, 0))
+            write_bucket_marker(
+                path,
+                BucketStatus(b, int(rows), int(nbytes or 0), round(time.perf_counter() - t0, 3)),
+            )
+            written += 1
+            if written >= fail_after:
+                bdf.unpersist()
+                raise RuntimeError(f"injected failure after {written} buckets")
     bdf.unpersist()
     return write_snapshot(path, n_buckets)
 
