@@ -1,0 +1,75 @@
+"""Scaling-efficiency measurement (the north rule's N vs 4N protocol).
+
+One process = one run at one parallelism level:
+    python BENCH/scaling.py <cores> <pages_rows>
+prints one JSON line {"cores": N, "pages": M, "wall_sec": W, "pages_per_sec": T}.
+
+The measured window is the pipeline only (read pages parquet -> extract-
+verify -> geocode -> cells -> PIP -> salted tiles -> checkpointed sinks),
+after a Python-worker-pool warmup; input generation is excluded (cached
+parquet under .bench_data, shared by every run).
+
+Drive with BENCH/run_scaling.sh which does 3 runs per level and medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_rows = int(sys.argv[2])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from web_template_forensics_spark.session import get_spark
+    from web_template_forensics_spark.plans.pipeline import run_pages_pipeline
+    from web_template_forensics_spark.sources.pages import build_pages_df
+    from web_template_forensics_spark.functions.text_udfs import token_count_udf
+
+    spark = get_spark("scaling", cores=cores, shuffle_partitions=max(cores, 8))
+
+    rich = int(os.environ.get("SPARK_GRAFT_PAGE_RICH", "8"))
+    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}")
+    if not os.path.isdir(pages_path):
+        build_pages_df(spark, pages_rows, seed=42, rich=rich).write.mode("overwrite").parquet(
+            pages_path
+        )
+
+    # warm the python worker pool + parquet footer cache (excluded window)
+    spark.range(0, cores * 10, 1, cores).selectExpr("cast(id as string) s").select(
+        token_count_udf("s")
+    ).count()
+    pages = spark.read.parquet(pages_path)
+    pages.select("url").limit(10).count()
+
+    sink = tempfile.mkdtemp(prefix=f"scale_sink_{cores}_")
+    try:
+        t0 = time.perf_counter()
+        stats = run_pages_pipeline(spark, pages=pages, out_dir=sink, verify_text=True)
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "pages": pages_rows,
+                "wall_sec": round(wall, 2),
+                "pages_per_sec": round(pages_rows / wall, 1),
+                "geocoded": stats["geocoded"],
+                "pip_assignments": stats["pip_assignments"],
+                "tiles": stats["tiles"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,11 +73,14 @@ def main() -> None:
     from web_template_forensics_spark.plans.pipeline import run_pages_pipeline
     from web_template_forensics_spark.sources.pages import build_pages_df
 
+    rich = int(os.environ.get("SPARK_GRAFT_PAGE_RICH", "8"))
     repo = os.path.dirname(os.path.abspath(__file__))
-    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}")
+    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}")
     if not os.path.isdir(pages_path):
         print(f"# generating {pages_rows} pages to {pages_path}", file=sys.stderr)
-        build_pages_df(spark, pages_rows, seed=42).write.mode("overwrite").parquet(pages_path)
+        build_pages_df(spark, pages_rows, seed=42, rich=rich).write.mode("overwrite").parquet(
+            pages_path
+        )
 
     sink = tempfile.mkdtemp(prefix="bench_sink_")
     try:

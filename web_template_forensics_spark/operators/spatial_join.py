@@ -46,11 +46,16 @@ def pip_join(
 
     points: DataFrame with (id, lat, lon). polygons: broadcast side data.
     """
+    from ..functions.geo_udfs import cell_id_col
+
     index = build_cell_index(polygons, index_level)
     index_rows = [(c, p) for c, ps in index.items() for p in ps]
     index_df = spark.createDataFrame(index_rows, schema="cell_id long, poly_id long")
 
-    pts = points.withColumn("cell_id", cell_encode_udf(index_level)(F.col(lat_col), F.col(lon_col)))
+    # cell key via the pure-SQL morton column: whole-stage-codegen JVM math,
+    # no Python round-trip just for the join key (exact same values as the
+    # numpy spec — parity-tested in tests/test_operators.py)
+    pts = points.withColumn("cell_id", cell_id_col(F.col(lat_col), F.col(lon_col), index_level))
     cand = pts.join(F.broadcast(index_df), "cell_id").select(
         F.col(id_col).alias("id"), F.col(lat_col).alias("lat"),
         F.col(lon_col).alias("lon"), "poly_id",

@@ -60,6 +60,87 @@ def pages_to_geo(
     )
 
 
+_FUSED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, n_bytes long, "
+    "text_ok int, lat double, lon double, cell_id long"
+)
+
+
+def pages_to_geo_fused(pages: DataFrame, verify_text: bool = False) -> DataFrame:
+    """The pipeline's hot path: extract-verify + geocode + cell encode as
+    ONE mapInPandas pass.
+
+    Chaining separate pandas UDFs costs a Python round-trip per node and —
+    worse — projection collapse inlines struct-field references so the
+    upstream UDFs re-execute once per referencing expression (measured 8x
+    on the geocode chain). Fusing makes the whole Python stage a single
+    vectorized pass whose OUTPUT columns are plan attributes (never
+    re-evaluated), and drops html/text right there, so downstream joins
+    and aggregations shuffle ~50 bytes/row instead of the full page.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.html_udfs import _GEO_POS_RE, _decode
+    from ..geo.cells import cell_encode
+    from ..oracle.html_oracle import extract_text
+    from ..sources.pages import TLD_ANCHORS, splitmix64
+
+    anchors = {tld: (lat, lon) for tld, (lat, lon, _) in TLD_ANCHORS.items()}
+    level = CELL_LEVEL
+
+    def fused(batches):
+        for pdf in batches:
+            html = pdf["html"].map(_decode)
+            if verify_text:
+                text_ok = (html.map(extract_text) == pdf["text"]).astype("int32")
+            else:
+                text_ok = pd.Series(np.ones(len(pdf), dtype="int32"))
+            # meta geo override
+            ext = html.str.extract(_GEO_POS_RE)
+            meta_lat = pd.to_numeric(ext[0], errors="coerce").to_numpy()
+            meta_lon = pd.to_numeric(ext[1], errors="coerce").to_numpy()
+            # TLD-anchor + host-hash geocode
+            url = pdf["url"]
+            host = pd.to_numeric(
+                url.str.extract(r"https://h(\d+)\.", expand=False), errors="coerce"
+            )
+            tld = url.str.extract(r"\.([a-z]+)/", expand=False)
+            a = tld.map(anchors)
+            has_anchor = a.notna() & host.notna()
+            a_lat = np.array([p[0] if isinstance(p, tuple) else np.nan for p in a])
+            a_lon = np.array([p[1] if isinstance(p, tuple) else np.nan for p in a])
+            hm = splitmix64(host.fillna(0).to_numpy().astype(np.uint64))
+            h_lat = a_lat + ((hm % np.uint64(4001)).astype(np.float64) - 2000.0) / 1000.0
+            h_lon = a_lon + (
+                ((hm // np.uint64(4096)) % np.uint64(8001)).astype(np.float64) - 4000.0
+            ) / 1000.0
+            h_lon = np.where(h_lon >= 180.0, h_lon - 360.0, h_lon)
+            h_lon = np.where(h_lon < -180.0, h_lon + 360.0, h_lon)
+            h_lat = np.where(has_anchor.to_numpy(), h_lat, np.nan)
+            h_lon = np.where(has_anchor.to_numpy(), h_lon, np.nan)
+            lat = np.where(~np.isnan(meta_lat), meta_lat, h_lat)
+            lon = np.where(~np.isnan(meta_lon), meta_lon, h_lon)
+            ok = ~np.isnan(lat) & ~np.isnan(lon)
+            cell = np.where(ok, cell_encode(np.nan_to_num(lat), np.nan_to_num(lon), level), -1)
+            out = pd.DataFrame(
+                {
+                    "url": url,
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "n_bytes": html.str.len().astype("int64"),
+                    "text_ok": text_ok,
+                    "lat": lat,
+                    "lon": lon,
+                    "cell_id": pd.array(cell, dtype="int64"),
+                }
+            )
+            out.loc[~ok, ["lat", "lon"]] = None
+            yield out
+
+    return pages.mapInPandas(fused, schema=_FUSED_SCHEMA)
+
+
 def run_pages_pipeline(
     spark: SparkSession,
     n_pages: int = 100_000,
@@ -77,24 +158,26 @@ def run_pages_pipeline(
       3 tiles count / checkpointed write.
     """
     pages = pages if pages is not None else build_pages_df(spark, n_pages, seed)
-    geo = pages_to_geo(spark, pages, verify_text=verify_text).persist()
+    # Parquet packing can hand us far fewer input splits than cores (small
+    # bench files); the Arrow-UDF chain is CPU-bound, so spread it. On a
+    # real cluster the input table has >> cores files and this is a no-op.
+    parallelism = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < parallelism:
+        pages = pages.repartition(parallelism * 2)
+    geo = pages_to_geo_fused(pages, verify_text=verify_text).persist()
 
-    aggs = [
+    head = geo.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col("lat").isNotNull().cast("int")).alias("n_geo"),
-    ]
-    if verify_text:
-        aggs.append(F.sum(F.col("_text_ok")).alias("n_text_ok"))
-    head = geo.agg(*aggs).first()
+        F.sum("text_ok").alias("n_text_ok"),
+    ).first()
     if verify_text and head["n_text_ok"] != head["n_total"]:
         raise AssertionError(
             f"text-extraction invariant violated on {head['n_total'] - head['n_text_ok']} rows"
         )
 
     geocoded = geo.filter(F.col("lat").isNotNull())
-    pts = geocoded.select(
-        F.col("url").alias("id"), "lat", "lon", F.length("html").alias("n_bytes")
-    )
+    pts = geocoded.select(F.col("url").alias("id"), "lat", "lon", "n_bytes")
 
     pip = pip_join(spark, pts, world_polygons(), index_level=6)
     tiles = tile_rollup(pts, TILE_Z, weight_col="n_bytes", salted=True)

@@ -132,7 +132,10 @@ def checkpointed_write(
     if fail_after is None:
         t0 = time.perf_counter()
         (
-            bdf.write.mode("overwrite")
+            # co-locate each bucket into one task -> one file per bucket
+            # (instead of n_tasks x n_buckets small files)
+            bdf.repartition(len(todo), F.col("bucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(_data_dir(path))

@@ -112,8 +112,15 @@ def _tw(h: int, n: int) -> str:
     return " ".join(_TW_CLASSES[(h >> (5 * (i % 11))) % len(_TW_CLASSES)] for i in range(n))
 
 
-def _build_html(i: int, h: int, tld: str, meta: tuple[float, float] | None) -> str:
-    """Assemble one synthetic page. Variant chosen by hash bits."""
+def _build_html(
+    i: int, h: int, tld: str, meta: tuple[float, float] | None, rich: int = 0
+) -> str:
+    """Assemble one synthetic page. Variant chosen by hash bits.
+
+    ``rich > 0`` appends that many extra content sections (~500 B each) so
+    bench corpora can approximate real crawl page sizes (KBs, not bytes);
+    small pages keep unit tests fast.
+    """
     w = _words(h, 14)
     variant = h % 8
     title = " ".join(w[:3])
@@ -132,6 +139,22 @@ def _build_html(i: int, h: int, tld: str, meta: tuple[float, float] | None) -> s
         f"<style>.c{i % 50} {{ color: #ff{h % 10}; }}</style>"
         f"<p>{' '.join(w[10:13])}</p>"
     )
+    if rich:
+        sections = []
+        for s in range(rich):
+            hs = (h >> (s % 48)) | (s * 2654435761)
+            ws = _words(hs, 24)
+            sections.append(
+                f'<section id="s{i}_{s}" class="{_tw(hs, 3)}">'
+                f"<h2>{ws[0]} {ws[1]}</h2>"
+                f"<p>{' '.join(ws[2:12])}</p>"
+                f"<ul>" + "".join(f"<li>{t}</li>" for t in ws[12:18]) + "</ul>"
+                f'<table><tr><td>{ws[18]}</td><td>{ws[19]}</td></tr>'
+                f"<tr><td>{ws[20]} &amp; {ws[21]}</td><td>{ws[22]}</td></tr></table>"
+                f"<!-- sec {s} marker {hs % 991} -->"
+                f"</section>"
+            )
+        body_inner += "".join(sections)
     if variant == 0:
         # no <body> tag at all -> document-rooted parse
         return f"<html><head><title>{title}</title>{meta_tag}</head>{body_inner}</html>"
@@ -154,7 +177,9 @@ def _build_html(i: int, h: int, tld: str, meta: tuple[float, float] | None) -> s
     )
 
 
-def gen_pages_pdf(start: int, count: int, seed: int = 42, with_gold: bool = False) -> pd.DataFrame:
+def gen_pages_pdf(
+    start: int, count: int, seed: int = 42, with_gold: bool = False, rich: int = 0
+) -> pd.DataFrame:
     """Generate rows [start, start+count) as a pandas DataFrame."""
     rows = []
     base_ts = np.datetime64("2025-01-01T00:00:00")
@@ -168,7 +193,7 @@ def gen_pages_pdf(start: int, count: int, seed: int = 42, with_gold: bool = Fals
         url = f"https://h{host_id}.example.{tld}/p/{key}"
         has_meta = (hk % 10) == 3
         meta = _meta_coords(hk) if has_meta else None
-        html = _build_html(key, hk, tld, meta)
+        html = _build_html(key, hk, tld, meta, rich=rich)
         ts = base_ts + np.timedelta64(int((i * 7919) % 2_592_000), "s")
         lang = TLD_ANCHORS[tld][2]
         row = {
@@ -238,7 +263,9 @@ def geocode_pages(spark, pages):
     return geo
 
 
-def build_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
+def build_pages_df(
+    spark, n_rows: int, seed: int = 42, partitions: int | None = None, rich: int = 0
+):
     """Distributed generation: each task generates its own id slice."""
     parts = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_rows, 1, parts)
@@ -251,9 +278,9 @@ def build_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = 
             start, stop = int(ids[0]), int(ids[-1])
             if np.array_equal(ids, np.arange(start, stop + 1)):
                 # spark.range slices are contiguous — single-shot fast path
-                yield gen_pages_pdf(start, stop - start + 1, seed)
+                yield gen_pages_pdf(start, stop - start + 1, seed, rich=rich)
             else:
-                frames = [gen_pages_pdf(int(i), 1, seed) for i in ids]
+                frames = [gen_pages_pdf(int(i), 1, seed, rich=rich) for i in ids]
                 yield pd.concat(frames, ignore_index=True)
 
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
