@@ -260,3 +260,68 @@ def test_structure_compare_udf_matches_oracle(spark):
         assert got.score[i] == pytest.approx(exp.similarity_score, abs=0)
         assert got.matching[i] == exp.matching
         assert got.missing[i] == exp.missing
+
+
+def test_contextual_match_replays_reference(spark):
+    """contextual_match_scores + greedy == the reference loop
+    (core/file_matcher.py:325-360) on sorted inputs."""
+    from web_template_forensics_spark.operators.matching import (
+        contextual_match_scores,
+        greedy_similarity_match,
+    )
+
+    files1 = sorted(["app/pages/one.html", "app/pages/two.html", "lib/util/x.js"])
+    files2 = sorted(["app/pages/uno.html", "app/pages/dos.html", "lib/util/y.js", "other/z.js"])
+    prior = [("app/pages/one.html", "app/pages/uno.html")]
+
+    l = spark.createDataFrame([(p,) for p in files1], "path string")
+    r = spark.createDataFrame([(p,) for p in files2], "path string")
+    mp = spark.createDataFrame(prior, "left_key string, right_key string")
+    scored = contextual_match_scores(l, r, mp)
+    got = {
+        (row.left_key, row.right_key): round(row.score, 9)
+        for row in greedy_similarity_match(scored, threshold=0.5).collect()
+    }
+
+    # pure-python replay of the reference loop
+    used2 = {m for _, m in prior}
+    exp = {}
+    for f1 in files1:
+        best, best_f2 = 0.0, None
+        p1 = f1.split("/")
+        for f2 in files2:
+            if f2 in used2:
+                continue
+            p2 = f2.split("/")
+            fs = 0
+            for a, b in zip(p1[:-1], p2[:-1]):
+                if a == b:
+                    fs += 1
+                else:
+                    break
+            fs = fs / max(len(p1), len(p2))
+            f1p, f2p = "/".join(p1[:-1]), "/".join(p2[:-1])
+            ns = sum(
+                1 for o, m in prior if o.startswith(f1p) and m.startswith(f2p)
+            ) / (len(prior) + 1)
+            score = 0.7 * fs + 0.3 * ns
+            if score > best:
+                best, best_f2 = score, f2
+        if best >= 0.5 and best_f2:
+            used2.add(best_f2)
+            exp[(f1, best_f2)] = round(best, 9)
+    assert got == exp
+    assert got, "expected at least one contextual match"
+
+
+def test_aggregate_match_scores(spark):
+    from web_template_forensics_spark.operators.matching import aggregate_match_scores
+
+    matched = spark.createDataFrame(
+        [("a", "a2", 0.9), ("b", "b2", 0.8)], "left_key string, right_key string, score double"
+    )
+    # 4 left + 3 right files, 2 matched -> denom = 4 + 3 - 2 = 5
+    row = aggregate_match_scores(matched, 4, 3).first()
+    assert row.files_matched == 2
+    assert row.aggregate_score == round((0.9 + 0.8) / 5, 3)
+    assert row.prediction.startswith("Low")

@@ -111,3 +111,98 @@ def fuzzy_filename_scores(
         .withColumn("score", seq_ratio_udf("_lbase", "_rbase"))
         .select("_blk", "left_key", "right_key", "score")
     )
+
+
+def contextual_match_scores(
+    left: DataFrame,
+    right: DataFrame,
+    matched_pairs: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """J4 candidate scoring (core/file_matcher.py:325-360): iterative —
+    depends on prior matches, so prior pairs are broadcast (2-pass shape).
+
+    score = 0.7 * (shared folder-prefix depth / max path depth)
+          + 0.3 * (sibling matched-pair fraction)
+    Feed into greedy_similarity_match(threshold=0.5) after left-anti
+    filtering rights already used by ``matched_pairs``.
+    """
+    n_matched = matched_pairs.count()
+    parent = lambda c: F.regexp_replace(c, r"/[^/]*$", "")  # noqa: E731
+    # reference: sibling counts pairs whose ORIGINAL/MODIFIED PATHS start
+    # with the candidate's parent dirs (file_matcher.py:348-351)
+    pairs_paths = F.broadcast(
+        matched_pairs.select(
+            F.col("left_key").alias("mp_l"), F.col("right_key").alias("mp_r")
+        )
+    )
+    l = left.select(
+        F.col(path_col).alias("left_key"),
+        F.split(F.col(path_col), "/").alias("_lparts"),
+        parent(F.col(path_col)).alias("_lparent"),
+    )
+    r = right.join(
+        matched_pairs.select(F.col("right_key").alias(path_col)), path_col, "left_anti"
+    ).select(
+        F.col(path_col).alias("right_key"),
+        F.split(F.col(path_col), "/").alias("_rparts"),
+        parent(F.col(path_col)).alias("_rparent"),
+    )
+    cand = l.crossJoin(r)
+    # matching parent-folder prefix length (stop at first mismatch)
+    folder_matches = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("_lparts"), 1, F.greatest(F.size("_lparts") - 1, F.lit(0))),
+            F.slice(F.col("_rparts"), 1, F.greatest(F.size("_rparts") - 1, F.lit(0))),
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+        lambda acc, x: F.struct(
+            (acc["n"] + F.when(acc["go"] & (x == 1), 1).otherwise(0)).alias("n"),
+            (acc["go"] & (x == 1)).alias("go"),
+        ),
+        lambda acc: acc["n"],
+    )
+    folder_score = folder_matches / F.greatest(F.size("_lparts"), F.size("_rparts"))
+    sib = (
+        cand.join(
+            pairs_paths,
+            F.col("mp_l").startswith(F.col("_lparent"))
+            & F.col("mp_r").startswith(F.col("_rparent")),
+            "left",
+        )
+        .groupBy("left_key", "right_key", "_lparts", "_rparts")
+        .agg(F.count("mp_l").alias("_nsib"))
+    )
+    return sib.select(
+        "left_key",
+        "right_key",
+        (
+            F.lit(0.7) * (folder_score)
+            + F.lit(0.3) * (F.col("_nsib") / F.lit(n_matched + 1))
+        ).alias("score"),
+    )
+
+
+def aggregate_match_scores(
+    matched: DataFrame,
+    n_left: int,
+    n_right: int,
+    score_col: str = "score",
+) -> DataFrame:
+    """A1 (core/file_matcher.py:555-570): per-group aggregate with
+    unmatched penalty — agg = sum(sims) / (n_left + n_right - n_matched)
+    (unmatched files contribute 0 to the numerator and stay in the
+    denominator), rounded to 3 decimals, plus the A6 prediction bucket
+    (core/file_matcher.py:362-368)."""
+    total = F.lit(n_left + n_right) - F.count(F.lit(1))
+    score = F.when(total > 0, F.sum(score_col) / total).otherwise(F.lit(0.0))
+    return matched.agg(
+        F.count(F.lit(1)).alias("files_matched"),
+        F.round(score, 3).alias("aggregate_score"),
+    ).withColumn(
+        "prediction",
+        F.when(F.col("aggregate_score") >= 0.75, F.lit("High similarity — likely copied or derived"))
+        .when(F.col("aggregate_score") >= 0.40, F.lit("Moderate similarity — possible reuse or inspiration"))
+        .otherwise(F.lit("Low similarity — likely independent")),
+    )

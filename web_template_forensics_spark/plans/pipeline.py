@@ -96,8 +96,9 @@ def pages_to_geo_fused(pages: DataFrame, verify_text: bool = False) -> DataFrame
                 text_ok = (html.map(extract_text) == pdf["text"]).astype("int32")
             else:
                 text_ok = pd.Series(np.ones(len(pdf), dtype="int32"))
-            # meta geo override
-            ext = html.str.extract(_GEO_POS_RE)
+            # meta geo override — geo <meta> tags live in <head>; regex only
+            # the head slice instead of the whole page
+            ext = html.str.slice(0, 512).str.extract(_GEO_POS_RE)
             meta_lat = pd.to_numeric(ext[0], errors="coerce").to_numpy()
             meta_lon = pd.to_numeric(ext[1], errors="coerce").to_numpy()
             # TLD-anchor + host-hash geocode

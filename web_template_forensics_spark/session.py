@@ -37,7 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow is the only Python<->JVM crossing we allow (vectorized UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small Arrow batches pipeline MUCH better through python workers on
+        # wide pages (34MB batches measured 4x slower than 1.7MB on the
+        # 3.4KB-page corpus: the pipe can't overlap JVM feed with parse)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        # smaller input splits -> enough scan parallelism without an explicit
+        # repartition shuffle on medium local corpora
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         # Deterministic timestamps vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
