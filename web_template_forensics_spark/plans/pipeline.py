@@ -189,18 +189,29 @@ def run_pages_pipeline(
         "ungeocoded": head["n_total"] - head["n_geo"],
     }
     if out_dir:
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..sources.catalog import checkpointed_write
 
-        pip_snap = checkpointed_write(
-            spark, pip, f"{out_dir}/pip", key_col="id", n_buckets=16
-        )
-        tile_snap = checkpointed_write(
-            spark,
-            tiles.withColumn("tile_key", F.concat_ws("/", "tile_z", "tile_x", "tile_y")),
-            f"{out_dir}/tiles",
-            key_col="tile_key",
-            n_buckets=16,
-        )
+        # the two sinks are independent reads of the cached geo frame —
+        # submit them as concurrent Spark jobs so the latency-bound small
+        # writes overlap instead of serializing
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pip = pool.submit(
+                checkpointed_write, spark, pip, f"{out_dir}/pip", key_col="id", n_buckets=16
+            )
+            f_tiles = pool.submit(
+                checkpointed_write,
+                spark,
+                tiles.withColumn(
+                    "tile_key", F.concat_ws("/", "tile_z", "tile_x", "tile_y")
+                ),
+                f"{out_dir}/tiles",
+                key_col="tile_key",
+                n_buckets=16,
+            )
+            pip_snap = f_pip.result()
+            tile_snap = f_tiles.result()
         stats["pip_assignments"] = pip_snap["total_rows"]
         stats["tiles"] = tile_snap["total_rows"]
         stats["tiles_snapshot"] = tile_snap["committed_buckets"]
