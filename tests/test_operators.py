@@ -325,3 +325,135 @@ def test_aggregate_match_scores(spark):
     assert row.files_matched == 2
     assert row.aggregate_score == round((0.9 + 0.8) / 5, 3)
     assert row.prediction.startswith("Low")
+
+
+def test_simhash_banding_sound_at_large_radius(spark):
+    """A pair at hamming 4..12 is invisible to the radius-3 banding but
+    MUST be found when max_hamming=12 (13 bands, pigeonhole-sound)."""
+    from web_template_forensics_spark.functions.text_udfs import simhash64
+    from web_template_forensics_spark.operators.dedup import simhash_near_dup_pairs
+
+    a = " ".join(f"w{i}" for i in range(400))
+    b = None
+    for k in range(2, 60):
+        cand = " ".join(
+            (f"q{i}" if i < k else f"w{i}") for i in range(400)
+        )
+        h = bin(simhash64(a) ^ simhash64(cand)).count("1")
+        if 5 <= h <= 12:
+            b = cand
+            break
+    assert b is not None, "could not construct a hamming-5..12 pair"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    wide = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=12).toPandas()
+    assert set(zip(wide.id_a, wide.id_b)) == {(1, 2)}
+    assert 5 <= wide.hamming.iloc[0] <= 12
+    narrow = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).toPandas()
+    assert len(narrow) == 0
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=12, n_bands=4)
+
+
+def test_minhash_jvm_jaccard_matches_python_sets(spark):
+    """The JVM array_intersect verification == Python shingle-set Jaccard."""
+    from web_template_forensics_spark.functions.text_udfs import word_shingles
+    from web_template_forensics_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    texts = dict(docs)
+    for (ia, ib), j in got.items():
+        sa, sb = set(word_shingles(texts[ia])), set(word_shingles(texts[ib]))
+        exp = 1.0 if not (sa | sb) else len(sa & sb) / len(sa | sb)
+        assert j == pytest.approx(round(exp, 6), abs=0)
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) in got
+
+
+def test_contextual_root_level_paths_match_reference(spark):
+    """Root-level files (no '/') must use parent '' — the reference then
+    counts EVERY prior matched pair as a sibling (file_matcher.py:346-351).
+    Exercised unblocked at a low threshold where the sibling term decides."""
+    from web_template_forensics_spark.operators.matching import (
+        contextual_match_scores,
+        greedy_similarity_match,
+    )
+
+    files1 = sorted(["index.html", "about.html", "app/x.html"])
+    files2 = sorted(["home.html", "info.html", "app/y.html"])
+    prior = [("app/x.html", "app/y.html"), ("app/z.html", "app/w.html")]
+
+    l = spark.createDataFrame([(p,) for p in files1], "path string")
+    r = spark.createDataFrame([(p,) for p in files2], "path string")
+    mp = spark.createDataFrame(prior, "left_key string, right_key string")
+    scored = contextual_match_scores(l, r, mp, blocked=False)
+    got = {
+        (row.left_key, row.right_key): round(row.score, 9)
+        for row in greedy_similarity_match(scored, threshold=0.15).collect()
+    }
+
+    used2 = {m for _, m in prior}
+    exp = {}
+    for f1 in files1:
+        best, best_f2 = 0.0, None
+        p1 = f1.split("/")
+        for f2 in files2:
+            if f2 in used2:
+                continue
+            p2 = f2.split("/")
+            fs = 0
+            for a, b in zip(p1[:-1], p2[:-1]):
+                if a == b:
+                    fs += 1
+                else:
+                    break
+            fs = fs / max(len(p1), len(p2))
+            f1p, f2p = "/".join(p1[:-1]), "/".join(p2[:-1])
+            ns = sum(
+                1 for o, m in prior if o.startswith(f1p) and m.startswith(f2p)
+            ) / (len(prior) + 1)
+            score = 0.7 * fs + 0.3 * ns
+            if score > best:
+                best, best_f2 = score, f2
+        if best >= 0.15 and best_f2:
+            used2.add(best_f2)
+            exp[(f1, best_f2)] = round(best, 9)
+    assert got == exp
+    # root files must have matched via the sibling term (parent '')
+    assert any("/" not in a for a, _ in got), got
+
+
+def test_text_udfs_ascii_whitespace_parity(spark):
+    """UDF face == Column face == documented spec on non-ASCII whitespace
+    (U+00A0 NBSP, U+2028 line separator must NOT split tokens)."""
+    from web_template_forensics_spark.functions.text_udfs import (
+        quality_score_col,
+        quality_score_udf,
+        token_count_col,
+        token_count_udf,
+    )
+
+    rows = [
+        ("plain ascii words here",),
+        ("nbsp joined and joined tokens",),
+        ("tabs\tand\nnewlines split",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        token_count_udf("text").alias("t_udf"),
+        token_count_col(F.col("text")).alias("t_col"),
+        quality_score_udf("text").alias("q_udf"),
+        quality_score_col(F.col("text")).alias("q_col"),
+    ).toPandas()
+    assert (out.t_udf == out.t_col).all(), out
+    assert (out.q_udf == out.q_col).all(), out
+    # NBSP/LS glue tokens: 'nbsp\\u00a0joined', 'and\\u2028joined', 'tokens'
+    assert out.t_udf[1] == 3

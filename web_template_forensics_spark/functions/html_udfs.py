@@ -120,11 +120,19 @@ _GEO_SCHEMA = T.StructType(
 )
 
 
+def head_slice(s: pd.Series) -> pd.Series:
+    """Markup slice for <head>-scoped extraction: everything before the
+    first '</head>' (whole document when no close tag exists). ONE spec
+    shared by the fused (plans/pipeline.py) and unfused geocode paths so
+    both geocode identically regardless of head size."""
+    return s.str.split("</head>", n=1).str[0]
+
+
 @F.pandas_udf(_GEO_SCHEMA)
 def extract_meta_geo_udf(html: pd.Series) -> pd.DataFrame:
     """Vectorized geo-metadata extraction: pandas .str.extract on the
-    decoded markup (regex runs in C, no per-row Python)."""
-    s = html.map(_decode)
+    decoded markup's head slice (regex runs in C, no per-row Python)."""
+    s = head_slice(html.map(_decode))
     ext = s.str.extract(_GEO_POS_RE)
     return pd.DataFrame(
         {

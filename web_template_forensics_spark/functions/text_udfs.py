@@ -16,6 +16,7 @@ SimHash signatures. Two tiers:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -245,6 +246,15 @@ def minhash_udf(text: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def shingle_hashes_udf(text: pd.Series) -> pd.Series:
+    """Distinct word-3-gram shingle hashes (sorted int64). Jaccard over
+    these arrays == Jaccard over the shingle-string sets (collision
+    probability ~ n^2/2^64), computable JVM-side via array_intersect —
+    the verification path never re-shingles text in Python per pair."""
+    return text.map(lambda t: shingle_hashes(t or "").astype(np.int64).tolist())
+
+
 @F.pandas_udf(T.LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: simhash64(t or ""))
@@ -257,7 +267,9 @@ def doc_fingerprint_udf(text: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.LongType())
 def token_count_udf(text: pd.Series) -> pd.Series:
-    return text.fillna("").str.count(r"\S+").astype("int64")
+    # re.ASCII: the Column/DuckDB faces use Java/RE2 \s (ASCII-only); the
+    # Python face must not treat U+00A0/U+2028 etc. as token separators.
+    return text.fillna("").str.count(r"\S+", flags=re.ASCII).astype("int64")
 
 
 @F.pandas_udf(T.StringType())
@@ -280,7 +292,7 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
     s = text.fillna("")
     n_chars = s.str.len().astype("float64")
     n_alpha = s.str.lower().str.count(r"[a-z]").astype("float64")
-    tokens = s.str.count(r"\S+").astype("float64")
+    tokens = s.str.count(r"\S+", flags=re.ASCII).astype("float64")
     score = (
         0.3 * np.minimum(1.0, tokens / 64.0)
         + 0.4 * (n_alpha / np.maximum(n_chars, 1.0))

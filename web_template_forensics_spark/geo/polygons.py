@@ -98,12 +98,10 @@ def covering_cells(poly: Polygon, level: int) -> np.ndarray:
     """
     lat_min, lat_max, lon_min, lon_max = poly.bbox()
     n = np.int64(1) << level
-    # bbox corners -> inclusive ij ranges; use interior-nudged corners so a
-    # bbox edge exactly on a cell line doesn't drag in an extra row/column.
-    def lon_to_ix(lon: float) -> int:
-        frame = lon if lon < 180.0 else lon - 360.0
-        return int(lonlat_to_ij(np.float64(0.0), np.float64(frame), level)[0][()])
-
+    # bbox corners -> INCLUSIVE ij ranges over raw (un-nudged) edges: an
+    # edge exactly on a cell line drags in one extra row/column, which is
+    # harmless — this is a candidate superset, the exact ray-cast runs on
+    # every join probe.
     iy_lo = int(lonlat_to_ij(np.float64(lat_max), 0.0, level)[1][()])
     iy_hi = int(lonlat_to_ij(np.float64(lat_min), 0.0, level)[1][()])
     ix_lo_f = (lon_min + 180.0) / 360.0 * float(n)

@@ -9,14 +9,16 @@ volume is O(candidate pairs), the property that survives 100x scale-up.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions.text_udfs import N_MINHASH, minhash_udf, simhash64_udf, word_shingles
+from ..functions.text_udfs import (
+    N_MINHASH,
+    minhash_udf,
+    shingle_hashes_udf,
+    simhash64_udf,
+)
 
 
 def latest_crawl_dedup(pages: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
@@ -44,19 +46,6 @@ def _band_cols(sig_col: str, bands: int, rows_per_band: int) -> list:
     return out
 
 
-@F.pandas_udf(T.DoubleType())
-def _shingle_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = []
-    for x, y in zip(a, b):
-        sa, sb = set(word_shingles(x or "")), set(word_shingles(y or ""))
-        if not sa and not sb:
-            out.append(1.0)
-        else:
-            u = sa | sb
-            out.append(len(sa & sb) / len(u) if u else 1.0)
-    return pd.Series(out)
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -68,51 +57,93 @@ def minhash_lsh_pairs(
 
     shingle -> minhash (64 perms) -> band -> bucket equi-join -> exact
     shingle-set Jaccard verification >= threshold. id_a < id_b.
+
+    Shuffle shape (the property that survives 100x): the banded explode
+    and its self-join carry ONLY (id, band_key) — never the document text
+    (r1 shipped text through all 16 bands: ~32x corpus text volume).
+    Verification joins the candidate ids back to per-document distinct
+    shingle-hash arrays (computed once per doc, ~8 bytes/shingle) and
+    computes exact Jaccard JVM-side with array_intersect — no per-pair
+    Python, no re-shingling.
     """
     rows_per_band = N_MINHASH // bands
     sig = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text"),
-        minhash_udf(F.col(text_col)).alias("_sig"),
+        F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig")
     )
     banded = sig.select(
-        "_id", "_text",
+        "_id",
         F.explode(F.array(*_band_cols("_sig", bands, rows_per_band))).alias("band_key"),
     )
-    left = banded.select(F.col("_id").alias("id_a"), F.col("_text").alias("text_a"), "band_key")
-    right = banded.select(F.col("_id").alias("id_b"), F.col("_text").alias("text_b"), "band_key")
+    left = banded.select(F.col("_id").alias("id_a"), "band_key")
+    right = banded.select(F.col("_id").alias("id_b"), "band_key")
     cand = (
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes_udf(F.col(text_col)).alias("_sh")
+    )
+    paired = cand.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
     return (
-        cand.withColumn("jaccard", _shingle_jaccard_udf("text_a", "text_b"))
+        paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs -> (id_a, id_b, hamming).
 
-    4 x 16-bit bands: a pair within hamming distance 3 must agree on at
-    least one band (pigeonhole), so banding loses nothing. Verification is
+    Banding is parametric and pigeonhole-SOUND for the requested radius:
+    with ``n_bands >= max_hamming + 1`` bands (default: exactly that), a
+    pair within hamming distance ``max_hamming`` cannot differ in every
+    band, so it must agree on at least one band key — recall is exact.
+    Band b covers bits [64*b//n_bands, 64*(b+1)//n_bands). Verification is
     JVM-side bit_count(a XOR b).
+
+    Scale note: narrow bands (large max_hamming) collide heavily — at
+    radius 12 each ~5-bit band has only ~32 values, so candidates grow
+    toward quadratic. Keep max_hamming <= 3 for web-scale corpora (the
+    standard 64-bit simhash operating point, Manku et al. WWW'07);
+    larger radii are supported but priced accordingly.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at hamming "
+            f"{max_hamming}: a pair may differ in every band "
+            f"(need n_bands >= max_hamming + 1)"
+        )
+    band_structs = []
+    for b in range(n_bands):
+        lo = 64 * b // n_bands
+        width = 64 * (b + 1) // n_bands - lo
+        mask = (1 << width) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.shiftrightunsigned(F.col("_sh"), lo).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+        )
     sh = df.select(F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("_sh"))
     banded = sh.select(
-        "_id", "_sh",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_no"),
-                    F.shiftrightunsigned(F.col("_sh"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
-                )
-                for b in range(4)
-            ])
-        ).alias("band"),
+        "_id", "_sh", F.explode(F.array(*band_structs)).alias("band")
     ).select("_id", "_sh", "band.band_no", "band.band_val")
     left = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_no", "band_val")
     right = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_no", "band_val")

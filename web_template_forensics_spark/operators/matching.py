@@ -87,13 +87,27 @@ def fuzzy_filename_scores(
     right: DataFrame,
     path_col: str = "path",
     block_col: str | None = None,
+    max_unblocked_rows: int = 100_000,
 ) -> DataFrame:
     """Candidate scores for the fuzzy filename join (J2).
 
     Blocked pairing (same block, e.g. filetype) + difflib ratio on
     basenames via the seq_ratio UDF. Feed into greedy_similarity_match.
+
+    ``block_col=None`` is a disguised cross join — only legal for small
+    sides (the cascade already splits by filetype before calling this); a
+    guard aborts rather than let an unblocked cross join reach 100x scale.
     """
     from ..functions.similarity_udfs import seq_ratio_udf
+
+    if block_col is None:
+        n_l, n_r = left.count(), right.count()
+        if n_l * n_r > max_unblocked_rows:
+            raise ValueError(
+                f"fuzzy_filename_scores without block_col would build a "
+                f"{n_l}x{n_r} cross join; pass block_col (e.g. filetype) "
+                f"or raise max_unblocked_rows explicitly"
+            )
 
     base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
     l = left.select(
@@ -118,6 +132,7 @@ def contextual_match_scores(
     right: DataFrame,
     matched_pairs: DataFrame,
     path_col: str = "path",
+    blocked: bool = True,
 ) -> DataFrame:
     """J4 candidate scoring (core/file_matcher.py:325-360): iterative —
     depends on prior matches, so prior pairs are broadcast (2-pass shape).
@@ -126,9 +141,21 @@ def contextual_match_scores(
           + 0.3 * (sibling matched-pair fraction)
     Feed into greedy_similarity_match(threshold=0.5) after left-anti
     filtering rights already used by ``matched_pairs``.
+
+    ``blocked=True`` (the scale path) equi-joins candidates on the FIRST
+    path segment instead of a cross join. Lossless for any downstream
+    threshold > 0.3: the folder term is a first-mismatch prefix count, so
+    pairs whose first segments differ score 0.7*0 + 0.3*sib <= 0.3 and can
+    neither pass the threshold nor consume a right key in the greedy pass
+    (the reference only marks a right file used when its best score meets
+    the threshold, file_matcher.py:356-359).
     """
-    n_matched = matched_pairs.count()
-    parent = lambda c: F.regexp_replace(c, r"/[^/]*$", "")  # noqa: E731
+    # root-level files (no '/') have parent '' — the reference's
+    # os.sep.join(parts[:-1]) of a bare filename (file_matcher.py:346-351),
+    # so startswith('') counts EVERY prior matched pair for them.
+    parent = lambda c: F.when(  # noqa: E731
+        c.contains("/"), F.regexp_replace(c, r"/[^/]*$", "")
+    ).otherwise(F.lit(""))
     # reference: sibling counts pairs whose ORIGINAL/MODIFIED PATHS start
     # with the candidate's parent dirs (file_matcher.py:348-351)
     pairs_paths = F.broadcast(
@@ -136,10 +163,17 @@ def contextual_match_scores(
             F.col("left_key").alias("mp_l"), F.col("right_key").alias("mp_r")
         )
     )
+    # the sibling fraction's denominator (len(matched_pairs)+1) stays
+    # in-plan: a 1-row broadcast aggregate instead of a driver .count()
+    n_matched_df = F.broadcast(
+        matched_pairs.agg(F.count(F.lit(1)).alias("_n_matched"))
+    )
+    first_seg = lambda c: F.split(c, "/").getItem(0)  # noqa: E731
     l = left.select(
         F.col(path_col).alias("left_key"),
         F.split(F.col(path_col), "/").alias("_lparts"),
         parent(F.col(path_col)).alias("_lparent"),
+        first_seg(F.col(path_col)).alias("_lseg0"),
     )
     r = right.join(
         matched_pairs.select(F.col("right_key").alias(path_col)), path_col, "left_anti"
@@ -147,8 +181,12 @@ def contextual_match_scores(
         F.col(path_col).alias("right_key"),
         F.split(F.col(path_col), "/").alias("_rparts"),
         parent(F.col(path_col)).alias("_rparent"),
+        first_seg(F.col(path_col)).alias("_rseg0"),
     )
-    cand = l.crossJoin(r)
+    if blocked:
+        cand = l.join(r, l["_lseg0"] == r["_rseg0"]).drop("_lseg0", "_rseg0")
+    else:
+        cand = l.crossJoin(r).drop("_lseg0", "_rseg0")
     # matching parent-folder prefix length (stop at first mismatch)
     folder_matches = F.aggregate(
         F.zip_with(
@@ -174,12 +212,12 @@ def contextual_match_scores(
         .groupBy("left_key", "right_key", "_lparts", "_rparts")
         .agg(F.count("mp_l").alias("_nsib"))
     )
-    return sib.select(
+    return sib.crossJoin(n_matched_df).select(
         "left_key",
         "right_key",
         (
             F.lit(0.7) * (folder_score)
-            + F.lit(0.3) * (F.col("_nsib") / F.lit(n_matched + 1))
+            + F.lit(0.3) * (F.col("_nsib") / (F.col("_n_matched") + F.lit(1)))
         ).alias("score"),
     )
 

@@ -73,8 +73,10 @@ def _sign_lsh_udf(dim: int, bits: int, seed: int = 7):
 
     @F.pandas_udf(T.IntegerType())
     def _bucket(vec: pd.Series) -> pd.Series:
-        mat = np.stack(vec.to_numpy())  # (n, dim)
-        signs = (mat @ planes) > 0  # (n, bits)
+        mat = np.stack(vec.to_numpy())  # (n, d), d <= dim
+        # slice to the batch's actual width: RandomState fills row-major,
+        # so planes[:d] is bit-identical to generating (d, bits) directly
+        signs = (mat @ planes[: mat.shape[1]]) > 0  # (n, bits)
         weights = (1 << np.arange(bits)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int32))
 
@@ -90,13 +92,22 @@ def cosine_topk_lsh(
     bits: int = 8,
     probe_hamming: int = 1,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH buckets (the ANN scale path).
 
     Candidates = corpus vectors whose bucket is within ``probe_hamming``
     bit flips of the probe's bucket; then exact cosine + window top-k.
+
+    ``dim`` defaults to the fixed element count when the schema carries it;
+    pass it explicitly otherwise — the operator never runs a driver-side
+    job just to discover the dimensionality.
     """
-    dim = len(probes.select(vec_col).first()[0])
+    if dim is None:
+        # hyperplanes only need an upper bound on dim: matmul below uses
+        # the batch's actual width, so padding planes is harmless. 4096
+        # covers every embedding family in use; no .first() job needed.
+        dim = 4096
     bucket = _sign_lsh_udf(dim, bits)
 
     # probe bucket expansion: all buckets within hamming distance

@@ -81,7 +81,7 @@ def pages_to_geo_fused(pages: DataFrame, verify_text: bool = False) -> DataFrame
     import numpy as np
     import pandas as pd
 
-    from ..functions.html_udfs import _GEO_POS_RE, _decode
+    from ..functions.html_udfs import _GEO_POS_RE, _decode, head_slice
     from ..geo.cells import cell_encode
     from ..oracle.html_oracle import extract_text
     from ..sources.pages import TLD_ANCHORS, splitmix64
@@ -97,8 +97,8 @@ def pages_to_geo_fused(pages: DataFrame, verify_text: bool = False) -> DataFrame
             else:
                 text_ok = pd.Series(np.ones(len(pdf), dtype="int32"))
             # meta geo override — geo <meta> tags live in <head>; regex only
-            # the head slice instead of the whole page
-            ext = html.str.slice(0, 512).str.extract(_GEO_POS_RE)
+            # the head slice (shared spec with extract_meta_geo_udf)
+            ext = head_slice(html).str.extract(_GEO_POS_RE)
             meta_lat = pd.to_numeric(ext[0], errors="coerce").to_numpy()
             meta_lon = pd.to_numeric(ext[1], errors="coerce").to_numpy()
             # TLD-anchor + host-hash geocode

@@ -489,7 +489,10 @@ _Q_CLASS_COUNTS_SQL = r"""
     SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
   cls AS (
     SELECT unnest(t[1:3]) AS cls FROM toks)
-  SELECT cls, cast(count(*) as bigint) AS total_count FROM cls GROUP BY cls
+  -- the Spark path's class-attribute whitespace split drops empty tokens;
+  -- mirror that here (documents with empty/leading-whitespace text)
+  SELECT cls, cast(count(*) as bigint) AS total_count FROM cls
+  WHERE length(cls) > 0 GROUP BY cls
 """
 
 
@@ -605,8 +608,12 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=12)
+    # radius 3 is the standard 64-bit simhash operating point (Manku et
+    # al. WWW'07); the 4-band split is pigeonhole-exact for it. Larger
+    # radii are supported (n_bands = r+1) but collide toward quadratic.
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
