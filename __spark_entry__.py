@@ -16,6 +16,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from web_template_forensics_spark.plans.cascade_queries import (
+    CASCADE_QUERIES,
+    cascade_oracle_sql,
+)
 from web_template_forensics_spark.plans.queries import ORACLE_SQL, QUERIES, flagship
 
 
@@ -26,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {**QUERIES, **CASCADE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **cascade_oracle_sql()}

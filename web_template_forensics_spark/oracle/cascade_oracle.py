@@ -1,0 +1,446 @@
+"""Pure-Python replay of the reference's E1 cascade + aggregation layer.
+
+Single-threaded reimplementation of ``match_and_compare_all``
+(core/file_matcher.py:401-826) over an in-memory file table, used as the
+independent oracle for the distributed cascade operator: the driver pins
+this replay's outputs as DuckDB VALUES and runs the Spark dataflow
+against them.
+
+Determinism: file iteration order is SORTED relative path (the
+documented total order of SURVEY.md §4.3 item 1 — the reference's own
+order is os.walk + set-iteration, i.e. not process-stable).
+
+Replicated quirks (all verified against /root/reference source):
+
+  * **Q9 — html structure matching never matches**:
+    ``count_meaningful_nodes(tree, 'html')`` tests ``type == 'tag'``
+    (file_matcher.py:141) but the parser emits ``type == 'element'``
+    (html_parser.py:92), so both node counts are 0, the <2 guard routes
+    to the strict branch, and the n1==n2==1 condition is never true →
+    every candidate scores 0.0 (file_matcher.py:200-207).
+  * **Q10 — jsx structure matching never matches**: the parse result is
+    ``{'ast', 'call_graph'}`` (jsx_treesitter_parser.py:93);
+    ``tree.get('root', tree)`` keeps the wrapper and its ``children``
+    lookup yields [] (file_matcher.py:146-149) → count 0 → as Q9.
+  * **Q11 — js structure matching never matches**:
+    ``hasattr(analyzer, '_parse_file')`` is False (the method is
+    ``parse_file``, js_logic_analyzer.py:52) → tree1/tree2 None → count
+    0 (file_matcher.py:283-292) → as Q9. Only CSS structure matching is
+    live (rule-count guard on ``css.count('{')``).
+  * **Q12 — jsx pairwise similarity is constant 1.0**: the comparison
+    loop calls ``compare_structures(tree1, tree2)`` on the raw
+    ``{'ast','call_graph'}`` wrappers (file_matcher.py:498-505); both
+    have tag '' and no children → one 'match' element → score 1.0,
+    summary counts (1,0,0,0).
+  * **Q13 — next-env.d.ts is filtered from the js UNMATCHED lists only**
+    (file_matcher.py:573-576 mutates the shared unmatched dict in place,
+    but its matched_pairs reassignment is local and unobserved).
+  * **Q14 — E1's aggregate tailwind shared/only-in/change-impact lists
+    stay empty** (initialized at file_matcher.py:640-644, never filled);
+    the per-pair C17 payloads are real.
+
+The leaf comparators (compare_structures / compare_css / compare_js /
+tailwind class math) are the same pure functions the Spark UDFs wrap —
+what this replay independently cross-checks is the cascade composition,
+greedy/threshold semantics, and the whole A1-A6 aggregation layer.
+"""
+
+from __future__ import annotations
+
+import statistics
+from collections import Counter
+from typing import Any
+
+from ..functions.html_udfs import class_counts_from_markup, class_counts_from_tree
+from .css_oracle import compare_css
+from .html_oracle import parse_html_tree
+from .js_oracle import compare_js
+from .similarity import compare_structures, seq_ratio
+
+
+def get_prediction(score: float) -> str:
+    # file_matcher.py:362-368
+    if score >= 0.75:
+        return "High similarity — likely copied or derived"
+    if score >= 0.40:
+        return "Moderate similarity — possible reuse or inspiration"
+    return "Low similarity — likely independent"
+
+
+def _basename(p: str) -> str:
+    return p.rsplit("/", 1)[-1]
+
+
+def _parent(p: str) -> str:
+    return p.rsplit("/", 1)[0] if "/" in p else ""
+
+
+def exact_path_match(files1, files2):
+    # file_matcher.py:46-58
+    set2 = set(files2)
+    matches, un1 = [], []
+    un2 = set(files2)
+    for f1 in files1:
+        if f1 in set2:
+            matches.append((f1, f1))
+            un2.discard(f1)
+        else:
+            un1.append(f1)
+    return matches, un1, sorted(un2)
+
+
+def fuzzy_filename_match(files1, files2, threshold=0.75):
+    # file_matcher.py:61-82
+    used2: set[str] = set()
+    matches = []
+    for f1 in files1:
+        b1 = _basename(f1)
+        best, best_f2 = 0.0, None
+        for f2 in files2:
+            if f2 in used2:
+                continue
+            s = seq_ratio(b1, _basename(f2))
+            if s > best:
+                best, best_f2 = s, f2
+        if best >= threshold and best_f2:
+            matches.append((f1, best_f2, best))
+            used2.add(best_f2)
+    un1 = [f for f in files1 if all(f != m[0] for m in matches)]
+    un2 = [f for f in files2 if f not in used2]
+    return matches, un1, un2
+
+
+def _css_rule_count(css: str) -> int:
+    return css.count("{")  # file_matcher.py:227 (crude, replicated)
+
+
+def structure_match(files1, files2, contents1, contents2, filetype, threshold=0.5):
+    """file_matcher.py:186-323 under quirks Q9-Q11: only CSS is live."""
+    if filetype != "css":
+        return []
+    matches, used2 = [], set()
+    for f1 in files1:
+        best, best_f2 = 0.0, None
+        css1 = contents1[f1]
+        n1 = _css_rule_count(css1)
+        for f2 in files2:
+            if f2 in used2:
+                continue
+            css2 = contents2[f2]
+            n2 = _css_rule_count(css2)
+            if n1 < 2 or n2 < 2:
+                score = (
+                    compare_css(css1, css2)["css_similarity"]
+                    if n1 == 1 and n2 == 1
+                    else 0.0
+                )
+            else:
+                score = compare_css(css1, css2)["css_similarity"]
+            if score > best:
+                best, best_f2 = score, f2
+        if best >= threshold and best_f2:
+            matches.append((f1, best_f2, best))
+            used2.add(best_f2)
+    return matches
+
+
+def contextual_match(files1, files2, matched_pairs, threshold=0.5):
+    # file_matcher.py:325-360 (root files -> parent '')
+    used2 = {m[1] for m in matched_pairs}
+    matches = []
+    for f1 in files1:
+        best, best_f2 = 0.0, None
+        p1 = f1.split("/")
+        for f2 in files2:
+            if f2 in used2:
+                continue
+            p2 = f2.split("/")
+            fs = 0
+            for a, b in zip(p1[:-1], p2[:-1]):
+                if a == b:
+                    fs += 1
+                else:
+                    break
+            folder_score = fs / max(len(p1), len(p2))
+            f1p, f2p = _parent(f1), _parent(f2)
+            ns = sum(
+                1 for m in matched_pairs if m[0].startswith(f1p) and m[1].startswith(f2p)
+            ) / (len(matched_pairs) + 1)
+            score = 0.7 * folder_score + 0.3 * ns
+            if score > best:
+                best, best_f2 = score, f2
+        if best >= threshold and best_f2:
+            matches.append((f1, best_f2, best))
+            used2.add(best_f2)
+    return matches
+
+
+def content_match_css(files1, files2, contents1, contents2, threshold=0.6):
+    # file_matcher.py:374-395
+    matches, used2 = [], set()
+    for f1 in files1:
+        best, best_f2 = 0.0, None
+        for f2 in files2:
+            if f2 in used2:
+                continue
+            s = seq_ratio(contents1[f1], contents2[f2])
+            if s > best:
+                best, best_f2 = s, f2
+        if best >= threshold and best_f2:
+            matches.append((f1, best_f2, best))
+            used2.add(best_f2)
+    return matches
+
+
+def _compare_pair(filetype: str, c1: str, c2: str) -> dict:
+    """The E1 pairwise-comparison step (file_matcher.py:468-526)."""
+    if filetype == "html":
+        r = compare_structures(parse_html_tree(c1), parse_html_tree(c2))
+        return {
+            "similarity": round(r.similarity_score, 2),
+            "matching": r.matching, "different": r.different,
+            "missing": r.missing, "extra": r.extra,
+        }
+    if filetype == "jsx":
+        # Q12: compare_structures on the raw {'ast','call_graph'} wrappers
+        return {"similarity": 1.0, "matching": 1, "different": 0, "missing": 0, "extra": 0}
+    if filetype == "css":
+        r = compare_css(c1, c2)
+        return {
+            "similarity": r["css_similarity"],
+            "matching": r["matching_selectors"], "different": r["different_selectors"],
+            "missing": r["missing_selectors"], "extra": r["extra_selectors"],
+        }
+    r = compare_js(c1, c2)
+    d = r["details"]
+    return {
+        "similarity": r["similarity"],
+        "matching": d["matching_functions"], "different": d["different_functions"],
+        "missing": d["missing_functions"], "extra": d["extra_functions"],
+        "total_functions": d["total_functions"],
+        "function_similarity": d["function_similarity"],
+        "import_similarity": d["import_similarity"],
+        "class_similarity": d["class_similarity"],
+        "control_flow_similarity": d["control_flow_similarity"],
+        "call_graph_similarity": d["call_graph_similarity"],
+    }
+
+
+def tailwind_compare(c1: str, c2: str, filetype: str) -> dict:
+    """C17 per-pair payload (tailwind_analyzer.py:71-109)."""
+    ext = class_counts_from_tree if filetype == "html" else class_counts_from_markup
+    o, u = Counter(ext(c1)), Counter(ext(c2))
+    inter = sum((o & u).values())
+    union = sum((o | u).values())
+    freq = inter / union if union else 1.0
+    so, su = set(o), set(u)
+    set_j = len(so & su) / len(so | su) if (so | su) else 1.0
+    if not so and not su:
+        set_j = 1.0
+    impact = []
+    for cls in so | su:
+        diff = abs(o.get(cls, 0) - u.get(cls, 0))
+        if diff > 0:
+            impact.append((cls, o.get(cls, 0), u.get(cls, 0), diff))
+    impact.sort(key=lambda x: (-x[3], x[0]))  # count_diff desc, class asc tiebreak
+    return {
+        "original_classes": dict(o),
+        "user_classes": dict(u),
+        "shared": sorted(so & su),
+        "only_in_original": sorted(so - su),
+        "only_in_user": sorted(su - so),
+        "frequency_weighted_jaccard": freq,
+        "set_jaccard": set_j,
+        "hybrid_similarity": 0.5 * freq + 0.5 * set_j,
+        "change_impact": impact,
+        "total_classes": sum(o.values()) + sum(u.values()),
+    }
+
+
+def replay_cascade(rows: list[tuple[str, str, str, str]]) -> dict[str, Any]:
+    """Run the whole E1 lifecycle over fixture rows; returns every table
+    the distributed queries must reproduce."""
+    contents = {"original": {}, "modified": {}}
+    by_type: dict[str, dict[str, list[str]]] = {"original": {}, "modified": {}}
+    for side, path, ftype, content in rows:
+        contents[side][path] = content
+        by_type[side].setdefault(ftype, []).append(path)
+    for side in by_type:
+        for ftype in by_type[side]:
+            by_type[side][ftype].sort()
+
+    matched_rows = []      # (filetype, original, modified, match_type, score_r2)
+    pair_rows = []         # (filetype, original, modified, similarity, m, d, mi, ex)
+    js_metric_rows = []    # (original, modified, fn, imp, cls, flow, cg, total_fns)
+    tailwind_rows = []     # per-pair C17 dicts + ids
+    impact_rows = []       # (original, modified, class, orig_count, user_count, diff)
+    per_type: dict[str, dict[str, Any]] = {}
+    all_sims: list[float] = []
+    total_files = 0
+
+    for filetype in ("html", "css", "jsx", "js"):
+        files1 = by_type["original"].get(filetype, [])
+        files2 = by_type["modified"].get(filetype, [])
+        c1s, c2s = contents["original"], contents["modified"]
+        exact, rem1, rem2 = exact_path_match(files1, files2)
+        fuzzy, rem1, rem2 = fuzzy_filename_match(rem1, rem2)
+        structure = structure_match(rem1, rem2, c1s, c2s, filetype)
+        contextual = contextual_match(rem1, rem2, exact + [m[:2] for m in fuzzy] + [m[:2] for m in structure])
+        content_matches = []
+        if filetype == "css":
+            m1 = {m[0] for m in structure + contextual}
+            m2 = {m[1] for m in structure + contextual}
+            u1 = [f for f in rem1 if f not in m1]
+            u2 = [f for f in rem2 if f not in m2]
+            content_matches = content_match_css(u1, u2, c1s, c2s)
+
+        pairs = (
+            [(o, m, 1.0, "exact") for o, m in exact]
+            + [(o, m, round(s, 2), "fuzzy") for o, m, s in fuzzy]
+            + [(o, m, round(s, 2), "fuzzy+structure") for o, m, s in structure]
+            + [(o, m, round(s, 2), "contextual") for o, m, s in contextual]
+            + [(o, m, round(s, 2), "content") for o, m, s in content_matches]
+        )
+        matched_originals = {p[0] for p in pairs}
+        matched_modifieds = {p[1] for p in pairs}
+        un1 = [f for f in files1 if f not in matched_originals]
+        un2 = [f for f in files2 if f not in matched_modifieds]
+        if filetype == "js":  # Q13
+            un1 = [f for f in un1 if not f.endswith("next-env.d.ts")]
+            un2 = [f for f in un2 if not f.endswith("next-env.d.ts")]
+
+        sims = []
+        for o, m, score, mtype in pairs:
+            matched_rows.append((filetype, o, m, mtype, score))
+            d = _compare_pair(filetype, c1s[o], c2s[m])
+            sims.append(d["similarity"])
+            pair_rows.append(
+                (filetype, o, m, d["similarity"], d["matching"], d["different"],
+                 d["missing"], d["extra"])
+            )
+            if filetype == "js":
+                js_metric_rows.append(
+                    (o, m, d["function_similarity"], d["import_similarity"],
+                     d["class_similarity"], d["control_flow_similarity"],
+                     d["call_graph_similarity"], d["total_functions"])
+                )
+            if filetype in ("html", "jsx"):
+                tw = tailwind_compare(c1s[o], c2s[m], filetype)
+                if tw["original_classes"] or tw["user_classes"]:
+                    tw["original"], tw["modified"] = o, m
+                    tailwind_rows.append(tw)
+                    for cls, oc, uc, diff in tw["change_impact"]:
+                        impact_rows.append((o, m, cls, oc, uc, diff))
+
+        num_unmatched = len(un1) + len(un2)
+        unique_matched = {(p[0], p[1]) for p in pairs}
+        denom = len(files1) + len(files2) - len(unique_matched)
+        sim_scores = sims + [0.0] * num_unmatched
+        agg = sum(sim_scores) / denom if denom > 0 else 0.0
+        per_type[filetype] = {
+            "files_compared": len(files1),
+            "files_matched": len(pairs),
+            "files_unmatched": num_unmatched,
+            "aggregate_score": round(agg, 3),
+            "prediction": get_prediction(agg),
+            "pair_similarities": sims,
+            "n_total_rows": len(pairs) + len(un1) + len(un2),
+        }
+        all_sims.extend(sims)
+        total_files += len(pairs) + len(un1) + len(un2)
+
+    # ---- A2 overall (file-count weighting, file_matcher.py:578-627) ------
+    tw_sims = [t["hybrid_similarity"] for t in tailwind_rows]
+    total_files_a2 = total_files + len(tailwind_rows)  # + json virtual (0 in E1, Q5)
+    overall = (sum(all_sims) + sum(tw_sims)) / total_files_a2 if total_files_a2 > 0 else 0.0
+
+    # ---- A3 tailwind aggregate stats (file_matcher.py:642-678) -----------
+    hybrid = tw_sims
+    set_js = [t["set_jaccard"] for t in tailwind_rows]
+    freq_js = [t["frequency_weighted_jaccard"] for t in tailwind_rows]
+    weights = [t["total_classes"] for t in tailwind_rows]
+    tailwind_similarity = sum(hybrid) / len(hybrid) if hybrid else 0.0
+    set_avg = sum(set_js) / len(set_js) if set_js else 1.0
+    freq_avg = sum(freq_js) / len(freq_js) if freq_js else 1.0
+    median = float(statistics.median(hybrid)) if hybrid else 1.0
+    pct90 = sum(1 for s in hybrid if s >= 0.9) / len(hybrid) if hybrid else 1.0
+    wsum = sum(s * w for s, w in zip(hybrid, weights))
+    wtot = sum(weights)
+    weighted = wsum / wtot if wtot > 0 else 1.0
+    soft_scores = [
+        t["hybrid_similarity"]
+        for t in tailwind_rows
+        if not (len(t["change_impact"]) == 1 and t["change_impact"][0][3] == 1)
+    ]
+    soft = sum(soft_scores) / len(soft_scores) if soft_scores else tailwind_similarity
+
+    # ---- A4/A5 rollups (file_matcher.py:680-758, web/app.py:102-136) -----
+    rollups = {}
+    for filetype in ("html", "css", "jsx", "js"):
+        rows_t = [r for r in pair_rows if r[0] == filetype]
+        matching = sum(r[4] for r in rows_t)
+        different = sum(r[5] for r in rows_t)
+        missing = sum(r[6] for r in rows_t)
+        extra = sum(r[7] for r in rows_t)
+        if filetype == "js":
+            total = sum(r[7] for r in js_metric_rows)  # sum of total_functions
+        elif filetype == "css":
+            total = matching + different + missing + extra  # web/app.py:85-96
+        else:
+            total = matching + different + missing + extra
+        rollups[filetype] = dict(
+            total=total, matching=matching, different=different,
+            missing=missing, extra=extra,
+        )
+    n_js = len(js_metric_rows)
+    js_avgs = {
+        name: (sum(r[i] for r in js_metric_rows) / n_js if n_js else 0.0)
+        for i, name in (
+            (2, "function_similarity"), (3, "import_similarity"),
+            (4, "class_similarity"), (5, "control_flow_similarity"),
+            (6, "call_graph_similarity"),
+        )
+    }
+
+    return {
+        "matched_rows": matched_rows,
+        "pair_rows": pair_rows,
+        "js_metric_rows": js_metric_rows,
+        "tailwind_rows": tailwind_rows,
+        "impact_rows": impact_rows,
+        "per_type": per_type,
+        "overall_similarity": overall,
+        "overall_prediction": get_prediction(overall),
+        "total_files": total_files_a2,
+        "tailwind_aggregate": {
+            "class_similarity": tailwind_similarity,
+            "set_jaccard": set_avg,
+            "frequency_weighted_jaccard": freq_avg,
+            "median_similarity": median,
+            "percent_files_above_90": pct90,
+            "weighted_average": weighted,
+            "soft_average": soft,
+            "files_compared": len(tailwind_rows),
+        },
+        "rollups": rollups,
+        "js_avgs": js_avgs,
+    }
+
+
+def single_pair_overall(html_sim: float, jsx_sim: float, js_sim: float) -> float:
+    """A7 (forensic_analyzer.py:32-51): 0.3/0.3/0.4 over NONZERO scores,
+    weights renormalized."""
+    scores, weights = [], []
+    for s, w in ((html_sim, 0.3), (jsx_sim, 0.3), (js_sim, 0.4)):
+        if s > 0:
+            scores.append(s)
+            weights.append(w)
+    if not scores:
+        return 0.0
+    tw = sum(weights)
+    return sum(s * (w / tw) for s, w in zip(scores, weights))
+
+
+def jsx_combined(structure_sim: float, callgraph_sim: float, body_sim: float) -> float:
+    """A8 (forensic_analyzer.py:116): 0.6/0.2/0.2."""
+    return structure_sim * 0.6 + callgraph_sim * 0.2 + body_sim * 0.2

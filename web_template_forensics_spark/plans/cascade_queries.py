@@ -1,0 +1,415 @@
+"""Oracle-checked queries for the E1 cascade + comparator family.
+
+Every query here runs the DISTRIBUTED implementation
+(operators/cascade.py) over the seeded project-pair fixture
+(fixtures/project_pairs.py); its DuckDB oracle is a pinned VALUES table
+produced by the single-threaded pure-Python replay
+(oracle/cascade_oracle.py) of the reference lifecycle. The two
+implementations share only the leaf comparator functions (by mandate —
+the scores ARE the semantics); the composition, greedy/threshold
+semantics, remainders, and the whole A1-A6 aggregation layer are
+computed twice, independently, and hash-compared by the driver.
+
+Float fidelity: per-pair scores are bit-identical by construction (same
+pure functions both sides); ORDER-DEPENDENT aggregates are rounded to 6
+decimals on both sides (documented; accumulated fp error ~1e-15);
+everywhere the reference rounds (2dp match scores, 3dp A1) both sides
+use Python round (half-even) — see py_round_udf.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures.project_pairs import config_fixtures, project_pair_rows
+from ..operators import cascade as C
+
+_FILES_SCHEMA = "side string, path string, filetype string, content string"
+
+
+def fixture_files(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(project_pair_rows(), _FILES_SCHEMA)
+
+
+_MWC_CACHE: dict[int, DataFrame] = {}
+
+
+def _mwc(spark: SparkSession) -> DataFrame:
+    """matched_with_contents over the fixture, materialized ONCE per
+    session (localCheckpoint) — the cascade subplan holds ~a dozen
+    grouped-map stages, and the 13 queries here would otherwise each
+    recompute it several times over."""
+    key = id(spark)
+    if key not in _MWC_CACHE:
+        _MWC_CACHE[key] = C.matched_with_contents(fixture_files(spark)).localCheckpoint()
+    return _MWC_CACHE[key]
+
+
+def _config_rows() -> list[tuple[str, str, str]]:
+    return [
+        (kind, json.dumps(a, sort_keys=True), json.dumps(b, sort_keys=True))
+        for kind, (a, b) in sorted(config_fixtures().items())
+    ]
+
+
+def config_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_config_rows(), "kind string, json1 string, json2 string")
+
+
+# --------------------------------------------------------------------------
+# SQL literal helpers
+# --------------------------------------------------------------------------
+
+
+def _s(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _d(v: float) -> str:
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _i(v: int, t: str = "BIGINT") -> str:
+    return f"CAST({int(v)} AS {t})"
+
+
+def _values_sql(rows: list[tuple], cols: list[str], exprs: list) -> str:
+    body = ",\n    ".join(
+        "(" + ", ".join(fn(v) for fn, v in zip(exprs, row)) + ")" for row in rows
+    )
+    return f"SELECT * FROM (VALUES\n    {body}\n) AS t({', '.join(cols)})"
+
+
+@lru_cache(maxsize=1)
+def _replay():
+    from ..oracle.cascade_oracle import replay_cascade
+
+    return replay_cascade(project_pair_rows())
+
+
+@lru_cache(maxsize=1)
+def _config_scores_py() -> dict[str, float]:
+    from ..oracle.config_oracle import (
+        package_json_similarity,
+        tailwind_config_similarity,
+        tsconfig_json_similarity,
+    )
+
+    cfg = config_fixtures()
+    pkg, _ = package_json_similarity(*cfg["package_json"])
+    ts, _ = tsconfig_json_similarity(*cfg["tsconfig_json"])
+    tw = tailwind_config_similarity(*cfg["tailwind_config"])["improved_config_similarity"]
+    return {
+        "tailwind_config": tw,
+        "package_json": 0.0 if pkg is None else pkg,
+        "tsconfig_json": ts,
+    }
+
+
+# --------------------------------------------------------------------------
+# queries (Spark) + oracles (pinned VALUES)
+# --------------------------------------------------------------------------
+
+
+def q_match_cascade(spark, sf_dir):
+    return _mwc(spark).select("filetype", "original", "modified", "match_type", "score")
+
+
+def sql_match_cascade() -> str:
+    rows = _replay()["matched_rows"]
+    return _values_sql(
+        rows, ["filetype", "original", "modified", "match_type", "score"],
+        [_s, _s, _s, _s, _d],
+    )
+
+
+def q_pair_scores(spark, sf_dir):
+    return C.pair_scores(fixture_files(spark), _mwc(spark))
+
+
+def sql_pair_scores() -> str:
+    rows = _replay()["pair_rows"]
+    ii = lambda v: _i(v, "INT")  # noqa: E731
+    return _values_sql(
+        rows,
+        ["filetype", "original", "modified", "similarity", "matching", "different", "missing", "extra"],
+        [_s, _s, _s, _d, ii, ii, ii, ii],
+    )
+
+
+def q_js_pair_metrics(spark, sf_dir):
+    return C.js_pair_metrics(fixture_files(spark), _mwc(spark))
+
+
+def sql_js_pair_metrics() -> str:
+    rows = _replay()["js_metric_rows"]
+    ii = lambda v: _i(v, "INT")  # noqa: E731
+    return _values_sql(
+        rows,
+        ["original", "modified", "function_similarity", "import_similarity",
+         "class_similarity", "control_flow_similarity", "call_graph_similarity",
+         "total_functions"],
+        [_s, _s, _d, _d, _d, _d, _d, ii],
+    )
+
+
+def q_filetype_aggregates(spark, sf_dir):
+    return C.filetype_aggregates(fixture_files(spark), _mwc(spark))
+
+
+def sql_filetype_aggregates() -> str:
+    rows = [
+        (ft, v["files_matched"], v["files_unmatched"], v["aggregate_score"], v["prediction"])
+        for ft, v in _replay()["per_type"].items()
+    ]
+    return _values_sql(
+        rows,
+        ["filetype", "files_matched", "files_unmatched", "aggregate_score", "prediction"],
+        [_s, _i, _i, _d, _s],
+    )
+
+
+def q_overall_similarity(spark, sf_dir):
+    return C.overall_similarity(fixture_files(spark), mwc=_mwc(spark))
+
+
+def sql_overall_similarity() -> str:
+    r = _replay()
+    rows = [(round(r["overall_similarity"], 6), r["total_files"], r["overall_prediction"])]
+    return _values_sql(
+        rows, ["overall_similarity", "total_files", "prediction"], [_d, _i, _s]
+    )
+
+
+def q_overall_with_config(spark, sf_dir):
+    """A2 general form: + JSON virtual files (package.json x2, tsconfig x1,
+    file_matcher.py:598-619), config sims computed by the distributed UDF."""
+    cfg = config_df(spark).withColumn(
+        "score", C.config_score_udf("kind", "json1", "json2")
+    )
+    virtual = (
+        cfg.groupBy()
+        .pivot("kind", ["package_json", "tsconfig_json"])
+        .agg(F.first("score"))
+        .select(
+            F.col("package_json").alias("package_json_similarity"),
+            F.col("tsconfig_json").alias("tsconfig_similarity"),
+        )
+    )
+    return C.overall_similarity(
+        fixture_files(spark), virtual_json=virtual, mwc=_mwc(spark)
+    ).select("overall_similarity", "total_files")
+
+
+def sql_overall_with_config() -> str:
+    r = _replay()
+    cs = _config_scores_py()
+    sims = sum(s for _, _, _, s, *_ in r["pair_rows"]) + sum(
+        t["hybrid_similarity"] for t in r["tailwind_rows"]
+    )
+    total = r["total_files"] + 3
+    overall = (sims + 2 * cs["package_json"] + cs["tsconfig_json"]) / total
+    return _values_sql(
+        [(round(overall, 6), total)], ["overall_similarity", "total_files"], [_d, _i]
+    )
+
+
+def q_tailwind_pair_scores(spark, sf_dir):
+    return C.tailwind_pairs(fixture_files(spark), _mwc(spark)).select(
+        "filetype", "original", "modified", "set_jaccard",
+        "frequency_weighted_jaccard", "hybrid_similarity", "total_classes",
+    )
+
+
+def sql_tailwind_pair_scores() -> str:
+    rows = [
+        (t["filetype"], t["original"], t["modified"], t["set_jaccard"],
+         t["frequency_weighted_jaccard"], t["hybrid_similarity"], t["total_classes"])
+        for t in _tw_rows_with_filetype()
+    ]
+    return _values_sql(
+        rows,
+        ["filetype", "original", "modified", "set_jaccard",
+         "frequency_weighted_jaccard", "hybrid_similarity", "total_classes"],
+        [_s, _s, _s, _d, _d, _d, _i],
+    )
+
+
+@lru_cache(maxsize=1)
+def _tw_rows_with_filetype():
+    r = _replay()
+    ft_of = {(o, m): ft for ft, o, m, *_ in r["matched_rows"]}
+    out = []
+    for t in r["tailwind_rows"]:
+        t = dict(t)
+        t["filetype"] = ft_of[(t["original"], t["modified"])]
+        out.append(t)
+    return out
+
+
+def q_tailwind_aggregate(spark, sf_dir):
+    return C.tailwind_aggregate(fixture_files(spark), _mwc(spark))
+
+
+def sql_tailwind_aggregate() -> str:
+    a = _replay()["tailwind_aggregate"]
+    rows = [(
+        round(a["class_similarity"], 6), round(a["set_jaccard"], 6),
+        round(a["frequency_weighted_jaccard"], 6), round(a["median_similarity"], 6),
+        round(a["percent_files_above_90"], 6), round(a["weighted_average"], 6),
+        round(a["soft_average"], 6), a["files_compared"],
+    )]
+    return _values_sql(
+        rows,
+        ["class_similarity", "set_jaccard", "frequency_weighted_jaccard",
+         "median_similarity", "percent_files_above_90", "weighted_average",
+         "soft_average", "files_compared"],
+        [_d, _d, _d, _d, _d, _d, _d, _i],
+    )
+
+
+def q_tailwind_change_impact(spark, sf_dir):
+    return C.tailwind_change_impact(fixture_files(spark), _mwc(spark))
+
+
+def sql_tailwind_change_impact() -> str:
+    rows = _replay()["impact_rows"]
+    return _values_sql(
+        rows,
+        ["original", "modified", "class", "original_count", "user_count", "count_diff"],
+        [_s, _s, _s, _i, _i, _i],
+    )
+
+
+def q_summary_rollups(spark, sf_dir):
+    return C.summary_rollups(fixture_files(spark), _mwc(spark))
+
+
+def sql_summary_rollups() -> str:
+    rows = [
+        (ft, v["total"], v["matching"], v["different"], v["missing"], v["extra"])
+        for ft, v in _replay()["rollups"].items()
+    ]
+    return _values_sql(
+        rows,
+        ["filetype", "total_elements", "matching", "different", "missing", "extra"],
+        [_s, _i, _i, _i, _i, _i],
+    )
+
+
+def q_js_metric_averages(spark, sf_dir):
+    return C.js_metric_averages(fixture_files(spark), _mwc(spark))
+
+
+def sql_js_metric_averages() -> str:
+    r = _replay()
+    a = r["js_avgs"]
+    rows = [(
+        round(a["function_similarity"], 6), round(a["import_similarity"], 6),
+        round(a["class_similarity"], 6), round(a["control_flow_similarity"], 6),
+        round(a["call_graph_similarity"], 6), len(r["js_metric_rows"]),
+    )]
+    return _values_sql(
+        rows,
+        ["function_similarity", "import_similarity", "class_similarity",
+         "control_flow_similarity", "call_graph_similarity", "pairs"],
+        [_d, _d, _d, _d, _d, _i],
+    )
+
+
+def q_config_scores(spark, sf_dir):
+    return config_df(spark).select(
+        "kind", C.config_score_udf("kind", "json1", "json2").alias("score")
+    )
+
+
+def sql_config_scores() -> str:
+    rows = sorted(_config_scores_py().items())
+    return _values_sql(rows, ["kind", "score"], [_s, _d])
+
+
+def q_single_pair_overall(spark, sf_dir):
+    """A7 over the per-filetype aggregate scores: all 8 zero-masks of
+    (html, jsx, js) exercise the nonzero-renormalization."""
+    agg = C.filetype_aggregates(fixture_files(spark), _mwc(spark)).select(
+        "filetype", "aggregate_score"
+    )
+    one = (
+        agg.groupBy()
+        .pivot("filetype", ["html", "jsx", "js"])
+        .agg(F.first("aggregate_score"))
+    )
+    masks = spark.createDataFrame([(m,) for m in range(8)], "case_id int")
+    g = one.crossJoin(masks)
+    h = F.when(F.col("case_id").bitwiseAND(1) > 0, F.col("html")).otherwise(F.lit(0.0))
+    j = F.when(F.col("case_id").bitwiseAND(2) > 0, F.col("jsx")).otherwise(F.lit(0.0))
+    s = F.when(F.col("case_id").bitwiseAND(4) > 0, F.col("js")).otherwise(F.lit(0.0))
+    rnd = C.py_round_udf(6)
+    return g.select(
+        "case_id",
+        h.alias("html_sim"),
+        j.alias("jsx_sim"),
+        s.alias("js_sim"),
+        rnd(C.single_pair_overall_expr(h, j, s)).alias("overall"),
+    )
+
+
+def sql_single_pair_overall() -> str:
+    from ..oracle.cascade_oracle import single_pair_overall
+
+    per = _replay()["per_type"]
+    hv, jv, sv = (per[t]["aggregate_score"] for t in ("html", "jsx", "js"))
+    rows = []
+    for m in range(8):
+        h = hv if m & 1 else 0.0
+        j = jv if m & 2 else 0.0
+        s = sv if m & 4 else 0.0
+        rows.append((m, h, j, s, round(single_pair_overall(h, j, s), 6)))
+    ii = lambda v: _i(v, "INT")  # noqa: E731
+    return _values_sql(
+        rows, ["case_id", "html_sim", "jsx_sim", "js_sim", "overall"],
+        [ii, _d, _d, _d, _d],
+    )
+
+
+CASCADE_QUERIES = {
+    "match_cascade": q_match_cascade,
+    "cascade_pair_scores": q_pair_scores,
+    "cascade_js_pair_metrics": q_js_pair_metrics,
+    "cascade_filetype_aggregates": q_filetype_aggregates,
+    "cascade_overall_similarity": q_overall_similarity,
+    "cascade_overall_with_config": q_overall_with_config,
+    "tailwind_pair_scores": q_tailwind_pair_scores,
+    "tailwind_aggregate": q_tailwind_aggregate,
+    "tailwind_change_impact": q_tailwind_change_impact,
+    "cascade_summary_rollups": q_summary_rollups,
+    "cascade_js_metric_averages": q_js_metric_averages,
+    "config_scores": q_config_scores,
+    "single_pair_overall": q_single_pair_overall,
+}
+
+_SQL_BUILDERS = {
+    "match_cascade": sql_match_cascade,
+    "cascade_pair_scores": sql_pair_scores,
+    "cascade_js_pair_metrics": sql_js_pair_metrics,
+    "cascade_filetype_aggregates": sql_filetype_aggregates,
+    "cascade_overall_similarity": sql_overall_similarity,
+    "cascade_overall_with_config": sql_overall_with_config,
+    "tailwind_pair_scores": sql_tailwind_pair_scores,
+    "tailwind_aggregate": sql_tailwind_aggregate,
+    "tailwind_change_impact": sql_tailwind_change_impact,
+    "cascade_summary_rollups": sql_summary_rollups,
+    "cascade_js_metric_averages": sql_js_metric_averages,
+    "config_scores": sql_config_scores,
+    "single_pair_overall": sql_single_pair_overall,
+}
+
+
+@lru_cache(maxsize=1)
+def cascade_oracle_sql() -> dict[str, str]:
+    """Built lazily (the replay runs once, ~100 ms) and cached."""
+    return {name: build() for name, build in _SQL_BUILDERS.items()}
