@@ -158,7 +158,79 @@ def test_cascade_oracle_sql_roundtrip():
 
     con = duckdb.connect()
     sqls = cascade_oracle_sql()
-    assert len(sqls) == 13
+    assert len(sqls) == 14  # 13 cascade/comparator + forensic_pairs (E2)
     df = con.execute(sqls["match_cascade"]).df()
     assert len(df) == len(replay_cascade(project_pair_rows())["matched_rows"])
     assert con.execute(sqls["cascade_overall_similarity"]).df().shape == (1, 3)
+
+
+def test_capable_structure_match_and_jsx_normalize(spark):
+    """Engine extensions: the quirk-free J3 guard + the JSX->HTML
+    attribute/style normalization tables (structure_comparator.py:115-226,
+    dead code in the reference — pinned here as usable operators)."""
+    from web_template_forensics_spark.operators.matching import (
+        greedy_similarity_match,
+        structure_match_scores,
+    )
+    from web_template_forensics_spark.oracle.cascade_oracle import (
+        count_meaningful_nodes_capable,
+        guarded_structure_score,
+    )
+    from web_template_forensics_spark.oracle.html_oracle import parse_html_tree
+    from web_template_forensics_spark.oracle.jsx_normalize import (
+        camel_to_kebab,
+        normalize_jsx_node,
+        normalize_style_object,
+    )
+    from web_template_forensics_spark.oracle.similarity import compare_structures
+
+    # guard: single-node vs multi-node -> 0; 1-vs-1 -> strict compare
+    multi = "<body><div>a</div><p>b</p></body>"
+    single = "<body><div>a</div></body>"
+    assert guarded_structure_score("html", multi, single) == 0.0
+    assert guarded_structure_score("html", single, single) == 1.0
+    t = parse_html_tree(multi)
+    assert count_meaningful_nodes_capable(t, "html") == 2
+
+    # the distributed operator agrees with the pure scorer + greedy
+    l = spark.createDataFrame([("a.html", multi), ("b.html", single)], "path string, content string")
+    r = spark.createDataFrame([("c.html", multi), ("d.html", single)], "path string, content string")
+    got = {
+        (m.left_key, m.right_key): m.score
+        for m in greedy_similarity_match(
+            structure_match_scores(l, r, "html"), threshold=0.5
+        ).collect()
+    }
+    assert got == {("a.html", "c.html"): 1.0, ("b.html", "d.html"): 1.0}
+
+    # attribute renames + camelCase->kebab style mapping
+    assert camel_to_kebab("backgroundColor") == "background-color"
+    assert camel_to_kebab("gridTemplateColumns") == "grid-template-columns"
+    assert normalize_style_object({"backgroundColor": "red", "zIndex": "2"}) == (
+        "background-color: red; z-index: 2"
+    )
+    babel = {
+        "type": "jsx_element",
+        "openingElement": {
+            "name": {"name": "label"},
+            "attributes": [
+                {"type": "jsx_attribute", "name": {"name": "className"},
+                 "value": {"type": "string_literal", "value": "btn big"}},
+                {"type": "jsx_attribute", "name": {"name": "htmlFor"},
+                 "value": {"type": "string_literal", "value": "field"}},
+                {"type": "jsx_attribute", "name": {"name": "onClick"},
+                 "value": {"type": "jsx_expression", "expression": {"type": "call"}}},
+            ],
+        },
+        "children": [{"type": "jsx_text", "value": " Click me "}],
+    }
+    norm = normalize_jsx_node(babel)
+    assert norm["tag"] == "label"
+    assert norm["attrs"] == {"class": "btn big", "for": "field", "onclick": "[dynamic]"}
+    assert norm["children"] == [{"type": "text", "content": "Click me"}]
+    # normalized JSX node vs the equivalent HTML parse tree -> C1 match
+    html_tree = parse_html_tree(
+        '<body><label class="big btn" for="field" onclick="[dynamic]">Click me</label></body>'
+    )
+    res = compare_structures(html_tree["children"][0], norm)
+    assert res.similarity_score == 1.0 and res.matching >= 1

@@ -78,3 +78,14 @@ def hybrid_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     for x, y in zip(a, b):
         out.append(hybrid_jaccard(Counter(x or {}), Counter(y or {})))
     return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def guarded_structure_score_udf(filetype: pd.Series, c1: pd.Series, c2: pd.Series) -> pd.Series:
+    """Capable J3 pair score (node-count guard + structure comparator) —
+    the quirk-free engine extension; see cascade_oracle.guarded_structure_score."""
+    from ..oracle.cascade_oracle import guarded_structure_score
+
+    return pd.Series(
+        [guarded_structure_score(ft, a or "", b or "") for ft, a, b in zip(filetype, c1, c2)]
+    )

@@ -244,3 +244,35 @@ def aggregate_match_scores(
         .when(F.col("aggregate_score") >= 0.40, F.lit("Moderate similarity — possible reuse or inspiration"))
         .otherwise(F.lit("Low similarity — likely independent")),
     )
+
+
+def structure_match_scores(
+    left: DataFrame,
+    right: DataFrame,
+    filetype: str,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Capable J3 (ENGINE EXTENSION): candidate scores for structure
+    matching with the node-count guard working as the reference INTENDED
+    (file_matcher.py:131-183 — its own guard never fires for html/jsx/js,
+    quirks Q9-Q11; the cascade operator replicates those, this one fixes
+    them). Feed into greedy_similarity_match(threshold=0.5).
+
+    Candidates are the full remainder cross product (the reference
+    semantic); at scale, prefilter with tree_signature_udf equi-buckets
+    (SURVEY §4.2 'candidate pruning') before scoring.
+    """
+    from ..functions.similarity_udfs import guarded_structure_score_udf
+
+    l = left.select(
+        F.col(path_col).alias("left_key"), F.col(content_col).alias("_c1")
+    )
+    r = right.select(
+        F.col(path_col).alias("right_key"), F.col(content_col).alias("_c2")
+    )
+    return l.crossJoin(r).select(
+        "left_key",
+        "right_key",
+        guarded_structure_score_udf(F.lit(filetype), "_c1", "_c2").alias("score"),
+    )

@@ -1,0 +1,180 @@
+"""P2: tree-sitter JSX/TSX parse -> normalized AST + call graph.
+
+From-scratch reimplementation of the reference's tree-sitter path
+(core/jsx_treesitter_parser.py:21-93) with identical output, verified
+node-for-node against the reference parser in pytest. The tree-sitter
+runtime is bootstrapped from the reference repo's own bundled artifacts
+(wheels/tree_sitter-0.20.1-cp311 + prebuilt/ubuntu-latest/
+my-languages.so — third-party binaries, not reference source); when they
+are unavailable the engine falls back to the structural regex parser in
+``js_oracle`` (``HAS_TREE_SITTER`` is False).
+
+Replicated semantics — including the reference's own oddities, which the
+fixtures pin:
+
+  * identifiers alpha-renamed ``id0, id1, …`` in first-seen (pre-order)
+    order; literals (string/number/true/false) -> ``lit0, …`` keyed by
+    raw source text (jsx_treesitter_parser.py:36-46);
+  * function-ish nodes carry ``name`` (or ``anon_func_N``); a call graph
+    edge is recorded from the innermost enclosing function to the callee
+    (jsx_treesitter_parser.py:48-63);
+  * **callee naming quirk**: the callee is resolved BEFORE the call's
+    children are normalized, so a function first seen at its own call
+    site keeps its RAW name in the edge (id_map lookup misses,
+    jsx_treesitter_parser.py:58 + 81-88); member-expression property
+    names are ``property_identifier`` nodes — never alpha-renamed;
+  * **leaf-text quirk**: leaf ``text`` slices the SOURCE STRING with
+    BYTE offsets (jsx_treesitter_parser.py:68) — for non-ASCII sources
+    the slice drifts exactly as the reference's does (we replicate by
+    slicing the same way);
+  * literal nodes drop their children (the quote tokens of ``string``).
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from typing import Any
+
+_REFERENCE_DIR = "/root/reference"
+_WHEEL = os.path.join(
+    _REFERENCE_DIR, "wheels", "tree_sitter-0.20.1-cp311-cp311-linux_x86_64.whl"
+)
+_GRAMMAR_SO = os.path.join(_REFERENCE_DIR, "prebuilt", "ubuntu-latest", "my-languages.so")
+_VENDOR_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".vendor", "tree_sitter_wheel")
+
+_FUNC_TYPES = (
+    "function_declaration",
+    "function_expression",
+    "arrow_function",
+    "method_definition",
+)
+_LIT_TYPES = ("string", "string_literal", "number", "number_literal", "true", "false", "boolean")
+
+
+def _bootstrap_tree_sitter():
+    """Import tree_sitter, extracting the bundled wheel into .vendor/ on
+    first use (works in executors too — local-mode shared filesystem)."""
+    try:
+        import tree_sitter  # noqa: F401
+
+        return tree_sitter
+    except ImportError:
+        pass
+    vendor = os.path.abspath(_VENDOR_DIR)
+    marker = os.path.join(vendor, "tree_sitter", "__init__.py")
+    if not os.path.exists(marker) and os.path.exists(_WHEEL):
+        os.makedirs(vendor, exist_ok=True)
+        with zipfile.ZipFile(_WHEEL) as z:
+            z.extractall(vendor)
+    if os.path.exists(marker):
+        import sys
+
+        if vendor not in sys.path:
+            sys.path.insert(0, vendor)
+        import tree_sitter
+
+        return tree_sitter
+    raise ImportError("tree_sitter unavailable and no bundled wheel found")
+
+
+_PARSER = None
+HAS_TREE_SITTER = False
+try:
+    _ts = _bootstrap_tree_sitter()
+    if os.path.exists(_GRAMMAR_SO):
+        _TSX = _ts.Language(_GRAMMAR_SO, "tsx")
+        _PARSER = _ts.Parser()
+        _PARSER.set_language(_TSX)
+        HAS_TREE_SITTER = True
+except Exception:  # noqa: BLE001 — no binary: regex-parser fallback path
+    HAS_TREE_SITTER = False
+
+
+class _Normalizer:
+    """One parse's renaming + call-graph state (fresh per file, so the
+    first-seen numbering is per-file deterministic under parallelism)."""
+
+    def __init__(self, code: str) -> None:
+        self.code = code
+        self.ids: dict[str, str] = {}
+        self.lits: dict[str, str] = {}
+        self.graph: dict[str, set[str]] = {}
+        self.stack: list[str] = []
+        self.n_anon = 0
+
+    def _name_of(self, node) -> str | None:
+        name_node = node.child_by_field_name("name")
+        return name_node.text.decode("utf-8") if name_node else None
+
+    def _callee_of(self, node) -> str | None:
+        # first identifier child, mapped through ids IF already seen
+        # (pre-normalization lookup — the reference's ordering quirk);
+        # member_expression -> property name (property_identifier, never
+        # alpha-renamed)
+        for child in node.children:
+            if child.type == "identifier":
+                raw = child.text.decode("utf-8")
+                return self.ids.get(raw, raw)
+            if child.type == "member_expression":
+                prop = child.child_by_field_name("property")
+                if prop:
+                    raw = prop.text.decode("utf-8")
+                    return self.ids.get(raw, raw)
+        return None
+
+    def walk(self, node) -> dict[str, Any]:
+        t = node.type
+        if t == "identifier":
+            raw = node.text.decode("utf-8")
+            if raw not in self.ids:
+                self.ids[raw] = f"id{len(self.ids)}"
+            return {"type": "identifier", "name": self.ids[raw]}
+        if t in _LIT_TYPES:
+            raw = node.text.decode("utf-8")
+            if raw not in self.lits:
+                self.lits[raw] = f"lit{len(self.lits)}"
+            return {"type": t, "value": self.lits[raw]}
+        if t in _FUNC_TYPES:
+            name = self._name_of(node)
+            if name is None:
+                name = f"anon_func_{self.n_anon}"
+                self.n_anon += 1
+            self.stack.append(name)
+            self.graph.setdefault(name, set())
+            children = [self.walk(c) for c in node.children]
+            self.stack.pop()
+            return {"type": t, "name": name, "children": children}
+        if t == "call_expression":
+            callee = self._callee_of(node)
+            if self.stack and callee:
+                self.graph[self.stack[-1]].add(callee)
+            return {"type": t, "callee": callee, "children": [self.walk(c) for c in node.children]}
+        return {
+            "type": t,
+            "children": [self.walk(c) for c in node.children] if node.children else [],
+            # byte offsets into the str — the reference's exact slice
+            "text": self.code[node.start_byte : node.end_byte] if node.child_count == 0 else None,
+        }
+
+
+def parse_jsx(code: str) -> dict[str, Any]:
+    """-> {'ast': normalized tree, 'call_graph': {caller: [callees]}} —
+    output-identical to parse_jsx_with_treesitter on the same source."""
+    if not HAS_TREE_SITTER:
+        raise RuntimeError("tree-sitter unavailable; use js_oracle.parse_js fallback")
+    tree = _PARSER.parse(bytes(code, "utf-8"))
+    n = _Normalizer(code)
+    ast = n.walk(tree.root_node)
+    return {"ast": ast, "call_graph": {k: sorted(v) for k, v in n.graph.items()}}
+
+
+def parse_jsx_or_fallback(code: str) -> dict[str, Any]:
+    """parse_jsx when the binary stack is present, else the from-scratch
+    regex parser (same output contract: ast + call_graph)."""
+    if HAS_TREE_SITTER:
+        return parse_jsx(code)
+    from .js_oracle import parse_js
+
+    p = parse_js(code)
+    return {"ast": p["ast"], "call_graph": {k: sorted(v) for k, v in p["call_graph"].items()}}

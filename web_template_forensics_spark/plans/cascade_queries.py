@@ -413,3 +413,61 @@ _SQL_BUILDERS = {
 def cascade_oracle_sql() -> dict[str, str]:
     """Built lazily (the replay runs once, ~100 ms) and cached."""
     return {name: build() for name, build in _SQL_BUILDERS.items()}
+
+
+# --------------------------------------------------------------------------
+# E2 single-pair analysis (A7/A8 over real parses, incl. tree-sitter P2)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def _forensic_cases() -> list[tuple]:
+    """(case_id, html1, html2, jsx1, jsx2, js1, js2) — full triples plus
+    absent-side variants exercising the A7 weight renormalization."""
+    rows = project_pair_rows()
+    get = {(side, path): content for side, path, _, content in rows}
+    h1 = get[("original", "app/pages/shop.html")]
+    h2 = get[("modified", "app/pages/shop.html")]
+    x1 = get[("original", "src/components/Button.jsx")]
+    x2 = get[("modified", "src/components/Buttons.jsx")]
+    s1 = get[("original", "src/lib/api.js")]
+    s2 = get[("modified", "src/lib/api2.js")]
+    return [
+        (0, h1, h2, x1, x2, s1, s2),
+        (1, None, None, x1, x2, s1, s2),
+        (2, h1, h2, None, None, s1, s2),
+        (3, h1, h2, x1, x2, None, None),
+        (4, h1, h2, x1, x1, s1, s1),   # identical jsx/js sides
+        (5, None, None, None, None, None, None),
+    ]
+
+
+def q_forensic_pairs(spark, sf_dir):
+    from ..functions.code_udfs import analyze_templates_udf
+
+    df = spark.createDataFrame(
+        _forensic_cases(),
+        "case_id int, html1 string, html2 string, jsx1 string, jsx2 string, js1 string, js2 string",
+    )
+    return df.select(
+        "case_id",
+        analyze_templates_udf("html1", "html2", "jsx1", "jsx2", "js1", "js2").alias("r"),
+    ).select("case_id", "r.*")
+
+
+def sql_forensic_pairs() -> str:
+    from ..oracle.forensic_oracle import analyze_pair
+
+    cols = ["case_id", "html_similarity", "jsx_structure_similarity",
+            "jsx_callgraph_similarity", "jsx_body_similarity", "jsx_similarity",
+            "js_similarity", "overall_similarity"]
+    out = []
+    for case in _forensic_cases():
+        r = analyze_pair(*case[1:])
+        out.append(tuple([case[0]] + [r[c] for c in cols[1:]]))
+    ii = lambda v: _i(v, "INT")  # noqa: E731
+    return _values_sql(out, cols, [ii] + [_d] * 7)
+
+
+CASCADE_QUERIES["forensic_pairs"] = q_forensic_pairs
+_SQL_BUILDERS["forensic_pairs"] = sql_forensic_pairs
