@@ -45,27 +45,49 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     assert len(out) == batch
 
 
-def test_latest_state_stream(spark, tmp_path):
-    from web_template_forensics_spark.streaming.ingest import latest_state_stream
+def test_latest_state_stream_merge_sink(spark, tmp_path):
+    """Streaming as-of dedup MERGEs into the bucketed state table (no
+    driver-side state), survives a stop/restart on the same checkpoint,
+    and the merge is idempotent under batch replay."""
+    from web_template_forensics_spark.streaming.ingest import (
+        latest_state_stream,
+        merge_upsert_latest,
+    )
 
     stream = _events_stream(spark, tmp_path)
-    start, state = latest_state_stream(stream)
+    table = str(tmp_path / "state_table")
+    start, read_state = latest_state_stream(stream, table)
     q = start(str(tmp_path / "ck2"))
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    # state holds the latest event per user — cross-check against batch
-    batch = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .groupBy("user_id")
-        .agg(F.max("ts").alias("ts"))
-        .collect()
-    )
-    exp = {r.user_id: r.ts for r in batch}
-    assert set(state) == set(exp)
-    for uid, row in state.items():
-        assert row.ts == exp[uid]
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exp = {r.user_id: r.ts for r in src.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()}
+    got = {r.user_id: r.ts for r in read_state(spark).collect()}
+    assert got == exp
+
+    # kill/resume: drop NEW data into the source, restart on the SAME
+    # checkpoint — only the new file is processed, the merge folds it in
+    newer = src.limit(50).withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+    newer.write.mode("append").parquet(str(tmp_path / "in"))
+    q2 = start(str(tmp_path / "ck2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    bumped = {r.user_id: r.ts for r in newer.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()}
+    exp2 = dict(exp)
+    for uid, ts in bumped.items():
+        exp2[uid] = max(exp2[uid], ts)
+    got2 = {r.user_id: r.ts for r in read_state(spark).collect()}
+    assert got2 == exp2
+
+    # replay idempotence: re-merging an already-delivered batch is a no-op
+    merge_upsert_latest(newer, table, "user_id", "ts")
+    got3 = {r.user_id: r.ts for r in read_state(spark).collect()}
+    assert got3 == exp2
 
 
 def test_multimodal_feature_extraction(spark):

@@ -48,30 +48,84 @@ def windowed_event_counts(
     )
 
 
+def merge_upsert_latest(
+    batch_df: DataFrame,
+    table_path: str,
+    key_col: str,
+    ts_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """MERGE a micro-batch into the bucketed state table at ``table_path``
+    keeping the latest row per key (the Iceberg ``MERGE INTO`` shape on
+    the offline catalog layout of sources/catalog.py).
+
+    Only the buckets TOUCHED by the batch are read back and rewritten
+    (dynamic partition overwrite) — merge cost is O(batch ∪ touched
+    state), never O(full table). Idempotent under foreachBatch epoch
+    replay: keep-latest of (old state ∪ batch) after (key, ts) dedup is a
+    fixed point, so re-running a delivered batch leaves the table
+    unchanged (exactly-once effect per epoch).
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("bucket", bucket)
+    )
+    data_dir = os.path.join(table_path, "data")
+    if os.path.isdir(data_dir):
+        touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        existing = (
+            spark.read.option("basePath", data_dir)
+            .parquet(*[
+                os.path.join(data_dir, f"bucket={b}")
+                for b in touched
+                if os.path.isdir(os.path.join(data_dir, f"bucket={b}"))
+            ])
+            if any(os.path.isdir(os.path.join(data_dir, f"bucket={b}")) for b in touched)
+            else None
+        )
+        merged = latest if existing is None else existing.unionByName(latest)
+    else:
+        merged = latest
+    merged = (
+        merged.dropDuplicates([key_col, ts_col])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    (
+        merged.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+
+
 def latest_state_stream(
     events_stream: DataFrame,
+    table_path: str,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    n_buckets: int = 16,
 ):
-    """foreachBatch updater keeping the latest event per key in a driver-
-    side dict (demo sink; on a cluster this is a MERGE INTO an Iceberg
-    table keyed on ``key_col``). Returns (query_starter, state_dict)."""
-    state: dict = {}
+    """Streaming as-of dedup with a REAL sink: every micro-batch is
+    MERGEd into the bucketed state table (merge_upsert_latest) instead of
+    a driver-side dict. Returns (query_starter, read_state):
+    ``read_state(spark)`` reads the current latest-per-key table."""
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .collect()
-        )
-        for row in latest:
-            cur = state.get(row[key_col])
-            if cur is None or row[ts_col] >= cur[ts_col]:
-                state[row[key_col]] = row
+        merge_upsert_latest(batch_df, table_path, key_col, ts_col, n_buckets)
 
     def start(checkpoint_dir: str):
         return (
@@ -81,4 +135,9 @@ def latest_state_stream(
             .start()
         )
 
-    return start, state
+    def read_state(spark):
+        import os
+
+        return spark.read.parquet(os.path.join(table_path, "data")).drop("bucket")
+
+    return start, read_state
