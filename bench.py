@@ -19,6 +19,43 @@ import sys
 import time
 
 
+def _healthy_core_count(get_spark, requested: int) -> tuple[int, bool]:
+    """Guard against the sandbox's single-JVM thread-scaling pathology
+    (BENCH/jvm_probe.py): some hosts collapse above ~8-12 task threads in
+    ONE JVM while raw processes scale fine. Measure a pure-JVM codegen
+    loop at the requested level vs local[8]; if per-core throughput at
+    the requested level is < 60% of local[8]'s, run the bench at 8 and
+    report the fallback in the output JSON. On a multi-executor cluster
+    (<= 8-16 cores per executor JVM) this never fires."""
+    from pyspark.sql import functions as F
+
+    def per_core(cores: int) -> float:
+        spark = get_spark(f"probe-{cores}", cores=cores, shuffle_partitions=cores)
+        spark.range(10).count()
+        n = 4_000_000 * cores
+        t0 = time.perf_counter()
+        (
+            spark.range(0, n, 1, cores * 2)
+            .select(F.count(F.when(F.xxhash64(F.sha2(F.col("id").cast("string"), 256)) % 2 == 0, 1)))
+            .collect()
+        )
+        wall = time.perf_counter() - t0
+        spark.stop()
+        return n / cores / wall
+
+    base = per_core(8)
+    req = per_core(requested)
+    if req < 0.6 * base:
+        print(
+            f"# JVM thread-scaling pathology: per-core throughput at "
+            f"local[{requested}] is {req / base:.2f}x of local[8]'s — "
+            f"running the bench at local[8] (see BENCH/jvm_probe.py)",
+            file=sys.stderr,
+        )
+        return 8, True
+    return requested, False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -27,6 +64,11 @@ def main() -> None:
 
     from web_template_forensics_spark.session import get_spark
     from web_template_forensics_spark.plans.queries import QUERIES
+
+    cpus_requested = cpus
+    jvm_pathology = False
+    if cpus > 8 and os.environ.get("SPARK_GRAFT_SKIP_PROBE") != "1":
+        cpus, jvm_pathology = _healthy_core_count(get_spark, cpus)
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
@@ -112,6 +154,8 @@ def main() -> None:
                 "pages_per_sec": pages_per_sec,
                 "pages_rows": pages_rows,
                 "cpus": cpus,
+                "cpus_requested": cpus_requested,
+                "jvm_thread_pathology": jvm_pathology,
             }
         )
     )

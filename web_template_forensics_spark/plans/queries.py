@@ -624,14 +624,19 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_pages_pipeline_tiles(spark, sf_dir):
     """Flagship end-to-end slice on the real pages table: generate ->
-    geocode (meta tag > TLD anchor) -> cells -> salted tile rollup."""
-    from ..sources.pages import build_pages_df, geocode_pages
+    geocode (meta tag > TLD anchor) -> cells -> salted tile rollup.
+
+    Uses the FUSED mapInPandas path: its output columns are plan
+    attributes (never re-evaluated on downstream fan-out), so no persist
+    is needed — r1 used the unfused ArrowEval chain + a persist that was
+    never released."""
+    from ..plans.pipeline import pages_to_geo_fused
+    from ..sources.pages import build_pages_df
 
     pages = build_pages_df(spark, 2000, seed=42)
-    geo = geocode_pages(spark, pages).filter(F.col("lat").isNotNull())
-    # materialize the UDF-derived columns once: downstream fan-out must not
-    # re-execute the Arrow geocode chain per column reference
-    geo = geo.select("url", "lang", "lat", "lon", F.length("html").alias("n_bytes")).persist()
+    geo = pages_to_geo_fused(pages).filter(F.col("lat").isNotNull()).select(
+        "url", "lang", "lat", "lon", "n_bytes"
+    )
     return tile_rollup(geo, 5, weight_col="n_bytes", salted=True)
 
 

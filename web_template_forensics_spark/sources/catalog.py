@@ -98,7 +98,6 @@ def checkpointed_write(
     path: str,
     key_col: str,
     n_buckets: int = 32,
-    byte_col: str | None = None,
     fail_after: int | None = None,
 ) -> dict:
     """Resumable bucketed write with per-partition lineage + metrics.
@@ -119,16 +118,6 @@ def checkpointed_write(
     bdf = df.withColumn("bucket", bucket_expr)
     if len(todo) < n_buckets:
         bdf = bdf.filter(F.col("bucket").isin(todo))
-    bdf = bdf.persist()
-    sizes = {
-        r["bucket"]: (r["n"], r["b"])
-        for r in bdf.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum(F.length(byte_col)) if byte_col else F.lit(0)).alias("b"),
-        )
-        .collect()
-    }
     if fail_after is None:
         t0 = time.perf_counter()
         (
@@ -142,27 +131,49 @@ def checkpointed_write(
         )
         wall = time.perf_counter() - t0
         per = round(wall / max(1, len(todo)), 4)
+        # row/byte metrics from the written parquet footers (driver-side
+        # metadata read) — one Spark job total instead of a separate
+        # groupBy-sizes job + a persist of the whole frame
         for b in todo:
-            rows, nbytes = sizes.get(b, (0, 0))
-            write_bucket_marker(path, BucketStatus(b, int(rows), int(nbytes or 0), per))
+            rows, nbytes = _bucket_stats(os.path.join(_data_dir(path), f"bucket={b}"))
+            write_bucket_marker(path, BucketStatus(b, rows, nbytes, per))
     else:
+        bdf = bdf.persist()  # per-bucket loop re-reads the frame
         written = 0
         for b in todo:
             t0 = time.perf_counter()
             part = bdf.filter(F.col("bucket") == b).drop("bucket")
             out = os.path.join(_data_dir(path), f"bucket={b}")
             part.write.mode("overwrite").parquet(out)
-            rows, nbytes = sizes.get(b, (0, 0))
+            rows, nbytes = _bucket_stats(out)
             write_bucket_marker(
                 path,
-                BucketStatus(b, int(rows), int(nbytes or 0), round(time.perf_counter() - t0, 3)),
+                BucketStatus(b, rows, nbytes, round(time.perf_counter() - t0, 3)),
             )
             written += 1
             if written >= fail_after:
                 bdf.unpersist()
                 raise RuntimeError(f"injected failure after {written} buckets")
-    bdf.unpersist()
+        bdf.unpersist()
     return write_snapshot(path, n_buckets)
+
+
+def _bucket_stats(bucket_dir: str) -> tuple[int, int]:
+    """(rows, bytes) of one written bucket from parquet footers + file
+    sizes — pure driver-side metadata, no Spark job."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    nbytes = 0
+    if not os.path.isdir(bucket_dir):
+        return 0, 0
+    for f in os.listdir(bucket_dir):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(bucket_dir, f)
+        rows += pq.ParquetFile(fp).metadata.num_rows
+        nbytes += os.path.getsize(fp)
+    return rows, nbytes
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
