@@ -705,3 +705,132 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     return tiles.join(
         per_poly.select(F.sum("n_pages").alias("pip_assignments")), how="cross"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 coverage additions
+# ---------------------------------------------------------------------------
+
+EMB_NEAR_DUP_THRESHOLD = 0.3
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): label-blocked
+    all-pairs inside each block (the scale path swaps the block for an
+    LSH bucket, see cosine_topk_lsh), cosine JVM-side, threshold filter.
+    id_a < id_b."""
+    from ..operators.similarity_search import with_cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("blk"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("blk"), F.col("v").alias("vb"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs, "va", "vb")
+        .filter(F.round("cosine", 6) >= EMB_NEAR_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_Q_EMB_NEAR_DUP_SQL = f"""
+  WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+                THEN list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                ELSE 0.0 END AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+  SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs
+  WHERE round(cosine, 6) >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_partition_pruned_scan(spark, sf_dir):
+    """S3: partition pruning demo — documents written partitioned by
+    ``part = doc_id % 16``, read back with a partition filter (the scan
+    touches ONE directory; PartitionFilters visible in the plan)."""
+    import os
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".bench_data", f"docs_partitioned_{sf}",
+    )
+    if not os.path.isdir(out):
+        (
+            _t(spark, sf_dir, "documents")
+            .withColumn("part", F.col("doc_id") % 16)
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("part") == 3)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_Q_PART_PRUNED_SQL = """
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 16 = 3
+"""
+
+
+def q_config_from_json(spark, sf_dir):
+    """S5: JSON source via F.from_json — package.json-shaped strings
+    parsed into typed columns inside the plan (no driver-side parsing)."""
+    import json as _json
+
+    from ..fixtures.project_pairs import config_fixtures
+
+    cfg = config_fixtures()
+    rows = [
+        (side, _json.dumps(d, sort_keys=True))
+        for side, d in zip(("original", "modified"), cfg["package_json"])
+    ]
+    df = spark.createDataFrame(rows, "side string, raw string")
+    schema = (
+        "name string, version string, "
+        "dependencies map<string,string>, scripts map<string,string>"
+    )
+    p = df.select("side", F.from_json("raw", schema).alias("j"))
+    return p.select(
+        "side",
+        F.col("j.name").alias("name"),
+        F.col("j.version").alias("version"),
+        F.size("j.dependencies").cast("bigint").alias("n_dependencies"),
+        F.size("j.scripts").cast("bigint").alias("n_scripts"),
+    )
+
+
+def _q_config_from_json_sql():
+    import json as _json
+
+    from ..fixtures.project_pairs import config_fixtures
+
+    cfg = config_fixtures()
+    rows = []
+    for side, d in zip(("original", "modified"), cfg["package_json"]):
+        raw = _json.dumps(d, sort_keys=True).replace("'", "''")
+        rows.append(f"('{side}', '{raw}')")
+    vals = ", ".join(rows)
+    return f"""
+  SELECT side,
+         json_extract_string(raw, '$.name') AS name,
+         json_extract_string(raw, '$.version') AS version,
+         cast(len(json_keys(raw, '$.dependencies')) as bigint) AS n_dependencies,
+         cast(len(json_keys(raw, '$.scripts')) as bigint) AS n_scripts
+  FROM (VALUES {vals}) AS t(side, raw)
+"""
+
+
+QUERIES["embedding_near_dup"] = q_embedding_near_dup
+QUERIES["partition_pruned_scan"] = q_partition_pruned_scan
+QUERIES["config_from_json"] = q_config_from_json
+ORACLE_SQL["embedding_near_dup"] = _Q_EMB_NEAR_DUP_SQL
+ORACLE_SQL["partition_pruned_scan"] = _Q_PART_PRUNED_SQL
+ORACLE_SQL["config_from_json"] = _q_config_from_json_sql()
