@@ -234,3 +234,25 @@ def test_capable_structure_match_and_jsx_normalize(spark):
     )
     res = compare_structures(html_tree["children"][0], norm)
     assert res.similarity_score == 1.0 and res.matching >= 1
+
+
+def test_cascade_reports_per_pair_many_pairs(spark):
+    """The many-pairs scale path: grouped-map per pair_id == per-pair
+    replay, across three differently-seeded project pairs."""
+    from web_template_forensics_spark.operators.cascade import cascade_reports_per_pair
+
+    rows = []
+    for pid, seed in enumerate((42, 43, 44)):
+        rows += [(pid, *r) for r in project_pair_rows(seed=seed)]
+    df = spark.createDataFrame(rows, "pair_id long, " + SCHEMA)
+    got = {r.pair_id: r for r in cascade_reports_per_pair(df).collect()}
+    assert len(got) == 3
+    for pid, seed in enumerate((42, 43, 44)):
+        rep = replay_cascade(project_pair_rows(seed=seed))
+        r = got[pid]
+        assert r.overall_similarity == rep["overall_similarity"]
+        assert r.total_files == rep["total_files"]
+        assert r.prediction == rep["overall_prediction"]
+        assert r.html_score == rep["per_type"]["html"]["aggregate_score"]
+        assert r.js_score == rep["per_type"]["js"]["aggregate_score"]
+        assert r.tailwind_class_similarity == rep["tailwind_aggregate"]["class_similarity"]

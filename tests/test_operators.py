@@ -457,3 +457,30 @@ def test_text_udfs_ascii_whitespace_parity(spark):
     assert (out.q_udf == out.q_col).all(), out
     # NBSP/LS glue tokens: 'nbsp\\u00a0joined', 'and\\u2028joined', 'tokens'
     assert out.t_udf[1] == 3
+
+
+def test_ngram_hot_gram_cap(spark):
+    """DF-filtered Jaccard: a gram shared by every doc is excluded from
+    candidates AND the measure when the cap is set; exact without it."""
+    from web_template_forensics_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the hot trigram "a b c"; docs 1/2 also share "x y z"
+    docs = [
+        (1, "a b c x y z", "en"),
+        (2, "a b c x y z", "en"),
+        (3, "a b c q r s", "en"),
+        (4, "a b c t u v", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", "lang", threshold=0.01).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert (1, 2) in exact_pairs and (3, 4) in exact_pairs  # via the hot gram
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", "lang", threshold=0.01, max_gram_doc_freq=3
+    ).toPandas()
+    capped_pairs = set(zip(capped.id_a, capped.id_b))
+    assert (3, 4) not in capped_pairs  # only-shared-hot-gram pair dropped
+    assert (1, 2) in capped_pairs
+    # DF-filtered measure: docs 1,2 share all surviving grams -> 1.0
+    row = capped[(capped.id_a == 1) & (capped.id_b == 2)]
+    assert row.jaccard.iloc[0] == 1.0

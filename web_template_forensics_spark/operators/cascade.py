@@ -647,3 +647,57 @@ def single_pair_overall_expr(h, j, s) -> F.Column:
 def jsx_combined_expr(structure, callgraph, body) -> F.Column:
     """A8 (forensic_analyzer.py:116): 0.6/0.2/0.2."""
     return structure * F.lit(0.6) + callgraph * F.lit(0.2) + body * F.lit(0.2)
+
+
+_REPORT_SCHEMA = (
+    "pair_id long, overall_similarity double, total_files long, "
+    "prediction string, html_score double, css_score double, "
+    "jsx_score double, js_score double, tailwind_class_similarity double, "
+    "files_matched long, files_unmatched long"
+)
+
+
+def cascade_reports_per_pair(files: DataFrame, pair_col: str = "pair_id") -> DataFrame:
+    """MANY project pairs at once — the cascade's 100x scale shape.
+
+    One reference "analysis" covers a single (original, modified) project
+    pair whose inventory is small; web-scale means MILLIONS of pairs, not
+    one huge pair. Grouping by ``pair_col`` and running the whole E1
+    lifecycle per group in one grouped-map pass makes each pair an
+    independent unit of work: no cross-pair shuffle at all, linear in the
+    number of pairs, AQE-balanced across executors. The per-pair logic is
+    the pure replay (oracle/cascade_oracle.py) — identical semantics to
+    the stagewise dataflow (match_cascade), which remains the
+    one-huge-pair path and the oracle target.
+
+    Input columns: (pair_id, side, path, filetype, content).
+    """
+    from ..oracle.cascade_oracle import replay_cascade
+
+    def one_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf[pair_col].iloc[0])
+        rows = sorted(
+            (r.side, r.path, r.filetype, r.content)
+            for r in pdf.itertuples(index=False)
+        )
+        rep = replay_cascade(rows)
+        per = rep["per_type"]
+        return pd.DataFrame(
+            [
+                {
+                    "pair_id": pid,
+                    "overall_similarity": rep["overall_similarity"],
+                    "total_files": rep["total_files"],
+                    "prediction": rep["overall_prediction"],
+                    "html_score": per["html"]["aggregate_score"],
+                    "css_score": per["css"]["aggregate_score"],
+                    "jsx_score": per["jsx"]["aggregate_score"],
+                    "js_score": per["js"]["aggregate_score"],
+                    "tailwind_class_similarity": rep["tailwind_aggregate"]["class_similarity"],
+                    "files_matched": sum(v["files_matched"] for v in per.values()),
+                    "files_unmatched": sum(v["files_unmatched"] for v in per.values()),
+                }
+            ]
+        )
+
+    return files.groupBy(pair_col).applyInPandas(one_pair, schema=_REPORT_SCHEMA)

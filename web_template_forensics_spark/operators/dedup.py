@@ -166,12 +166,23 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float,
     n: int = 3,
+    max_gram_doc_freq: int | None = None,
 ) -> DataFrame:
     """Word n-gram set Jaccard over candidate pairs blocked by ``block_col``.
 
     Pure relational formulation (explodable to SQL, hence oracle-checkable):
     explode distinct n-grams -> self-join within block -> |A∩B| via count,
     |A∪B| = |A| + |B| - |A∩B|. id_a < id_b.
+
+    ``max_gram_doc_freq``: optional hot-gram cap for web scale — a gram
+    occurring in more docs than this within its block is excluded from
+    the measure entirely (one ubiquitous trigram in a 30B-page block is a
+    quadratic reducer). With the cap the operator computes **DF-filtered
+    Jaccard** — intersection AND set sizes over the surviving grams (the
+    SpotSigs-style measure: ubiquitous grams carry no signal) — a
+    well-defined, documented semantic change, not a silent approximation.
+    Default None = exact full-gram Jaccard (the oracle-checked
+    configuration).
     """
     grams = (
         df.select(
@@ -193,9 +204,18 @@ def ngram_jaccard_pairs(
         )
         .filter(F.length("gram") > 0)
     )
-    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col("_id").alias("id_a"), F.col("_blk").alias("blk"), "gram")
-    b = grams.select(F.col("_id").alias("id_b"), F.col("_blk").alias("blk"), "gram")
+    join_grams = grams
+    if max_gram_doc_freq is not None:
+        hot = (
+            grams.groupBy("_blk", "gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_doc_freq)
+            .select("_blk", "gram")
+        )
+        join_grams = grams.join(hot, ["_blk", "gram"], "left_anti")
+    sizes = join_grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = join_grams.select(F.col("_id").alias("id_a"), F.col("_blk").alias("blk"), "gram")
+    b = join_grams.select(F.col("_id").alias("id_b"), F.col("_blk").alias("blk"), "gram")
     inter = (
         a.join(b, ["blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
