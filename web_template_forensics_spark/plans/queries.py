@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -834,3 +836,61 @@ QUERIES["config_from_json"] = q_config_from_json
 ORACLE_SQL["embedding_near_dup"] = _Q_EMB_NEAR_DUP_SQL
 ORACLE_SQL["partition_pruned_scan"] = _Q_PART_PRUNED_SQL
 ORACLE_SQL["config_from_json"] = _q_config_from_json_sql()
+
+
+PARENT_LEVEL = 6
+KRING_K = 1
+KRING_SAMPLE_MOD = 50
+
+
+def q_cell_hierarchy(spark, sf_dir):
+    """WGQ hierarchy + k-ring faces under the oracle: for sampled docs,
+    the level-12 cell's parent at level 6 (numpy UDF) and the k=1 ring
+    cells (exploded) — recomputed in pure SQL morton math by DuckDB."""
+    from pyspark.sql import types as T
+
+    from ..geo.cells import cell_parent, k_ring
+
+    @F.pandas_udf(T.LongType())
+    def parent_udf(cell: pd.Series) -> pd.Series:
+        return pd.Series(cell_parent(cell.to_numpy(np.int64), PARENT_LEVEL))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def kring_udf(cell: pd.Series) -> pd.Series:
+        return cell.map(lambda c: k_ring(int(c), KRING_K).tolist())
+
+    pts = doc_points(spark, sf_dir).filter(F.col("doc_id") % KRING_SAMPLE_MOD == 0)
+    cells = pts.select(
+        "doc_id", cell_encode_udf(CELL_LEVEL)(F.col("lat"), F.col("lon")).alias("cell_id")
+    )
+    return (
+        cells.withColumn("parent_id", parent_udf("cell_id"))
+        .withColumn("ring_cell", F.explode(kring_udf("cell_id")))
+        .select("doc_id", "cell_id", "parent_id", "ring_cell")
+    )
+
+
+def _q_cell_hierarchy_sql():
+    ix = tile_ix_sql("lon", CELL_LEVEL)
+    iy = tile_iy_sql("lat", CELL_LEVEL)
+    shift = CELL_LEVEL - PARENT_LEVEL
+    n = 1 << CELL_LEVEL
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL}),
+  sampled AS (SELECT * FROM pts WHERE doc_id % {KRING_SAMPLE_MOD} = 0),
+  ij AS (SELECT doc_id, {ix} AS ix, {iy} AS iy FROM sampled),
+  ring AS (
+    SELECT doc_id, ix, iy,
+           ((ix + dx.v) % {n} + {n}) % {n} AS rx, iy + dy.v AS ry
+    FROM ij, (VALUES (-1), (0), (1)) dx(v), (VALUES (-1), (0), (1)) dy(v)
+    WHERE iy + dy.v >= 0 AND iy + dy.v < {n})
+  SELECT doc_id,
+         {CELL_LEVEL} * {1 << 52} + {morton_sql('ix', 'iy', CELL_LEVEL)} AS cell_id,
+         {PARENT_LEVEL} * {1 << 52} + {morton_sql(f'(ix // {1 << shift})', f'(iy // {1 << shift})', PARENT_LEVEL)} AS parent_id,
+         {CELL_LEVEL} * {1 << 52} + {morton_sql('rx', 'ry', CELL_LEVEL)} AS ring_cell
+  FROM ring
+"""
+
+
+QUERIES["cell_hierarchy"] = q_cell_hierarchy
+ORACLE_SQL["cell_hierarchy"] = _q_cell_hierarchy_sql()
