@@ -894,3 +894,47 @@ def _q_cell_hierarchy_sql():
 
 QUERIES["cell_hierarchy"] = q_cell_hierarchy
 ORACLE_SQL["cell_hierarchy"] = _q_cell_hierarchy_sql()
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Document fingerprinting (rolling polynomial hash over normalized
+    text) as a dedup key. The oracle can't recompute the mod-2^61 hash in
+    SQL, so the check is HISTOGRAM equivalence: grouping by fingerprint
+    must produce exactly the same (dup_count, n_groups) distribution as
+    grouping by the normalized text itself — true whenever the hash is
+    collision-free on the corpus (deterministic input, ~n^2/2^61 odds)."""
+    from ..functions.text_udfs import doc_fingerprint_udf
+
+    d = _t(spark, sf_dir, "documents")
+    # plant near-duplicates that the normalization must fold: every 7th
+    # doc also appears uppercased with doubled spaces (fingerprint
+    # normalizes case + whitespace -> same hash)
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.regexp_replace(F.upper(F.col("text")), F.lit(" "), F.lit("  ")).alias("text")
+    )
+    corpus = d.select("text").unionAll(variants)
+    groups = (
+        corpus.select(doc_fingerprint_udf("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+    )
+    return (
+        groups.groupBy("dup_count")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select("dup_count", "n_groups")
+    )
+
+
+_Q_FINGERPRINT_SQL = r"""
+  WITH corpus AS (
+    SELECT text FROM documents
+    UNION ALL
+    SELECT replace(upper(text), ' ', '  ') AS text FROM documents WHERE doc_id % 7 = 0),
+  norm AS (
+    SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM corpus),
+  g AS (SELECT t, count(*) AS c FROM norm GROUP BY t)
+  SELECT c AS dup_count, count(*) AS n_groups FROM g GROUP BY c
+"""
+
+QUERIES["fingerprint_dedup"] = q_fingerprint_dedup
+ORACLE_SQL["fingerprint_dedup"] = _Q_FINGERPRINT_SQL
