@@ -127,3 +127,32 @@ def test_frame_sampling():
     idx = frame_sample_indices(5500, every_ms=1000)
     assert idx.tolist() == [0, 1000, 2000, 3000, 4000, 5000]
     assert frame_sample_indices(0).size == 0
+
+
+def test_thumbnails_and_frame_sampling(spark):
+    from web_template_forensics_spark.operators.multimodal import (
+        frame_sample_indices,
+        image_thumbnails,
+        resize_image,
+        sample_video_frames,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=60)
+    thumbs = image_thumbnails(media, out_h=8, out_w=8).toPandas()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(thumbs) == n_images
+    assert all(len(t) == 8 * 8 * 3 for t in thumbs.thumb)  # fixed-size binary
+
+    frames = sample_video_frames(media, every_ms=1000).toPandas()
+    vids = media.filter("kind = 'video'").select("media_id", "meta.duration_ms").toPandas()
+    exp = int(sum(len(frame_sample_indices(int(d), 1000)) for d in vids.duration_ms))
+    assert len(frames) == exp
+    assert (frames.position_ms % 1000 == 0).all()
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in frames.feat)  # unit histograms
+
+    # resize is deterministic pure index math
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    r = resize_image(img, 2, 3)
+    assert r.shape == (2, 3, 3)
+    assert (resize_image(img, 2, 3) == r).all()

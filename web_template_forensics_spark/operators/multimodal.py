@@ -129,3 +129,69 @@ def synth_media_df(spark, n: int = 100, seed: int = 7) -> DataFrame:
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index math — deterministic,
+    codec-free; a real pipeline swaps in Pillow/opencv behind the same
+    signature). (h, w, 3) uint8 -> (out_h, out_w, 3) uint8."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+THUMB_SCHEMA = "media_id long, thumb_h int, thumb_w int, thumb binary"
+
+
+def image_thumbnails(
+    media: DataFrame, out_h: int = 8, out_w: int = 8, fake_decode: bool = True
+) -> DataFrame:
+    """decode -> resize -> re-emit as a SMALL binary column (the
+    shuffle-safe thumbnail projection; raw payloads never leave the map
+    side). Image rows only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                img = decode_image(payload, fake=fake_decode)
+                thumb = resize_image(img, out_h, out_w)
+                rows.append((int(r["media_id"]), out_h, out_w, thumb.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "thumb_h", "thumb_w", "thumb"])
+
+    return media.mapInPandas(op, schema=THUMB_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_no int, position_ms long, feat array<float>"
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, fake_decode: bool = True
+) -> DataFrame:
+    """Frame sampling as an exploding map: each video row yields one
+    feature row per sampled position (frame_sample_indices). The frame
+    decode is the stubbed deterministic path (a real pipeline seeks the
+    container at position_ms); payload bytes stay map-side."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                meta = r["meta"]
+                duration = int(meta["duration_ms"]) if meta is not None else 0
+                for fno, pos in enumerate(frame_sample_indices(duration, every_ms)):
+                    # deterministic per-position slice stands in for a seek
+                    lo = int(pos) % max(1, len(payload))
+                    chunk = payload[lo:] + payload[:lo]
+                    img = decode_image(chunk, fake=fake_decode)
+                    feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+                    feat = feat / max(1.0, feat.sum())
+                    rows.append((int(r["media_id"]), fno, int(pos), feat.astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "position_ms", "feat"])
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
