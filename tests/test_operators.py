@@ -484,3 +484,31 @@ def test_ngram_hot_gram_cap(spark):
     # DF-filtered measure: docs 1,2 share all surviving grams -> 1.0
     row = capped[(capped.id_a == 1) & (capped.id_b == 2)]
     assert row.jaccard.iloc[0] == 1.0
+
+
+def test_cosine_topk_ivf_recall(spark):
+    from web_template_forensics_spark.operators.similarity_search import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.RandomState(6)
+    centers = rng.standard_normal((10, 16))
+    vecs = (
+        centers[np.arange(200) % 10] + 0.15 * rng.standard_normal((200, 16))
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(probes, df, k=5).toPandas()
+    approx = cosine_topk_ivf(probes, df, k=5, n_lists=16, n_probe=4).toPandas()
+    hits = len(
+        set(map(tuple, exact[["probe_id", "neighbor_id"]].values))
+        & set(map(tuple, approx[["probe_id", "neighbor_id"]].values))
+    )
+    assert hits / len(exact) > 0.7  # clustered data: 4/16 lists recall high
+    # full-probe IVF degenerates to exact
+    full = cosine_topk_ivf(probes, df, k=5, n_lists=8, n_probe=8).toPandas()
+    assert set(map(tuple, full[["probe_id", "neighbor_id"]].values)) == set(
+        map(tuple, exact[["probe_id", "neighbor_id"]].values)
+    )

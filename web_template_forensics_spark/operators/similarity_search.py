@@ -143,3 +143,93 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _kmeans_centroids(mat: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means (numpy, driver-side on a SAMPLE) for the
+    IVF coarse quantizer. Unit-normalized input -> cosine ~ dot."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    centroids[j] = c / n
+    return centroids
+
+
+def cosine_topk_ivf(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) lists — the other
+    canonical ANN scale path next to sign-LSH:
+
+      1. train a coarse quantizer (k-means on a driver-side SAMPLE of the
+         corpus — O(sample x lists), independent of corpus size),
+      2. broadcast the centroids; assign every corpus vector to its
+         nearest list (one map pass),
+      3. each probe explodes to its ``n_probe`` nearest lists; candidates
+         come from an equi-join on list id (never a cross join),
+      4. exact cosine + window top-k on the candidates.
+
+    Recall rises with n_probe (n_probe = n_lists degenerates to exact).
+    """
+    sample = np.stack(
+        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    centroids = _kmeans_centroids(sample / norms, n_lists, seed=11)
+
+    @F.pandas_udf(T.IntegerType())
+    def _list_of(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((mat / n) @ centroids.T, axis=1).astype(np.int32))
+
+    n_probe_eff = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe_lists(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (mat / n) @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe_eff].astype(np.int32)
+        return pd.Series([row.tolist() for row in top])
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("p_vec"),
+        F.explode(_probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+        _list_of(F.col(vec_col)).alias("list_id"),
+    )
+    pairs = p.join(c, "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("probe_id") != F.col("neighbor_id"))
+    pairs = pairs.dropDuplicates(["probe_id", "neighbor_id"])
+    scored = with_cosine(pairs, "p_vec", "c_vec")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

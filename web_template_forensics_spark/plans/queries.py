@@ -53,7 +53,11 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from ..operators.similarity_search import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity_search import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from ..operators.spatial_join import knn_join, pip_join
 from ..operators.tiles import tile_rollup
 
@@ -624,6 +628,12 @@ def q_ann_lsh_topk(spark, sf_dir):
     return cosine_topk_lsh(probes, e, k=3, bits=8, probe_hamming=1)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
+    return cosine_topk_ivf(probes, e, k=3, n_lists=16, n_probe=4)
+
+
 def q_pages_pipeline_tiles(spark, sf_dir):
     """Flagship end-to-end slice on the real pages table: generate ->
     geocode (meta tag > TLD anchor) -> cells -> salted tile rollup.
@@ -670,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "pages_pipeline_tiles": q_pages_pipeline_tiles,
 }
 
