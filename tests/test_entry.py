@@ -34,11 +34,12 @@ def test_queries_have_oracles_or_are_flagged(spark):
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # only hash-signature / LSH / full-pipeline queries may be rows-only
+    # only hash-signature / ANN / full-pipeline queries may be rows-only
     assert rows_only == {
         "minhash_pairs",
         "simhash_pairs",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "pages_pipeline_tiles",
     }
 
