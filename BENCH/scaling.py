@@ -1,8 +1,20 @@
 """Scaling-efficiency measurement (the north rule's N vs 4N protocol).
 
 One process = one run at one parallelism level:
-    python BENCH/scaling.py <cores> <pages_rows>
+    python BENCH/scaling.py <cores> <pages_rows> [mode]
 prints one JSON line {"cores": N, "pages": M, "wall_sec": W, "pages_per_sec": T}.
+
+mode (default ``threads``):
+  threads  -> local[N]: N task threads in ONE JVM. Historic protocol; on
+              this host a single JVM collapses above ~8-12 threads
+              (BENCH/jvm_probe.py), which is an artifact the north rule's
+              "N vs 4N executors" regime does not have.
+  cluster  -> local-cluster[N,1,mem]: N SEPARATE executor JVMs with one
+              core each, talking to the driver over the real
+              BlockManager/RPC paths. This is the sandbox proxy for N
+              executors: each JVM stays at 1 task thread (healthy range),
+              each has its own Python worker, shuffles cross process
+              boundaries. Round-3 official protocol.
 
 The measured window is the pipeline only (read pages parquet -> extract-
 verify -> geocode -> cells -> PIP -> salted tiles -> checkpointed sinks),
@@ -25,6 +37,7 @@ import time
 def main() -> None:
     cores = int(sys.argv[1])
     pages_rows = int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "threads"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -33,26 +46,45 @@ def main() -> None:
     from web_template_forensics_spark.sources.pages import build_pages_df
     from web_template_forensics_spark.functions.text_udfs import token_count_udf
 
+    extra_conf = {
+        # local-bench tuning, applied identically at every level: finer
+        # input splits even the task waves; AQE coalescing only adds
+        # per-stage latency on this job's small shuffles (skew-join
+        # splitting stays on via the session defaults)
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    master = None
+    if mode == "cluster":
+        # N one-core executor JVMs (the N-executors proxy). Each executor
+        # JVM + its python worker handles ~1/N of the map-only parse; the
+        # driver JVM only coordinates. Memory per executor is fixed so the
+        # per-executor environment is identical at N and 4N.
+        master = f"local-cluster[{cores},1,3072]"
+        extra_conf["spark.executorEnv.PYTHONPATH"] = repo
+        extra_conf["spark.driver.memory"] = "8g"
+
     spark = get_spark(
         "scaling",
         cores=cores,
         shuffle_partitions=max(cores, 8),
-        extra_conf={
-            # local-bench tuning, applied identically at every level: finer
-            # input splits even the task waves; AQE coalescing only adds
-            # per-stage latency on this job's small shuffles (skew-join
-            # splitting stays on via the session defaults)
-            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        },
+        master=master,
+        extra_conf=extra_conf,
     )
 
     rich = int(os.environ.get("SPARK_GRAFT_PAGE_RICH", "8"))
-    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}")
+    # Fine-grained layout: parquet scans parallelize at row-group granularity,
+    # and the r2 inputs (4 files / 8 row groups at 500k) silently capped the
+    # scan+parse stage at <=8 non-empty tasks — an input artifact that
+    # depressed the measured efficiency at every level above 8. Write ~10k
+    # rows (~14 MB) per file so both N and 4N levels have many waves of
+    # real work. Real 100 TB tables have >>cores row groups by construction.
+    n_files = max(32, pages_rows // 10_000)
+    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}_f{n_files}")
     if not os.path.isdir(pages_path):
-        build_pages_df(spark, pages_rows, seed=42, rich=rich).write.mode("overwrite").parquet(
-            pages_path
-        )
+        build_pages_df(spark, pages_rows, seed=42, rich=rich).repartition(
+            n_files
+        ).write.mode("overwrite").parquet(pages_path)
 
     # Excluded-window warmup: python worker pool, parquet footers, AND the
     # OS page cache for the html column (cold-disk state would otherwise
@@ -77,6 +109,7 @@ def main() -> None:
         json.dumps(
             {
                 "cores": cores,
+                "mode": mode,
                 "pages": pages_rows,
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(pages_rows / wall, 1),

@@ -34,13 +34,12 @@ def test_queries_have_oracles_or_are_flagged(spark):
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # only hash-signature / ANN / full-pipeline queries may be rows-only
+    # Only genuinely non-SQL queries may be rows-only: simhash (banded
+    # signature joins) and IVF (k-means training). minhash/LSH-ANN/pages
+    # pipeline gained full DuckDB oracles in round 3.
     assert rows_only == {
-        "minhash_pairs",
         "simhash_pairs",
-        "ann_lsh_topk",
         "ann_ivf_topk",
-        "pages_pipeline_tiles",
     }
 
 

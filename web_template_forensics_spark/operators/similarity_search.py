@@ -67,15 +67,35 @@ def cosine_topk_bruteforce(
     )
 
 
+def lsh_plane_signs(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    """(dim, bits) Rademacher hyperplanes: sign(d, b) = +-1 from the low
+    bit of splitmix64(seed*2^32 + d*bits + b).
+
+    Rademacher (+-1) random projections are a standard sign-LSH family
+    (Achlioptas-style sparse/sign projections preserve the same angular
+    collision geometry as Gaussians). Deriving the signs from a counter
+    hash instead of a PRNG stream makes every plane component a pure
+    function of (d, b) — independently recomputable in numpy, Spark SQL
+    and DuckDB SQL, which is what puts the whole ANN query under the
+    DuckDB oracle."""
+    from ..sources.pages import splitmix64
+
+    idx = (
+        np.uint64(seed) * np.uint64(1 << 32)
+        + np.arange(dim * bits, dtype=np.uint64)
+    )
+    low = (splitmix64(idx) & np.uint64(1)).astype(np.float64)
+    return (2.0 * low - 1.0).reshape(dim, bits)
+
+
 def _sign_lsh_udf(dim: int, bits: int, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, bits))
+    planes = lsh_plane_signs(dim, bits, seed)
 
     @F.pandas_udf(T.IntegerType())
     def _bucket(vec: pd.Series) -> pd.Series:
         mat = np.stack(vec.to_numpy())  # (n, d), d <= dim
-        # slice to the batch's actual width: RandomState fills row-major,
-        # so planes[:d] is bit-identical to generating (d, bits) directly
+        # slice to the batch's actual width: signs are a pure function of
+        # (d, b), so planes[:d] is identical to generating (d, bits)
         signs = (mat @ planes[: mat.shape[1]]) > 0  # (n, bits)
         weights = (1 << np.arange(bits)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int32))

@@ -25,17 +25,24 @@ def tile_rollup(
     z: int,
     lat_col: str = "lat",
     lon_col: str = "lon",
-    weight_col: str | None = None,
+    weight_col: str | list[str] | None = None,
     salted: bool = False,
     n_salt: int = 16,
 ) -> DataFrame:
-    """-> (tile_z, tile_x, tile_y, page_count[, byte_count])."""
+    """-> (tile_z, tile_x, tile_y, page_count[, byte_count | <w>_sum...]).
+
+    A single weight column keeps the historic ``byte_count`` name; a list
+    of weight columns yields one ``<name>_sum`` per entry."""
+    if isinstance(weight_col, str):
+        weights = [(weight_col, "byte_count")]
+    else:
+        weights = [(c, f"{c}_sum") for c in (weight_col or [])]
     df = points.withColumn("tile_x", tile_ix_col(F.col(lon_col), z)).withColumn(
         "tile_y", tile_iy_col(F.col(lat_col), z)
     )
-    aggs = [F.count(F.lit(1)).alias("page_count")]
-    if weight_col:
-        aggs.append(F.sum(weight_col).alias("byte_count"))
+    aggs = [F.count(F.lit(1)).alias("page_count")] + [
+        F.sum(c).alias(n) for c, n in weights
+    ]
     if salted:
         # phase 1: partial agg on (tile, salt) bounds hot-tile reducers;
         # phase 2: tiny combine on tile alone. Note: count/sum already get
@@ -44,13 +51,13 @@ def tile_rollup(
         # pathological reducer skew; the salt itself is free
         # (spark_partition_id, no data-dependent expression).
         df = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(n_salt)))
-        partial_aggs = [F.count(F.lit(1)).alias("_pc")]
-        if weight_col:
-            partial_aggs.append(F.sum(weight_col).alias("_bc"))
+        partial_aggs = [F.count(F.lit(1)).alias("_pc")] + [
+            F.sum(c).alias(f"_w{j}") for j, (c, _) in enumerate(weights)
+        ]
         partial = df.groupBy("tile_x", "tile_y", "_salt").agg(*partial_aggs)
-        final_aggs = [F.sum("_pc").alias("page_count")]
-        if weight_col:
-            final_aggs.append(F.sum("_bc").alias("byte_count"))
+        final_aggs = [F.sum("_pc").alias("page_count")] + [
+            F.sum(f"_w{j}").alias(n) for j, (_, n) in enumerate(weights)
+        ]
         out = partial.groupBy("tile_x", "tile_y").agg(*final_aggs)
     else:
         out = df.groupBy("tile_x", "tile_y").agg(*aggs)

@@ -75,8 +75,53 @@ PROBE_MOD = 25
 NGRAM_THRESHOLD = 0.004
 
 
+_LAYOUT_CACHE: dict[str, int] = {}
+
+
+def _parquet_row_groups(path: str) -> int:
+    """Total row-group count across a local parquet file/directory (driver-
+    side footer reads, O(files)). Returns a large number on any failure so
+    callers treat the table as already-splittable."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        files = (
+            [path]
+            if _os.path.isfile(path)
+            else sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        )
+        if not files:
+            return 1 << 30
+        return sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return 1 << 30
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a catalog table, guarding scan parallelism against coarse local
+    layouts.
+
+    Parquet scans parallelize at ROW-GROUP granularity: Spark still makes
+    byte-range splits, but a split that contains no row-group start returns
+    zero rows, so a table written as one giant row group runs its whole
+    scan (and everything fused into that stage) on ONE task regardless of
+    core count. The sandbox testdata is laid out exactly like that
+    (1 file / 1 row group per table). When the footer count is below the
+    session parallelism we repartition once after the scan — a bounded
+    local shuffle on these small tables; on a real 100 TB table row groups
+    vastly outnumber cores and this is a provable no-op.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if path not in _LAYOUT_CACHE:
+        _LAYOUT_CACHE[path] = _parquet_row_groups(path)
+    parallelism = spark.sparkContext.defaultParallelism
+    if _LAYOUT_CACHE[path] < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 def _epoch_us(col_name: str):
@@ -608,9 +653,42 @@ _Q_LABEL_STATS_SQL = """
 # ---------------------------------------------------------------------------
 
 
+MINHASH_THRESHOLD = 0.8
+
+
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs at the standard 0.8 operating point.
+
+    At threshold 0.8 with 16 bands x 4 rows the per-pair miss probability
+    is (1 - J^4)^16 <= 3.8e-8 for J >= 0.9 (the corpus' near-dup pairs all
+    sit at J >= 0.9; there are none in (0.2, 0.9)), so the banded output
+    provably equals the set of ALL pairs with exact shingle-Jaccard >=
+    threshold — which is what the DuckDB oracle computes directly from
+    word-3-gram set math. Jaccard over distinct gram STRINGS equals
+    Jaccard over their distinct 64-bit hashes absent collisions (none on
+    this corpus; deterministic hashes make the check stable)."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2)
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+
+
+_Q_MINHASH_SQL = rf"""
+  WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+  g0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                 gs -> array_to_string(t[gs:gs+2], ' '))) AS gram
+    FROM toks),
+  g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE length(gram) > 0),
+  sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.n + sb.n - ni) >= {MINHASH_THRESHOLD}
+"""
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -623,9 +701,61 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH ANN top-k. Fully oracled: the Rademacher hyperplanes are a
+    pure function of (dim, bit) (operators/similarity_search.py
+    lsh_plane_signs), so DuckDB recomputes the bucket assignment, the
+    hamming<=1 multi-probe expansion, the candidate equi-join and the
+    exact re-ranking from the same spec."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0)
     return cosine_topk_lsh(probes, e, k=3, bits=8, probe_hamming=1)
+
+
+def _q_ann_lsh_sql(dim: int = 64, bits: int = 8) -> str:
+    """DuckDB replica of q_ann_lsh_topk over a ``dim``-wide embedding
+    table: hyperplane sign literals are generated from the SAME
+    (d, b) -> splitmix64 spec the Spark UDF uses (they are configuration
+    constants, like the PIP rectangle coordinates)."""
+    from ..operators.similarity_search import lsh_plane_signs
+
+    planes = lsh_plane_signs(dim, bits)  # (dim, bits) of +-1.0
+    plane_rows = ",\n      ".join(
+        "({}, [{}])".format(
+            b, ", ".join(f"{planes[d, b]:.1f}" for d in range(dim))
+        )
+        for b in range(bits)
+    )
+    flips = [0] + [1 << b for b in range(bits)]  # probe_hamming = 1
+    return f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  planes(b, s) AS (VALUES
+      {plane_rows}),
+  sb AS (
+    SELECT e.vec_id, e.v,
+           cast(sum(CASE WHEN list_dot_product(e.v, p.s) > 0
+                         THEN 1 << p.b ELSE 0 END) as bigint) AS bucket
+    FROM e, planes p GROUP BY e.vec_id, e.v),
+  pe AS (
+    SELECT vec_id, v, xor(bucket, f.f) AS bucket
+    FROM sb, (SELECT unnest({flips}) AS f) f
+    WHERE vec_id % {PROBE_MOD} = 0),
+  cand AS (
+    SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           p.v AS pv, c.v AS cv
+    FROM pe p JOIN sb c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+  scored AS (
+    SELECT probe_id, neighbor_id,
+           CASE WHEN sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)) > 0
+                THEN list_dot_product(pv, cv) /
+                     (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+                ELSE 0.0 END AS cosine
+    FROM cand),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  SELECT probe_id, neighbor_id, cast(rank as int) AS rank, round(cosine, 6) AS cosine
+  FROM ranked WHERE rank <= 3
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -641,15 +771,120 @@ def q_pages_pipeline_tiles(spark, sf_dir):
     Uses the FUSED mapInPandas path: its output columns are plan
     attributes (never re-evaluated on downstream fan-out), so no persist
     is needed — r1 used the unfused ArrowEval chain + a persist that was
-    never released."""
+    never released.
+
+    Fully oracled since round 3: the Spark side derives lat/lon by
+    PARSING the generated html (the real extract->geocode precedence),
+    while the DuckDB side re-derives the same coordinates from the
+    generator spec alone (splitmix64 counter hash + TLD anchors +
+    %.6f-formatted meta overrides) — so a hash match proves the whole
+    generate/parse/geocode/tile chain end to end. Tile weights are
+    floor(lat*1e6)/floor(lon*1e6) sums (exact integer arithmetic in both
+    engines); the byte-weighted variant stays in run_pages_pipeline."""
     from ..plans.pipeline import pages_to_geo_fused
     from ..sources.pages import build_pages_df
 
     pages = build_pages_df(spark, 2000, seed=42)
-    geo = pages_to_geo_fused(pages).filter(F.col("lat").isNotNull()).select(
-        "url", "lang", "lat", "lon", "n_bytes"
+    geo = (
+        pages_to_geo_fused(pages)
+        .filter(F.col("lat").isNotNull())
+        .select(
+            "url",
+            "lat",
+            "lon",
+            F.floor(F.col("lat") * 1e6).cast("long").alias("lat_e6"),
+            F.floor(F.col("lon") * 1e6).cast("long").alias("lon_e6"),
+        )
     )
-    return tile_rollup(geo, 5, weight_col="n_bytes", salted=True)
+    return tile_rollup(geo, 5, weight_col=["lat_e6", "lon_e6"], salted=True)
+
+
+# --- DuckDB replica of the page-generator spec (sources/pages.py) --------
+
+_SM64_T = 1 << 64  # uint64 wraparound modulus
+_SM64_C1 = 0x9E3779B97F4A7C15
+_SM64_C2 = 0xBF58476D1CE4E5B9
+_SM64_C3 = 0x94D049BB133111EB
+
+
+def _sql_mulmod64(a_expr: str, const: int) -> str:
+    """(a * const) mod 2^64 in DuckDB, via 32-bit limbs so every
+    intermediate fits HUGEINT (a full 64x64 product would overflow it)."""
+    ch, cl = const >> 32, const & 0xFFFFFFFF
+    return (
+        f"((({a_expr}) % 4294967296) * {cl} + "
+        f"(((({a_expr}) % 4294967296) * {ch} + (({a_expr}) // 4294967296) * {cl})"
+        f" % 4294967296) * 4294967296) % {_SM64_T}"
+    )
+
+
+def _sql_xorshift(col: str, shift: int) -> str:
+    """col XOR (col >> shift) for values < 2^64 held in HUGEINT."""
+    return (
+        f"xor(({col})::UBIGINT, (({col}) // {1 << shift})::UBIGINT)::HUGEINT"
+    )
+
+
+def _sm64_ctes(tag: str, src: str, in_expr: str, out_col: str) -> tuple[str, str]:
+    """CTE chain computing out_col = splitmix64(in_expr) over CTE ``src``.
+
+    Staged through named columns so the 32-bit-limb multiply expressions
+    reference columns, not nested copies of themselves (a single inlined
+    expression would blow up combinatorially)."""
+    a, b, c = f"_sm_{tag}_a", f"_sm_{tag}_b", f"_sm_{tag}_c"
+    ctes = f"""
+  {a} AS (SELECT *, (({in_expr})::HUGEINT + {_SM64_C1}) % {_SM64_T} AS z FROM {src}),
+  {b} AS (SELECT * EXCLUDE (z), {_sql_mulmod64(_sql_xorshift('z', 30), _SM64_C2)} AS z FROM {a}),
+  {c} AS (SELECT * EXCLUDE (z), {_sql_mulmod64(_sql_xorshift('z', 27), _SM64_C3)} AS z FROM {b}),
+  _sm_{tag} AS (SELECT * EXCLUDE (z), {_sql_xorshift('z', 31)} AS {out_col} FROM {c})"""
+    return ctes, f"_sm_{tag}"
+
+
+def _q_pages_tiles_sql(n_pages: int = 2000, seed: int = 42, z: int = 5) -> str:
+    from ..sources.pages import _TLD_DRAW, _TLDS, TLD_ANCHORS
+
+    anchor_rows = ",\n      ".join(
+        f"({d}, '{_TLDS[t]}', {TLD_ANCHORS[_TLDS[t]][0]!r}, {TLD_ANCHORS[_TLDS[t]][1]!r})"
+        for d, t in enumerate(_TLD_DRAW)
+    )
+    seed_base = seed * 0x100000001
+    sm1, sm1_name = _sm64_ctes("hk", "keys", f"{seed_base} + key", "hk")
+    sm2, sm2_name = _sm64_ctes("hj", "hosts", "host_id", "hj")
+    ix = tile_ix_sql("lon", z)
+    iy = tile_iy_sql("lat", z)
+    return f"""
+  WITH ids AS (SELECT range AS i FROM range(0, {n_pages})),
+  keys AS (
+    SELECT i, CASE WHEN i % 13 = 7 AND i > 0 THEN i - 1 ELSE i END AS key
+    FROM ids),{sm1},
+  hosts AS (
+    SELECT *, CASE WHEN key % 5 <> 0 THEN hk % 100000 ELSE hk % 500 END AS host_id
+    FROM {sm1_name}),{sm2},
+  anchors(draw, tld, a_lat, a_lon) AS (VALUES
+      {anchor_rows}),
+  geo AS (
+    SELECT h.i,
+           CASE WHEN h.hk % 10 = 3
+                THEN format('{{:.6f}}', (h.hk % 160001) / 1000.0 - 80.0)::DOUBLE
+                ELSE a.a_lat + ((h.hj % 4001) - 2000) / 1000.0
+           END AS lat,
+           CASE WHEN h.hk % 10 = 3
+                THEN format('{{:.6f}}', ((h.hk // 1024) % 359001) / 1000.0 - 179.5)::DOUBLE
+                ELSE CASE
+                  WHEN a.a_lon + (((h.hj // 4096) % 8001) - 4000) / 1000.0 >= 180.0
+                    THEN a.a_lon + (((h.hj // 4096) % 8001) - 4000) / 1000.0 - 360.0
+                  WHEN a.a_lon + (((h.hj // 4096) % 8001) - 4000) / 1000.0 < -180.0
+                    THEN a.a_lon + (((h.hj // 4096) % 8001) - 4000) / 1000.0 + 360.0
+                  ELSE a.a_lon + (((h.hj // 4096) % 8001) - 4000) / 1000.0
+                END
+           END AS lon
+    FROM {sm2_name} h JOIN anchors a ON a.draw = h.hk % 20)
+  SELECT {z} AS tile_z, {ix} AS tile_x, {iy} AS tile_y,
+         count(*) AS page_count,
+         cast(sum(floor(lat * 1e6)) as bigint) AS lat_e6_sum,
+         cast(sum(floor(lon * 1e6)) as bigint) AS lon_e6_sum
+  FROM geo GROUP BY 2, 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -704,6 +939,9 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _Q_NGRAM_SQL,
     "embedding_topk": _Q_EMB_TOPK_SQL,
     "label_stats": _Q_LABEL_STATS_SQL,
+    "minhash_pairs": _Q_MINHASH_SQL,
+    "ann_lsh_topk": _q_ann_lsh_sql(),
+    "pages_pipeline_tiles": _q_pages_tiles_sql(),
 }
 
 

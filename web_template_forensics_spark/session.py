@@ -18,18 +18,24 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     cores=None -> ``local[*]``. Shuffle partitions default to the core count:
     on a real cluster this is overridden to ~2-3x total executor cores; AQE
     coalesces downward at runtime either way.
+
+    ``master`` overrides the master URL entirely (e.g.
+    ``local-cluster[N,1,mem]`` for the multi-JVM scaling protocol, where
+    each executor is a separate JVM — the sandbox proxy for N executors);
+    ``cores`` then only sizes the shuffle-partition default.
     """
     cores_s = "*" if cores is None else str(cores)
     effective_cores = cores if cores is not None else (os.cpu_count() or 8)
     n_shuffle = shuffle_partitions or effective_cores
     builder = (
-        SparkSession.builder.master(f"local[{cores_s}]")
+        SparkSession.builder.master(master or f"local[{cores_s}]")
         .appName(app_name)
         # AQE: runtime coalescing + skew-join splitting (north rule names it).
         .config("spark.sql.adaptive.enabled", "true")
