@@ -5,9 +5,12 @@ thin adapter. ``queries()`` covers the operator inventory of SURVEY.md §2
 (relational core, WGQ cells/tiles, PIP + kNN spatial joins, the oracle
 text-extraction invariant, crawl dedup, class extraction, text analysis,
 exact/LSH dedup, embedding similarity search); ``oracle_sql()`` holds the
-DuckDB-recomputable counterpart for every SQL-expressible query. The
-hash-signature queries (minhash/simhash/LSH-ANN) and the full pages
-pipeline are rows-only by design.
+DuckDB-recomputable counterpart for every SQL-expressible query —
+including (since round 3) minhash_pairs (exact word-3-gram set math),
+ann_lsh_topk (hash-derived Rademacher hyperplanes recomputed in SQL) and
+pages_pipeline_tiles (the generator+geocode spec re-derived via a
+splitmix64 CTE chain). Only simhash_pairs (banded signature joins) and
+ann_ivf_topk (k-means training) remain rows-only by design.
 """
 
 from __future__ import annotations

@@ -67,10 +67,24 @@ def main() -> None:
 
     cpus_requested = cpus
     jvm_pathology = False
-    if cpus > 8 and os.environ.get("SPARK_GRAFT_SKIP_PROBE") != "1":
-        cpus, jvm_pathology = _healthy_core_count(get_spark, cpus)
-
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "threads")
+    if mode == "cluster":
+        # N separate one-core executor JVMs (the scaling protocol's
+        # substrate, BENCH/scaling.py) — immune to the single-JVM
+        # thread-scaling pathology, so no probe/fallback needed.
+        master = f"local-cluster[{cpus},1,3072]"
+        extra = {
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+            "spark.driver.memory": "8g",
+        }
+        spark = get_spark(
+            "bench", cores=cpus, shuffle_partitions=max(cpus, 8),
+            master=master, extra_conf=extra,
+        )
+    else:
+        if cpus > 8 and os.environ.get("SPARK_GRAFT_SKIP_PROBE") != "1":
+            cpus, jvm_pathology = _healthy_core_count(get_spark, cpus)
+        spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
     # Warm the Python worker pool (parallel cold imports of pandas/numpy in
     # every worker dominate the first Arrow-UDF action; the measurement
@@ -117,12 +131,17 @@ def main() -> None:
 
     rich = int(os.environ.get("SPARK_GRAFT_PAGE_RICH", "8"))
     repo = os.path.dirname(os.path.abspath(__file__))
-    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}")
+    # Fine-grained layout (shared cache with BENCH/scaling.py): parquet
+    # scans parallelize at row-group granularity, and the r1/r2 bench
+    # inputs (a couple of giant row groups) silently serialized the parse
+    # stage onto 1-8 tasks regardless of core count.
+    n_files = max(32, pages_rows // 10_000)
+    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}_f{n_files}")
     if not os.path.isdir(pages_path):
         print(f"# generating {pages_rows} pages to {pages_path}", file=sys.stderr)
-        build_pages_df(spark, pages_rows, seed=42, rich=rich).write.mode("overwrite").parquet(
-            pages_path
-        )
+        build_pages_df(spark, pages_rows, seed=42, rich=rich).repartition(
+            n_files
+        ).write.mode("overwrite").parquet(pages_path)
 
     sink = tempfile.mkdtemp(prefix="bench_sink_")
     try:
@@ -156,6 +175,7 @@ def main() -> None:
                 "cpus": cpus,
                 "cpus_requested": cpus_requested,
                 "jvm_thread_pathology": jvm_pathology,
+                "mode": mode,
             }
         )
     )

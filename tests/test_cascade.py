@@ -158,7 +158,7 @@ def test_cascade_oracle_sql_roundtrip():
 
     con = duckdb.connect()
     sqls = cascade_oracle_sql()
-    assert len(sqls) == 14  # 13 cascade/comparator + forensic_pairs (E2)
+    assert len(sqls) == 15  # 14 cascade/comparator + forensic_pairs (E2)
     df = con.execute(sqls["match_cascade"]).df()
     assert len(df) == len(replay_cascade(project_pair_rows())["matched_rows"])
     assert con.execute(sqls["cascade_overall_similarity"]).df().shape == (1, 3)
@@ -202,6 +202,33 @@ def test_capable_structure_match_and_jsx_normalize(spark):
         ).collect()
     }
     assert got == {("a.html", "c.html"): 1.0, ("b.html", "d.html"): 1.0}
+
+    # banded prefilter (the default): same greedy output as the full
+    # cross product, and the plan has NO cartesian product — the
+    # candidate join is a size-band equi-join
+    big = "<body>" + "".join(f"<div><p>s{i}</p></div>" for i in range(12)) + "</body>"
+    l2 = spark.createDataFrame(
+        [("a.html", multi), ("b.html", single), ("e.html", big)],
+        "path string, content string",
+    )
+    r2 = spark.createDataFrame(
+        [("c.html", multi), ("d.html", single), ("f.html", big + "<p>x</p>")],
+        "path string, content string",
+    )
+    banded = structure_match_scores(l2, r2, "html", prefilter="banded")
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    greedy_banded = {
+        (m.left_key, m.right_key): m.score
+        for m in greedy_similarity_match(banded, threshold=0.5).collect()
+    }
+    greedy_all = {
+        (m.left_key, m.right_key): m.score
+        for m in greedy_similarity_match(
+            structure_match_scores(l2, r2, "html", prefilter="all_pairs"), threshold=0.5
+        ).collect()
+    }
+    assert greedy_banded == greedy_all and ("e.html", "f.html") in greedy_banded
 
     # attribute renames + camelCase->kebab style mapping
     assert camel_to_kebab("backgroundColor") == "background-color"

@@ -89,3 +89,48 @@ def test_tailwind_config_similarity():
 def test_jaccard_empty_rule():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({"a"}, set()) == 0.0
+
+
+def test_parse_tailwind_config_text_parity():
+    """The tolerant JS-object-literal reader produces the SAME dict the
+    reference's Node eval (tailwind_analyzer.py:111-124) would print for
+    literal configs: unquoted keys, single quotes, trailing commas,
+    comments; non-literal values (require(...)) survive as raw text."""
+    from web_template_forensics_spark.fixtures.project_pairs import (
+        tailwind_config_file_fixtures,
+    )
+    from web_template_forensics_spark.oracle.config_oracle import (
+        parse_tailwind_config_text,
+        tailwind_config_similarity,
+    )
+
+    a, b = tailwind_config_file_fixtures()
+    da = parse_tailwind_config_text(a)
+    # node -e "console.log(JSON.stringify(require(a)))" output for the
+    # literal part (plugins would eval to plugin objects; we keep raw text)
+    assert da["theme"] == {
+        "extend": {
+            "colors": {"brand": "#123456", "accent": "#abcdef"},
+            "spacing": {"18": "4.5rem"},
+            "fontSize": {"xxs": "0.6rem"},
+        }
+    }
+    assert da["content"] == ["./src/**/*.{js,jsx}"]
+    assert da["plugins"] == ["require('@tailwindcss/forms')"]
+
+    db = parse_tailwind_config_text(b)  # export default form
+    assert db["theme"]["extend"]["screens"] == {"3xl": "1920px"}
+    assert db["plugins"] == []
+
+    # C20 over the parsed pair: shared keys colors+spacing, only-in sides
+    r = tailwind_config_similarity(da, db)
+    assert r["key_jaccard_similarity"] == 0.5  # {colors,spacing}/{4 keys}
+    assert r["per_extension_similarity"]["colors"] == 1 / 3
+    assert r["per_extension_similarity"]["spacing"] == 0.5
+
+    # degradations: no export -> {}, numbers/booleans/nested arrays
+    assert parse_tailwind_config_text("const x = 1") == {}
+    d = parse_tailwind_config_text(
+        "module.exports = { a: 1, b: -2.5, c: true, d: null, e: [1, 'x', [2]], }"
+    )
+    assert d == {"a": 1, "b": -2.5, "c": True, "d": None, "e": [1, "x", [2]]}

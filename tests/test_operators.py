@@ -512,3 +512,26 @@ def test_cosine_topk_ivf_recall(spark):
     assert set(map(tuple, full[["probe_id", "neighbor_id"]].values)) == set(
         map(tuple, exact[["probe_id", "neighbor_id"]].values)
     )
+
+
+def test_cosine_topk_ivf_layout_invariant(spark):
+    """r3 determinism fix: the k-means training sample is orderBy(id) +
+    limit, so the IVF output no longer depends on the input's partition
+    layout (bare ``limit`` picked whatever partitions arrived first)."""
+    from web_template_forensics_spark.operators.similarity_search import (
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((120, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(120), "embedding": [v.tolist() for v in vecs]})
+    df1 = spark.createDataFrame(pdf).repartition(1)
+    df2 = spark.createDataFrame(pdf).repartition(13, "vec_id")
+    probes1 = df1.filter(F.col("vec_id") < 10)
+    out1 = cosine_topk_ivf(probes1, df1, k=3, n_lists=6, n_probe=2, sample_rows=64)
+    out2 = cosine_topk_ivf(
+        df2.filter(F.col("vec_id") < 10), df2, k=3, n_lists=6, n_probe=2, sample_rows=64
+    )
+    rows1 = sorted(map(tuple, out1.toPandas().values.tolist()))
+    rows2 = sorted(map(tuple, out2.toPandas().values.tolist()))
+    assert rows1 == rows2

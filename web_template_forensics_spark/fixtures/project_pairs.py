@@ -172,6 +172,43 @@ def project_pair_rows(seed: int = 42) -> list[tuple[str, str, str, str]]:
     return sorted(rows, key=lambda r: (r[0], r[1]))
 
 
+def tailwind_config_file_fixtures() -> tuple[str, str]:
+    """A pair of tailwind.config.js SOURCE TEXTS (the reference's actual
+    input, evaluated there via Node — tailwind_analyzer.py:111-124).
+    Deliberately exercises the JS-isms the tolerant reader must survive:
+    comments, unquoted keys, single quotes, trailing commas, a require()
+    plugin entry (kept as raw text; outside the theme so C20 semantics
+    are Node-identical)."""
+    a = """
+// site A tailwind config
+module.exports = {
+  content: ['./src/**/*.{js,jsx}'],
+  theme: {
+    extend: {
+      colors: { brand: '#123456', accent: "#abcdef" }, /* brand palette */
+      spacing: { '18': '4.5rem', },
+      fontSize: { xxs: '0.6rem' },
+    },
+  },
+  plugins: [require('@tailwindcss/forms')],
+}
+"""
+    b = """
+export default {
+  content: ['./src/**/*.{js,jsx}'],
+  theme: {
+    extend: {
+      colors: { brand: '#123456', muted: '#999999' },
+      spacing: { '18': '4.5rem', '22': '5.5rem' },
+      screens: { '3xl': '1920px' },
+    },
+  },
+  plugins: [],
+}
+"""
+    return a, b
+
+
 def config_fixtures(seed: int = 42) -> dict:
     """Config-file pairs for C20-C22 (parsed-dict form, per SURVEY §2.1 S6)."""
     return {

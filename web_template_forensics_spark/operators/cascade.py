@@ -172,12 +172,18 @@ def config_score_udf(kind: pd.Series, j1: pd.Series, j2: pd.Series) -> pd.Series
     but the compare itself runs distributed for the many-project case)."""
     from ..oracle.config_oracle import (
         package_json_similarity,
+        parse_tailwind_config_text,
         tailwind_config_similarity,
         tsconfig_json_similarity,
     )
 
     out = []
     for k, a, b in zip(kind, j1, j2):
+        if k == "tailwind_config_file":
+            # raw tailwind.config.js source -> dict (no Node) -> C20
+            d1, d2 = parse_tailwind_config_text(a), parse_tailwind_config_text(b)
+            out.append(tailwind_config_similarity(d1, d2)["improved_config_similarity"])
+            continue
         d1, d2 = json.loads(a), json.loads(b)
         if k == "tailwind_config":
             out.append(tailwind_config_similarity(d1, d2)["improved_config_similarity"])
@@ -642,6 +648,22 @@ def single_pair_overall_expr(h, j, s) -> F.Column:
     tw = wh + wj + ws
     num = h * wh + j * wj + s * ws
     return F.when(tw > 0, num / tw).otherwise(F.lit(0.0))
+
+
+def app_overall_expr(h, j, c) -> F.Column:
+    """E2's /analyze overall (web/app.py:248-259) as a pure SQL expression:
+    plain mean of the NONZERO scores over html/jsx/css (no weights)."""
+    n = (
+        F.when(h > 0, F.lit(1)).otherwise(F.lit(0))
+        + F.when(j > 0, F.lit(1)).otherwise(F.lit(0))
+        + F.when(c > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    num = (
+        F.when(h > 0, h).otherwise(F.lit(0.0))
+        + F.when(j > 0, j).otherwise(F.lit(0.0))
+        + F.when(c > 0, c).otherwise(F.lit(0.0))
+    )
+    return F.when(n > 0, num / n).otherwise(F.lit(0.0))
 
 
 def jsx_combined_expr(structure, callgraph, body) -> F.Column:

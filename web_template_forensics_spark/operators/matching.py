@@ -252,6 +252,8 @@ def structure_match_scores(
     filetype: str,
     path_col: str = "path",
     content_col: str = "content",
+    prefilter: str = "banded",
+    threshold: float = 0.5,
 ) -> DataFrame:
     """Capable J3 (ENGINE EXTENSION): candidate scores for structure
     matching with the node-count guard working as the reference INTENDED
@@ -259,11 +261,29 @@ def structure_match_scores(
     quirks Q9-Q11; the cascade operator replicates those, this one fixes
     them). Feed into greedy_similarity_match(threshold=0.5).
 
-    Candidates are the full remainder cross product (the reference
-    semantic); at scale, prefilter with tree_signature_udf equi-buckets
-    (SURVEY §4.2 'candidate pruning') before scoring.
+    prefilter="banded" (default, the 100 TB shape): candidates come from
+    a size-band EQUI-join, never a cross product. Rationale: the
+    comparator scores every unmatched sibling subtree 0, so when size
+    difference shows up as extra/missing SIBLINGS (the template shape —
+    sections, list items, table rows), a pair can only reach the 0.5
+    threshold if tree sizes are within ~2x, i.e. within one
+    floor(log2(n)) band. The left side probes its own band and both
+    neighbors (explode x3), the right keys on its band, and the join is
+    a plain equi-join whose fan-out is bounded by the band populations.
+    Caveat (documented, not hidden): alignment counts SUBTREES, so a
+    degenerate single-child chain can hide many nodes behind one 0-entry
+    and score >= 0.5 across bands — use prefilter="all_pairs" when
+    exact recall over adversarial tree shapes matters.
+
+    prefilter="all_pairs" is the oracle-fidelity mode (the reference
+    literally scores the full remainder cross product,
+    file_matcher.py:131-183) — every pair gets a score row, including
+    sub-threshold ones.
     """
-    from ..functions.similarity_udfs import guarded_structure_score_udf
+    from ..functions.similarity_udfs import (
+        guarded_structure_score_udf,
+        structure_size_udf,
+    )
 
     l = left.select(
         F.col(path_col).alias("left_key"), F.col(content_col).alias("_c1")
@@ -271,7 +291,25 @@ def structure_match_scores(
     r = right.select(
         F.col(path_col).alias("right_key"), F.col(content_col).alias("_c2")
     )
-    return l.crossJoin(r).select(
+    if prefilter == "banded":
+        band = lambda n: F.floor(F.log2(F.greatest(n, F.lit(1.0))))  # noqa: E731
+        lb = l.withColumn(
+            "_n", structure_size_udf(F.lit(filetype), "_c1").cast("double")
+        ).withColumn(
+            "_band",
+            F.explode(
+                F.array(band(F.col("_n")) - 1, band(F.col("_n")), band(F.col("_n")) + 1)
+            ),
+        )
+        rb = r.withColumn(
+            "_band", band(structure_size_udf(F.lit(filetype), "_c2").cast("double"))
+        )
+        pairs = lb.join(rb, "_band")
+    elif prefilter == "all_pairs":
+        pairs = l.crossJoin(r)
+    else:
+        raise ValueError(f"unknown prefilter mode: {prefilter!r}")
+    return pairs.select(
         "left_key",
         "right_key",
         guarded_structure_score_udf(F.lit(filetype), "_c1", "_c2").alias("score"),

@@ -207,8 +207,18 @@ def cosine_topk_ivf(
 
     Recall rises with n_probe (n_probe = n_lists degenerates to exact).
     """
+    # Deterministic sample: ``limit`` without an ordering is
+    # partition-layout-dependent, which made the trained centroids (and so
+    # the rows-only output) vary under input repartitioning. Ordering by
+    # id before the limit pins the sample; the sort is bounded by the
+    # TakeOrderedAndProject operator (top-N per partition + driver merge),
+    # still O(sample) driver-side.
     sample = np.stack(
-        corpus.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_numpy()
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+        .to_numpy()
     ).astype(np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

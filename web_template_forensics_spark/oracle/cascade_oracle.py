@@ -441,6 +441,14 @@ def single_pair_overall(html_sim: float, jsx_sim: float, js_sim: float) -> float
     return sum(s * (w / tw) for s, w in zip(scores, weights))
 
 
+def app_overall(html_sim: float, jsx_sim: float, css_sim: float) -> float:
+    """E2's /analyze overall (web/app.py:248-259) — the THIRD coexisting
+    overall formula (SURVEY Q4): the plain MEAN of the performed (nonzero)
+    similarity scores, over html/jsx/CSS (not js), no weights."""
+    scores = [s for s in (html_sim, jsx_sim, css_sim) if s > 0]
+    return sum(scores) / len(scores) if scores else 0.0
+
+
 def jsx_combined(structure_sim: float, callgraph_sim: float, body_sim: float) -> float:
     """A8 (forensic_analyzer.py:116): 0.6/0.2/0.2."""
     return structure_sim * 0.6 + callgraph_sim * 0.2 + body_sim * 0.2

@@ -251,3 +251,185 @@ def tailwind_config_similarity(cfg1: dict, cfg2: dict) -> dict:
         "only_in_user_config": sorted(k2 - k1),
         "improved_config_similarity": sum(all_sims) / len(all_sims),
     }
+
+
+# --------------------------------------------------------------------------
+# tailwind.config.js FILE -> dict (round-3 source closing the S6 gap)
+# --------------------------------------------------------------------------
+#
+# The reference turns the config file into a dict by evaluating it in a
+# Node subprocess (core/tailwind_analyzer.py:111-124: `require(path)` +
+# JSON.stringify). That is the per-row-side-process anti-pattern SURVEY
+# §2.1 S6 flags, and Node is absent here anyway — so this is a small
+# TOLERANT reader for the JS-object-literal subset real tailwind configs
+# are written in: unquoted keys, single/double/backtick strings, numbers,
+# booleans, null/undefined, nested objects/arrays, trailing commas, //
+# and /* */ comments, `module.exports = {...}` or `export default {...}`.
+# Non-literal values (require(...), identifiers, arrow functions) are
+# preserved as their raw source text — C20 only consumes the theme
+# extensions, which are literal in practice; Node's eval would expand
+# plugin objects, a divergence we document rather than hide.
+
+
+class _JsLiteralParser:
+    def __init__(self, src: str) -> None:
+        self.s = src
+        self.i = 0
+        self.n = len(src)
+
+    # -- lexical helpers ---------------------------------------------------
+    def _ws(self) -> None:
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif self.s.startswith("//", self.i):
+                j = self.s.find("\n", self.i)
+                self.i = self.n if j < 0 else j + 1
+            elif self.s.startswith("/*", self.i):
+                j = self.s.find("*/", self.i + 2)
+                self.i = self.n if j < 0 else j + 2
+            else:
+                return
+
+    def _string(self) -> str:
+        quote = self.s[self.i]
+        self.i += 1
+        out = []
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c == "\\" and self.i + 1 < self.n:
+                nxt = self.s[self.i + 1]
+                out.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                self.i += 2
+            elif c == quote:
+                self.i += 1
+                return "".join(out)
+            else:
+                out.append(c)
+                self.i += 1
+        return "".join(out)  # unterminated: tolerate
+
+    def _raw_until_delim(self) -> str:
+        """Consume a non-literal value (require(...), identifier, arrow fn)
+        up to the next , } ] at nesting depth 0; returns the raw source."""
+        start = self.i
+        depth = 0
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c in "'\"`":
+                self._string()
+                continue
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            self.i += 1
+        return self.s[start : self.i].strip()
+
+    # -- grammar -----------------------------------------------------------
+    def value(self):
+        self._ws()
+        if self.i >= self.n:
+            return None
+        c = self.s[self.i]
+        if c == "{":
+            return self.obj()
+        if c == "[":
+            return self.arr()
+        if c in "'\"`":
+            return self._string()
+        m = re.match(r"-?\d+(?:\.\d+)?(?![\w$])", self.s[self.i :])
+        if m:
+            self.i += m.end()
+            txt = m.group(0)
+            return float(txt) if "." in txt else int(txt)
+        m = re.match(r"(true|false|null|undefined)(?![\w$])", self.s[self.i :])
+        if m:
+            self.i += m.end()
+            return {"true": True, "false": False}.get(m.group(1))
+        raw = self._raw_until_delim()
+        # bare identifier that is really a literal-ish alias? keep raw text
+        return raw
+
+    def obj(self) -> dict:
+        assert self.s[self.i] == "{"
+        self.i += 1
+        out: dict = {}
+        while True:
+            self._ws()
+            if self.i >= self.n:
+                return out
+            if self.s[self.i] == "}":
+                self.i += 1
+                return out
+            if self.s[self.i] == ",":
+                self.i += 1
+                continue
+            # key: identifier | string | number | [computed]
+            if self.s[self.i] in "'\"`":
+                key = self._string()
+            elif self.s[self.i] == "[":
+                depth, start = 0, self.i
+                while self.i < self.n:
+                    if self.s[self.i] == "[":
+                        depth += 1
+                    elif self.s[self.i] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            self.i += 1
+                            break
+                    self.i += 1
+                key = self.s[start : self.i]
+            else:
+                m = re.match(r"[\w$.-]+", self.s[self.i :])
+                if not m:  # tolerate garbage: skip a char
+                    self.i += 1
+                    continue
+                key = m.group(0)
+                self.i += m.end()
+            self._ws()
+            if self.i < self.n and self.s[self.i] == ":":
+                self.i += 1
+                out[key] = self.value()
+            else:
+                out[key] = key  # shorthand property {a,} -> raw name
+        return out
+
+    def arr(self) -> list:
+        assert self.s[self.i] == "["
+        self.i += 1
+        out: list = []
+        while True:
+            self._ws()
+            if self.i >= self.n:
+                return out
+            if self.s[self.i] == "]":
+                self.i += 1
+                return out
+            if self.s[self.i] == ",":
+                self.i += 1
+                continue
+            out.append(self.value())
+
+
+def parse_tailwind_config_text(src: str) -> dict:
+    """tailwind.config.js source text -> config dict (no Node).
+
+    Finds the exported object (`module.exports = {` / `export default {`)
+    and parses the JS object literal tolerantly; returns {} when no
+    exported object is found (mirroring the reference's {'error': ...}
+    degradation, tailwind_analyzer.py:122-124)."""
+    m = re.search(r"(?:module\.exports\s*=|export\s+default)\s*", src)
+    if not m:
+        return {}
+    p = _JsLiteralParser(src)
+    p.i = m.end()
+    p._ws()
+    if p.i >= p.n or p.s[p.i] != "{":
+        return {}
+    return p.obj()

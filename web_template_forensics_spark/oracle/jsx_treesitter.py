@@ -36,12 +36,39 @@ import os
 import zipfile
 from typing import Any
 
-_REFERENCE_DIR = "/root/reference"
-_WHEEL = os.path.join(
-    _REFERENCE_DIR, "wheels", "tree_sitter-0.20.1-cp311-cp311-linux_x86_64.whl"
+# Third-party binary resolution (tree-sitter runtime wheel + compiled
+# tsx/ts/js grammar). Preference order keeps the engine self-contained:
+#   1. SPARK_GRAFT_TS_WHEEL / SPARK_GRAFT_TS_GRAMMAR env vars (cluster
+#      deploys point these at artifacts shipped next to --py-files),
+#   2. the machine-local vendor cache under <repo>/.vendor/,
+#   3. the sandbox-only fallback checkout (absent on a real cluster).
+# The regex-parser fallback keeps every query runnable with none of them.
+_VENDOR_ROOT = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", ".vendor")
 )
-_GRAMMAR_SO = os.path.join(_REFERENCE_DIR, "prebuilt", "ubuntu-latest", "my-languages.so")
-_VENDOR_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".vendor", "tree_sitter_wheel")
+_VENDOR_DIR = os.path.join(_VENDOR_ROOT, "tree_sitter_wheel")
+_FALLBACK_DIR = os.environ.get("SPARK_GRAFT_TS_FALLBACK_DIR", "/root/reference")
+
+
+def _resolve(env_key: str, vendor_path: str, fallback_path: str) -> str:
+    for p in (os.environ.get(env_key, ""), vendor_path, fallback_path):
+        if p and os.path.exists(p):
+            return p
+    return ""
+
+
+_WHEEL = _resolve(
+    "SPARK_GRAFT_TS_WHEEL",
+    os.path.join(_VENDOR_ROOT, "tree_sitter-0.20.1-cp311-cp311-linux_x86_64.whl"),
+    os.path.join(
+        _FALLBACK_DIR, "wheels", "tree_sitter-0.20.1-cp311-cp311-linux_x86_64.whl"
+    ),
+)
+_GRAMMAR_SO = _resolve(
+    "SPARK_GRAFT_TS_GRAMMAR",
+    os.path.join(_VENDOR_ROOT, "my-languages.so"),
+    os.path.join(_FALLBACK_DIR, "prebuilt", "ubuntu-latest", "my-languages.so"),
+)
 
 _FUNC_TYPES = (
     "function_declaration",

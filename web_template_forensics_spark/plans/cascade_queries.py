@@ -50,10 +50,18 @@ def _mwc(spark: SparkSession) -> DataFrame:
 
 
 def _config_rows() -> list[tuple[str, str, str]]:
-    return [
+    from ..fixtures.project_pairs import tailwind_config_file_fixtures
+
+    rows = [
         (kind, json.dumps(a, sort_keys=True), json.dumps(b, sort_keys=True))
         for kind, (a, b) in sorted(config_fixtures().items())
     ]
+    # from-FILE row: raw tailwind.config.js source texts; the score UDF
+    # runs the tolerant JS-object-literal reader before C20 (the no-Node
+    # replacement for the reference's subprocess eval)
+    fa, fb = tailwind_config_file_fixtures()
+    rows.append(("tailwind_config_file", fa, fb))
+    return rows
 
 
 def config_df(spark: SparkSession) -> DataFrame:
@@ -93,8 +101,10 @@ def _replay():
 
 @lru_cache(maxsize=1)
 def _config_scores_py() -> dict[str, float]:
+    from ..fixtures.project_pairs import tailwind_config_file_fixtures
     from ..oracle.config_oracle import (
         package_json_similarity,
+        parse_tailwind_config_text,
         tailwind_config_similarity,
         tsconfig_json_similarity,
     )
@@ -103,8 +113,13 @@ def _config_scores_py() -> dict[str, float]:
     pkg, _ = package_json_similarity(*cfg["package_json"])
     ts, _ = tsconfig_json_similarity(*cfg["tsconfig_json"])
     tw = tailwind_config_similarity(*cfg["tailwind_config"])["improved_config_similarity"]
+    fa, fb = tailwind_config_file_fixtures()
+    twf = tailwind_config_similarity(
+        parse_tailwind_config_text(fa), parse_tailwind_config_text(fb)
+    )["improved_config_similarity"]
     return {
         "tailwind_config": tw,
+        "tailwind_config_file": twf,
         "package_json": 0.0 if pkg is None else pkg,
         "tsconfig_json": ts,
     }
@@ -332,47 +347,123 @@ def sql_config_scores() -> str:
     return _values_sql(rows, ["kind", "score"], [_s, _d])
 
 
+_MANY_PAIR_SEEDS = (42, 43, 44)
+
+
+def q_match_cascade_many(spark, sf_dir):
+    """The MANY-pairs cascade as ONE grouped dataflow (cascade.py
+    cascade_reports_per_pair): three differently-seeded project pairs run
+    the whole E1 lifecycle per pair_id in a single applyInPandas pass —
+    no cross-pair shuffle, linear in pairs (the embarrassingly-parallel
+    claim, now under the driver's oracle and not just pytest)."""
+    rows = []
+    for pid, seed in enumerate(_MANY_PAIR_SEEDS):
+        rows += [(pid, *r) for r in project_pair_rows(seed=seed)]
+    df = spark.createDataFrame(rows, "pair_id long, " + _FILES_SCHEMA)
+    rep = C.cascade_reports_per_pair(df)
+    rnd = C.py_round_udf(6)
+    return rep.select(
+        "pair_id",
+        rnd(F.col("overall_similarity")).alias("overall_similarity"),
+        "total_files",
+        "prediction",
+        rnd(F.col("html_score")).alias("html_score"),
+        rnd(F.col("css_score")).alias("css_score"),
+        rnd(F.col("jsx_score")).alias("jsx_score"),
+        rnd(F.col("js_score")).alias("js_score"),
+        rnd(F.col("tailwind_class_similarity")).alias("tailwind_class_similarity"),
+        "files_matched",
+        "files_unmatched",
+    )
+
+
+def sql_match_cascade_many() -> str:
+    from ..oracle.cascade_oracle import replay_cascade
+
+    rows = []
+    for pid, seed in enumerate(_MANY_PAIR_SEEDS):
+        rep = replay_cascade(project_pair_rows(seed=seed))
+        per = rep["per_type"]
+        rows.append(
+            (
+                pid,
+                round(rep["overall_similarity"], 6),
+                rep["total_files"],
+                rep["overall_prediction"],
+                round(per["html"]["aggregate_score"], 6),
+                round(per["css"]["aggregate_score"], 6),
+                round(per["jsx"]["aggregate_score"], 6),
+                round(per["js"]["aggregate_score"], 6),
+                round(rep["tailwind_aggregate"]["class_similarity"], 6),
+                sum(v["files_matched"] for v in per.values()),
+                sum(v["files_unmatched"] for v in per.values()),
+            )
+        )
+    ib = lambda v: _i(v, "BIGINT")  # noqa: E731
+    return _values_sql(
+        rows,
+        [
+            "pair_id", "overall_similarity", "total_files", "prediction",
+            "html_score", "css_score", "jsx_score", "js_score",
+            "tailwind_class_similarity", "files_matched", "files_unmatched",
+        ],
+        [ib, _d, ib, _s, _d, _d, _d, _d, _d, ib, ib],
+    )
+
+
 def q_single_pair_overall(spark, sf_dir):
-    """A7 over the per-filetype aggregate scores: all 8 zero-masks of
-    (html, jsx, js) exercise the nonzero-renormalization."""
+    """A7 AND E2's app-level overall over the per-filetype aggregate
+    scores: all 16 zero-masks of (html, jsx, js, css) exercise A7's
+    nonzero-renormalization (0.3/0.3/0.4 over html/jsx/js) next to the
+    /analyze formula (plain mean of nonzero html/jsx/css,
+    web/app.py:248-259) — SURVEY Q4's three coexisting formulas, the
+    third pinned since round 3."""
     agg = C.filetype_aggregates(fixture_files(spark), _mwc(spark)).select(
         "filetype", "aggregate_score"
     )
     one = (
         agg.groupBy()
-        .pivot("filetype", ["html", "jsx", "js"])
+        .pivot("filetype", ["html", "jsx", "js", "css"])
         .agg(F.first("aggregate_score"))
     )
-    masks = spark.createDataFrame([(m,) for m in range(8)], "case_id int")
+    masks = spark.createDataFrame([(m,) for m in range(16)], "case_id int")
     g = one.crossJoin(masks)
     h = F.when(F.col("case_id").bitwiseAND(1) > 0, F.col("html")).otherwise(F.lit(0.0))
     j = F.when(F.col("case_id").bitwiseAND(2) > 0, F.col("jsx")).otherwise(F.lit(0.0))
     s = F.when(F.col("case_id").bitwiseAND(4) > 0, F.col("js")).otherwise(F.lit(0.0))
+    c = F.when(F.col("case_id").bitwiseAND(8) > 0, F.col("css")).otherwise(F.lit(0.0))
     rnd = C.py_round_udf(6)
     return g.select(
         "case_id",
         h.alias("html_sim"),
         j.alias("jsx_sim"),
         s.alias("js_sim"),
+        c.alias("css_sim"),
         rnd(C.single_pair_overall_expr(h, j, s)).alias("overall"),
+        rnd(C.app_overall_expr(h, j, c)).alias("app_overall"),
     )
 
 
 def sql_single_pair_overall() -> str:
-    from ..oracle.cascade_oracle import single_pair_overall
+    from ..oracle.cascade_oracle import app_overall, single_pair_overall
 
     per = _replay()["per_type"]
-    hv, jv, sv = (per[t]["aggregate_score"] for t in ("html", "jsx", "js"))
+    hv, jv, sv, cv = (per[t]["aggregate_score"] for t in ("html", "jsx", "js", "css"))
     rows = []
-    for m in range(8):
+    for m in range(16):
         h = hv if m & 1 else 0.0
         j = jv if m & 2 else 0.0
         s = sv if m & 4 else 0.0
-        rows.append((m, h, j, s, round(single_pair_overall(h, j, s), 6)))
+        c = cv if m & 8 else 0.0
+        rows.append(
+            (m, h, j, s, c,
+             round(single_pair_overall(h, j, s), 6), round(app_overall(h, j, c), 6))
+        )
     ii = lambda v: _i(v, "INT")  # noqa: E731
     return _values_sql(
-        rows, ["case_id", "html_sim", "jsx_sim", "js_sim", "overall"],
-        [ii, _d, _d, _d, _d],
+        rows,
+        ["case_id", "html_sim", "jsx_sim", "js_sim", "css_sim", "overall", "app_overall"],
+        [ii, _d, _d, _d, _d, _d, _d],
     )
 
 
@@ -390,6 +481,7 @@ CASCADE_QUERIES = {
     "cascade_js_metric_averages": q_js_metric_averages,
     "config_scores": q_config_scores,
     "single_pair_overall": q_single_pair_overall,
+    "match_cascade_many": q_match_cascade_many,
 }
 
 _SQL_BUILDERS = {
@@ -406,6 +498,7 @@ _SQL_BUILDERS = {
     "cascade_js_metric_averages": sql_js_metric_averages,
     "config_scores": sql_config_scores,
     "single_pair_overall": sql_single_pair_overall,
+    "match_cascade_many": sql_match_cascade_many,
 }
 
 
