@@ -94,6 +94,10 @@ def main() -> None:
     spark.range(0, cpus * 10, 1, cpus).selectExpr("cast(id as string) s").select(
         token_count_udf("s")
     ).count()
+    # ...and the relational path (whole-stage-codegen compile + parquet
+    # reader init): the first relational query otherwise pays ~3-4 s of
+    # one-time JVM setup that the protocol excludes as process startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count().first()
 
     headline = [
         "pricing_summary",

@@ -432,6 +432,80 @@ def _q_tile_rollup_sql():
 """
 
 
+RASTER_Z_BASE = 4
+RASTER_DEPTH = 2
+
+
+def q_raster_roundtrip(spark, sf_dir):
+    """raster<->vector round trip under the oracle: rasterize doc points
+    into dense (2^depth)^2 per-tile grids, then vectorize back — the
+    composition must equal a plain fine-tile count rollup (which IS the
+    DuckDB oracle), proving grid packing/unpacking is lossless for
+    nonzero subcells."""
+    from ..operators.tiles import rasterize_tiles, vectorize_raster
+
+    pts = doc_points(spark, sf_dir)
+    return vectorize_raster(
+        rasterize_tiles(pts, RASTER_Z_BASE, RASTER_DEPTH), RASTER_DEPTH
+    )
+
+
+def _q_raster_roundtrip_sql():
+    zf = RASTER_Z_BASE + RASTER_DEPTH
+    ix = tile_ix_sql("lon", zf)
+    iy = tile_iy_sql("lat", zf)
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL})
+  SELECT {zf} AS tile_z_fine, {ix} AS fine_x, {iy} AS fine_y,
+         count(*) AS n
+  FROM pts GROUP BY 2, 3
+"""
+
+
+def q_raster_grid(spark, sf_dir):
+    """The dense raster grids themselves (JSON-serialized so the driver's
+    value-hash sees a stable scalar): per base tile, a y-major
+    (2^depth x 2^depth) count matrix."""
+    from ..operators.tiles import rasterize_tiles
+
+    pts = doc_points(spark, sf_dir)
+    r = rasterize_tiles(pts, RASTER_Z_BASE, RASTER_DEPTH)
+    return r.select(
+        "tile_z", "tile_x", "tile_y", F.to_json("grid").alias("grid_json")
+    )
+
+
+def _q_raster_grid_sql():
+    side = 1 << RASTER_DEPTH
+    zf = RASTER_Z_BASE + RASTER_DEPTH
+    ix = tile_ix_sql("lon", zf)
+    iy = tile_iy_sql("lat", zf)
+    return f"""
+  WITH pts AS ({_DOC_POINTS_SQL}),
+  f AS (SELECT {ix} AS fx, {iy} AS fy FROM pts),
+  counts AS (
+    SELECT fx // {side} AS tile_x, fy // {side} AS tile_y,
+           fx % {side} AS sub_x, fy % {side} AS sub_y, count(*) AS n
+    FROM f GROUP BY 1, 2, 3, 4),
+  tiles AS (SELECT DISTINCT tile_x, tile_y FROM counts),
+  cells AS (
+    SELECT t.tile_x, t.tile_y, y.range AS sub_y, x.range AS sub_x,
+           coalesce(c.n, 0) AS n
+    FROM tiles t
+    CROSS JOIN range(0, {side}) y
+    CROSS JOIN range(0, {side}) x
+    LEFT JOIN counts c
+      ON c.tile_x = t.tile_x AND c.tile_y = t.tile_y
+     AND c.sub_y = y.range AND c.sub_x = x.range),
+  grid_rows AS (
+    SELECT tile_x, tile_y, sub_y, list(n ORDER BY sub_x) AS row
+    FROM cells GROUP BY 1, 2, 3)
+  SELECT {RASTER_Z_BASE} AS tile_z, tile_x, tile_y,
+         to_json(list(row ORDER BY sub_y))::VARCHAR AS grid_json
+  FROM grid_rows GROUP BY 2, 3
+"""
+
+
 def q_pip_rectangles(spark, sf_dir):
     """Exact PIP join (J8): real ray-cast UDF vs half-open bbox oracle."""
     pts = doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
@@ -901,6 +975,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mktsegment_stats": q_mktsegment_stats,
     "doc_cells": q_doc_cells,
     "tile_rollup_z6": q_tile_rollup,
+    "raster_roundtrip": q_raster_roundtrip,
+    "raster_grid": q_raster_grid,
     "pip_rectangles": q_pip_rectangles,
     "knn_k5": q_knn,
     "extract_text": q_extract_text,
@@ -929,6 +1005,8 @@ ORACLE_SQL: dict[str, str] = {
     "mktsegment_stats": _Q_MKTSEG_SQL,
     "doc_cells": _q_doc_cells_sql(),
     "tile_rollup_z6": _q_tile_rollup_sql(),
+    "raster_roundtrip": _q_raster_roundtrip_sql(),
+    "raster_grid": _q_raster_grid_sql(),
     "pip_rectangles": _q_pip_sql(),
     "knn_k5": _q_knn_sql(),
     "extract_text": _Q_EXTRACT_SQL,
