@@ -7,10 +7,12 @@ text-extraction invariant, crawl dedup, class extraction, text analysis,
 exact/LSH dedup, embedding similarity search); ``oracle_sql()`` holds the
 DuckDB-recomputable counterpart for every SQL-expressible query —
 including (since round 3) minhash_pairs (exact word-3-gram set math),
-ann_lsh_topk (hash-derived Rademacher hyperplanes recomputed in SQL) and
+ann_lsh_topk (hash-derived Rademacher hyperplanes recomputed in SQL),
 pages_pipeline_tiles (the generator+geocode spec re-derived via a
-splitmix64 CTE chain). Only simhash_pairs (banded signature joins) and
-ann_ivf_topk (k-means training) remain rows-only by design.
+splitmix64 CTE chain) and simhash_pairs (md5 token hash recomputed in
+SQL; radius-3 banding is pigeonhole-exact, so output equals the
+brute-force definition). Only ann_ivf_topk (k-means training) remains
+rows-only by design.
 """
 
 from __future__ import annotations

@@ -34,11 +34,11 @@ def test_queries_have_oracles_or_are_flagged(spark):
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # Only genuinely non-SQL queries may be rows-only: simhash (banded
-    # signature joins) and IVF (k-means training). minhash/LSH-ANN/pages
-    # pipeline gained full DuckDB oracles in round 3.
+    # Only genuinely non-SQL queries may be rows-only. minhash/LSH-ANN/
+    # pages-pipeline and (via the md5 token hash + pigeonhole-exact
+    # banding) simhash all gained full DuckDB oracles in round 3; IVF's
+    # k-means training is the one remaining non-SQL step.
     assert rows_only == {
-        "simhash_pairs",
         "ann_ivf_topk",
     }
 

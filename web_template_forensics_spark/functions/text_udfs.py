@@ -215,11 +215,32 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     return prod.min(axis=0)
 
 
+_SIMHASH_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+_md5_token_cache: dict[str, int] = {}
+
+
+def _md5_hash64(s: str) -> int:
+    """First 8 md5 bytes, big-endian. md5 (not blake2b) so a SQL oracle
+    can recompute the hash verbatim: DuckDB
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` yields this value."""
+    h = _md5_token_cache.get(s)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+        if len(_md5_token_cache) < 1_000_000:
+            _md5_token_cache[s] = h
+    return h
+
+
 def simhash64(text: str) -> int:
-    """SimHash over whitespace tokens: sign of per-bit weighted sums."""
+    """SimHash over whitespace tokens: sign of per-bit weighted sums.
+
+    Tokenization is RE2-``\\S`` parity (re.ASCII) and the token hash is
+    md5[:8], so the entire signature — and therefore the whole
+    simhash_pairs query — is recomputable in DuckDB (see
+    plans/queries.py _Q_SIMHASH_SQL)."""
     acc = np.zeros(64, dtype=np.int64)
-    for tok in set(text.split()):
-        h = _stable_hash64(tok)
+    for tok in set(_SIMHASH_TOKEN_RE.findall(text)):
+        h = _md5_hash64(tok)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0

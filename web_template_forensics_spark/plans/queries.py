@@ -774,6 +774,41 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+# Full DuckDB replica of q_simhash_pairs. The banded join is a recall
+# optimization that is pigeonhole-EXACT at radius 3 (4 bands), so the
+# query's output equals the brute-force definition: all id_a < id_b with
+# hamming(simhash(a), simhash(b)) <= 3. The signature itself is
+# recomputed from spec — md5[:8] token hash (functions/text_udfs.py
+# _md5_hash64) over RE2-\s tokenization, per-bit +1/-1 vote, sign bit —
+# and hamming is counted as disagreeing sign bits, which avoids 64-bit
+# integer assembly (DuckDB `<<` overflows at bit 63).
+_Q_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> ''
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM dt
+), bitrange AS (
+  SELECT unnest(range(64))::UBIGINT AS bit
+), acc AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN bitrange b
+  GROUP BY 1, 2
+), signs AS (
+  SELECT d.doc_id, b.bit, coalesce(a.acc, 0) > 0 AS s
+  FROM documents d CROSS JOIN bitrange b
+  LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.bit = b.bit
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)::INTEGER AS hamming
+FROM signs a JOIN signs b ON a.bit = b.bit AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) <= 3
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH ANN top-k. Fully oracled: the Rademacher hyperplanes are a
     pure function of (dim, bit) (operators/similarity_search.py
@@ -1265,3 +1300,4 @@ _Q_FINGERPRINT_SQL = r"""
 
 QUERIES["fingerprint_dedup"] = q_fingerprint_dedup
 ORACLE_SQL["fingerprint_dedup"] = _Q_FINGERPRINT_SQL
+ORACLE_SQL["simhash_pairs"] = _Q_SIMHASH_SQL
