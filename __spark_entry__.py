@@ -12,7 +12,8 @@ pages_pipeline_tiles (the generator+geocode spec re-derived via a
 splitmix64 CTE chain) and simhash_pairs (md5 token hash recomputed in
 SQL; radius-3 banding is pigeonhole-exact, so output equals the
 brute-force definition). Only ann_ivf_topk (k-means training) remains
-rows-only by design.
+rows-only by design — and its quality is driver-gated anyway via
+ann_ivf_recall (in-plan recall@k against the exact top-k, oracled).
 """
 
 from __future__ import annotations

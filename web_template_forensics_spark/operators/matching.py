@@ -101,7 +101,14 @@ def fuzzy_filename_scores(
     from ..functions.similarity_udfs import seq_ratio_udf
 
     if block_col is None:
-        n_l, n_r = left.count(), right.count()
+        # Eager by necessity (the guard must decide before the cross join
+        # is built), but a single Spark action: both counts run as one
+        # job via the single-row cross join, not two sequential .count()s.
+        n_l, n_r = (
+            left.select(F.count("*").alias("n"))
+            .crossJoin(right.select(F.count("*").alias("m")))
+            .first()
+        )
         if n_l * n_r > max_unblocked_rows:
             raise ValueError(
                 f"fuzzy_filename_scores without block_col would build a "
