@@ -459,6 +459,46 @@ def test_text_udfs_ascii_whitespace_parity(spark):
     assert out.t_udf[1] == 3
 
 
+def test_bpe_token_count_three_face_parity(spark):
+    """Column (Java regex) == UDF (Python re) == SQL (DuckDB RE2) on the
+    BPE-ish pre-tokenizer, including contraction/apostrophe/punct edges."""
+    import duckdb
+
+    from web_template_forensics_spark.functions.text_udfs import (
+        bpe_token_count_col,
+        bpe_token_count_sql,
+        bpe_token_count_udf,
+    )
+
+    rows = [
+        ("it's a test, don't panic!!",),   # 's / 't contractions, punct runs
+        ("abc123def 45.6%",),              # letter/digit runs, mixed punct
+        ("'hello' said O'Brien",),         # stray quotes + capital-B contraction miss
+        ("tabs\tand\nnewlines",),
+        ("",),
+        ("...",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        "text",
+        bpe_token_count_col(F.col("text")).alias("n_col"),
+        bpe_token_count_udf("text").alias("n_udf"),
+    ).toPandas()
+    assert (out.n_col == out.n_udf).all(), out
+    con = duckdb.connect()
+    for _, r in out.iterrows():
+        n_sql = con.execute(
+            f"select {bpe_token_count_sql('?')}", [r.text]
+        ).fetchone()[0]
+        assert n_sql == r.n_col, (r.text, n_sql, r.n_col)
+    # pinned spec examples: "it's a test, don't panic!!"
+    # -> it 's a test , don 't panic !!  = 9
+    assert out.n_col[0] == 9
+    # "'hello' said O'Brien" -> ' hello ' said O 'Brien?? (capital B:
+    # contraction fails, lone ' then Brien) -> ' hello ' said O ' Brien = 7
+    assert out.n_col[2] == 7
+
+
 def test_ngram_hot_gram_cap(spark):
     """DF-filtered Jaccard: a gram shared by every doc is excluded from
     candidates AND the measure when the cap is set; exact without it."""

@@ -115,6 +115,30 @@ def token_count_sql(text_expr: str) -> str:
     return f"cast(length({trimmed}) - length(replace({trimmed}, ' ', '')) as bigint)"
 
 
+# BPE-ish pre-tokenizer count (GPT-2-style, simplified to a
+# lookaround-free ASCII spec so all three faces — Java regex in Spark,
+# RE2 in DuckDB, Python re — count identically; RE2 has no lookahead, so
+# the GPT-2 trailing-space trick is out of spec by design). One token
+# per: contraction suffix ('s 't 're 've 'm 'll 'd), letter run, digit
+# run, punctuation run (apostrophe split out so stray quotes stand
+# alone). Whitespace separates and is never counted. Escapes are left
+# to each engine's regex parser (the pattern is a raw string), which
+# keeps the SQL literal printable.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^ \t\n\r\v\fA-Za-z0-9']+|'"
+)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count, pure codegen (regexp_count, zero Python)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def bpe_token_count_sql(text_expr: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"cast(len(regexp_extract_all({text_expr}, '{pat}')) as bigint)"
+
+
 def quality_score_col(text: Column) -> Column:
     """Deterministic quality heuristic (documented spec; same in SQL):
     0.3*min(1, tokens/64) + 0.4*alpha_ratio + 0.3*min(1, chars/512), round 6."""
@@ -291,6 +315,13 @@ def token_count_udf(text: pd.Series) -> pd.Series:
     # re.ASCII: the Column/DuckDB faces use Java/RE2 \s (ASCII-only); the
     # Python face must not treat U+00A0/U+2028 etc. as token separators.
     return text.fillna("").str.count(r"\S+", flags=re.ASCII).astype("int64")
+
+
+@F.pandas_udf(T.LongType())
+def bpe_token_count_udf(text: pd.Series) -> pd.Series:
+    # Python face of BPE_TOKEN_PATTERN (parity pytest-pinned vs the
+    # Column and SQL faces).
+    return text.fillna("").str.count(BPE_TOKEN_PATTERN).astype("int64")
 
 
 @F.pandas_udf(T.StringType())

@@ -38,6 +38,8 @@ from pyspark.sql.window import Window
 from ..functions.geo_udfs import cell_encode_udf, cell_id_sql, morton_sql, tile_ix_col, tile_ix_sql, tile_iy_col, tile_iy_sql
 from ..functions.html_udfs import extract_text_udf, html_class_counts_udf
 from ..functions.text_udfs import (
+    bpe_token_count_col,
+    bpe_token_count_sql,
     lang_id_col,
     lang_id_sql,
     quality_score_col,
@@ -642,6 +644,7 @@ def q_text_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
         quality_score_col(F.col("text")).alias("quality"),
         lang_id_col(F.col("text")).alias("lang_pred"),
     )
@@ -650,6 +653,7 @@ def q_text_stats(spark, sf_dir):
 def _q_text_stats_sql():
     return f"""
   SELECT doc_id, {token_count_sql('text')} AS n_tokens,
+         {bpe_token_count_sql('text')} AS n_bpe_tokens,
          {quality_score_sql('text')} AS quality,
          {lang_id_sql('text')} AS lang_pred
   FROM documents
