@@ -156,3 +156,146 @@ def test_thumbnails_and_frame_sampling(spark):
     r = resize_image(img, 2, 3)
     assert r.shape == (2, 3, 3)
     assert (resize_image(img, 2, 3) == r).all()
+
+
+def test_sessionize_events_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-splits inside a batch,
+    cross-batch session continuation in state, and event-time-timeout
+    flush once the watermark passes last_event + gap."""
+    from pyspark.sql import Row
+    from web_template_forensics_spark.streaming.ingest import sessionize_events
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import shutil, glob
+
+        (part,) = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        shutil.copy(part, indir / f"{name}.parquet")
+
+    import datetime as dt
+
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, user, secs):
+        return Row(
+            event_id=eid, ts=T0 + dt.timedelta(seconds=secs), user_id=user
+        )
+
+    # batch 1: user 1 has two gap-separated sessions IN ONE batch
+    # (0s,10s,20s then 20min later 1200s,1210s); user 2 one event.
+    _write(
+        "b1",
+        [
+            ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20),
+            ev(4, 1, 1200), ev(5, 1, 1210),
+            ev(6, 2, 5),
+        ],
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(tmp_path / "b1")).schema
+    ).parquet(str(indir))
+    sessions = sessionize_events(
+        stream, gap="5 minutes", watermark="1 seconds"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out1 = spark.sql("SELECT * FROM sessions").toPandas()
+        # user 1's FIRST session closes via the in-batch gap; batch 1
+        # advances the watermark to ~1209s and the follow-up no-data
+        # micro-batch immediately times out user 2 (5s + 5min < wm).
+        # user 1's open session (last=1210s, timeout 1510s) survives.
+        assert len(out1) == 2, out1
+        got1 = set(zip(out1.user_id, out1.n_events))
+        assert got1 == {(1, 3), (2, 1)}, out1
+        r = out1[out1.user_id == 1].iloc[0]
+        assert r.session_end_us - r.session_start_us == 20_000_000
+
+        # batch 2: user 3 event 1h later advances the watermark past
+        # user 1's open session's last+gap -> timeout flush
+        _write("b2", [ev(7, 3, 3600)])
+        q.processAllAvailable()
+        out2 = (
+            spark.sql("SELECT * FROM sessions")
+            .toPandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+        flushed = set(zip(out2.user_id, out2.n_events))
+        assert (1, 3) in flushed and (1, 2) in flushed and (2, 1) in flushed
+        assert len(out2) == 3  # user 3's session still open
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_batch_parity(spark, tmp_path):
+    """Streaming sessionize_events == batch q_event_sessions on the same
+    (complete) events table: a far-future sentinel event advances the
+    watermark so every real session timeout-flushes, then the two results
+    must agree row-for-row."""
+    import shutil
+
+    from web_template_forensics_spark.plans.queries import q_event_sessions
+    from web_template_forensics_spark.streaming.ingest import sessionize_events
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(src, indir / "b1.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(str(indir))
+    sessions = sessionize_events(stream, gap="30 minutes", watermark="1 seconds")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_parity")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel: one user -1 event far in the future flushes the rest
+        batch = spark.read.parquet(src)
+        sent = batch.limit(1).select(
+            F.lit(-1).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            F.lit(-1).alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+        import glob
+
+        (part,) = glob.glob(str(tmp_path / "b2" / "part-*.parquet"))
+        shutil.copy(part, indir / "b2.parquet")
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM sess_parity WHERE user_id >= 0")
+            .toPandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+    finally:
+        q.stop()
+    want = (
+        q_event_sessions(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want), (len(got), len(want))
+    for c in ["user_id", "session_start_us", "session_end_us", "n_events"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c

@@ -880,6 +880,57 @@ def q_ann_ivf_topk(spark, sf_dir):
     return cosine_topk_ivf(probes, e, k=3, n_lists=16, n_probe=6)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization over the static events table — the BATCH
+    twin of streaming/ingest.py sessionize_events (same output schema and
+    semantics on complete data; stream==batch parity is pytest-pinned).
+    Classic lag/cumsum shape: a session break is a per-user gap > 30 min;
+    the running sum of breaks numbers the sessions."""
+    e = _t(spark, sf_dir, "events")
+    us = _epoch_us("ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    brk = (
+        F.when(us - F.lag(us).over(w) > F.lit(SESSION_GAP_US), 1)
+        .otherwise(0)
+    )
+    sess = e.select(
+        "user_id", us.alias("_us"), brk.alias("_brk")
+    ).withColumn(
+        "_sno",
+        F.sum("_brk").over(
+            Window.partitionBy("user_id").orderBy("_us").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return sess.groupBy("user_id", "_sno").agg(
+        F.min("_us").alias("session_start_us"),
+        F.max("_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
+_Q_EVENT_SESSIONS_SQL = f"""
+  WITH t AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events),
+  s AS (
+    SELECT user_id, us,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sno
+    FROM t)
+  SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sno
+"""
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """recall@k of the IVF ANN path, computed IN-PLAN against the exact
     brute-force top-k (an equi-join of the two result DataFrames — no
@@ -1063,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "event_sessions": q_event_sessions,
     "pages_pipeline_tiles": q_pages_pipeline_tiles,
 }
 
@@ -1104,6 +1156,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_pairs": _Q_MINHASH_SQL,
     "ann_lsh_topk": _q_ann_lsh_sql(),
     "ann_ivf_recall": _Q_ANN_IVF_RECALL_SQL,
+    "event_sessions": _Q_EVENT_SESSIONS_SQL,
     "pages_pipeline_tiles": _q_pages_tiles_sql(),
 }
 

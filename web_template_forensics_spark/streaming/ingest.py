@@ -3,13 +3,17 @@
 The reference has no streaming path (SURVEY.md §2.9) and the north rule's
 resumability is batch lineage (sources/catalog.py), so streaming here is
 the ENGINE's ingestion extension: a crawl feed lands as micro-batches and
-the same operators run over it. Two canonical shapes:
+the same operators run over it. Three canonical shapes:
 
   * windowed_event_counts — watermarked tumbling-window aggregation
     (late data handled by the watermark, state bounded);
   * latest_state_stream — streaming as-of dedup: latest row per key via
     ``foreachBatch`` merge into the checkpointed catalog (exactly-once per
-    batch since the merge is idempotent on (key, ts)).
+    batch since the merge is idempotent on (key, ts));
+  * sessionize_events — the custom STATEFUL operator
+    (``applyInPandasWithState`` + event-time timeout): gap-based crawl
+    sessionization, stream==batch parity pytest-pinned against the
+    oracled ``event_sessions`` query.
 
 Tested with the parquet source + ``processAllAvailable`` (synchronous
 drain) — the pattern is identical on kafka/file sources on a cluster.
@@ -141,3 +145,120 @@ def latest_state_stream(
         return spark.read.parquet(os.path.join(table_path, "data")).drop("bucket")
 
     return start, read_state
+
+
+def sessionize_events(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 minutes",
+) -> DataFrame:
+    """Gap-based crawl sessionization — the custom STATEFUL streaming
+    operator (``applyInPandasWithState``): semantics no windowed agg can
+    express, since a session's extent is data-dependent (it ends only
+    when the per-user event gap exceeds ``gap``).
+
+    Per user key, state carries the one open session (start_us, last_us,
+    n_events). Each micro-batch merges its (sorted) event times into the
+    open session, emitting every session it closes; the open session is
+    re-armed with an EVENT-TIME timeout at ``last + gap``, so once the
+    watermark passes that point Spark calls back with ``hasTimedOut`` and
+    the final session flushes — late data beyond the watermark can no
+    longer reopen it. State is O(1) per active user (three int64s), the
+    shuffle is the groupBy(user) hash partition only, and sessions for
+    different users never communicate — linear scale-out in users.
+
+    Output (append mode): user_id, session_start_us, session_end_us,
+    n_events (epoch-microsecond longs: exact, timezone-proof).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _row(user, start_us, last_us, n):
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([user], dtype="int64"),
+                "session_start_us": pd.array([start_us], dtype="int64"),
+                "session_end_us": pd.array([last_us], dtype="int64"),
+                "n_events": pd.array([n], dtype="int64"),
+            }
+        )
+
+    def fn(key, pdfs, state):
+        user = int(key[0])
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _row(user, start_us, last_us, n)
+            return
+        chunks = [pdf["_ts_us"] for pdf in pdfs]
+        ts = (
+            pd.concat(chunks).dropna().sort_values().astype("int64").to_numpy()
+            if chunks
+            else []
+        )
+        start_us = last_us = None
+        n = 0
+        if state.exists:
+            start_us, last_us, n = state.get
+        closed = []
+        for t in ts:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us = max(last_us, t)
+                n += 1
+            else:
+                closed.append((user, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+        if start_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+            # event-time timeout: fire once the watermark passes the gap
+            # after the last event (clamped above the current watermark —
+            # Spark rejects timeouts at/behind it).
+            timeout_ms = max(
+                last_us // 1000 + gap_us // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array([c[0] for c in closed], dtype="int64"),
+                    "session_start_us": pd.array([c[1] for c in closed], dtype="int64"),
+                    "session_end_us": pd.array([c[2] for c in closed], dtype="int64"),
+                    "n_events": pd.array([c[3] for c in closed], dtype="int64"),
+                }
+            )
+
+    ev = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    ev = ev.withWatermark(ts_col, watermark).withColumn(
+        "_ts_us", F.unix_micros(F.col(ts_col))
+    )
+    return ev.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
