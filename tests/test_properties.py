@@ -132,3 +132,44 @@ def test_multiset_jaccard_properties(a, b):
     # multiset Jaccard lower-bounds nothing vs set Jaccard in general,
     # but equals 1 iff identical multisets
     assert (j == 1.0) == (ca == cb)
+
+
+# -- BPE-ish tokenizer: cross-engine parity as a PROPERTY -------------------
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=_ascii_text)
+def test_bpe_token_count_python_duckdb_parity(text):
+    """Python re and DuckDB RE2 must count BPE_TOKEN_PATTERN matches
+    identically for ANY printable-ASCII string (the Spark/Java face is
+    pinned separately in test_operators — JVM-per-example is too slow
+    for hypothesis)."""
+    import re
+
+    import duckdb
+
+    from web_template_forensics_spark.functions.text_udfs import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count_sql,
+    )
+
+    n_py = len(re.findall(BPE_TOKEN_PATTERN, text))
+    con = _bpe_duck()
+    n_sql = con.execute(f"select {bpe_token_count_sql('?')}", [text]).fetchone()[0]
+    assert n_py == n_sql, (text, n_py, n_sql)
+
+
+_BPE_CON = []
+
+
+def _bpe_duck():
+    if not _BPE_CON:
+        import duckdb
+
+        _BPE_CON.append(duckdb.connect())
+    return _BPE_CON[0]

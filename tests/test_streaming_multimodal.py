@@ -299,3 +299,71 @@ def test_sessionize_stream_batch_parity(spark, tmp_path):
     assert len(got) == len(want), (len(got), len(want))
     for c in ["user_id", "session_start_us", "session_end_us", "n_events"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_sessionize_kill_resume(spark, tmp_path):
+    """The applyInPandasWithState state store survives a query restart on
+    the same checkpoint: an open session from before the kill is resumed
+    (not restarted) and extends with post-restart events."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+    from web_template_forensics_spark.streaming.ingest import sessionize_events
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        (part,) = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        shutil.copy(part, indir / f"{name}.parquet")
+
+    def ev(eid, user, secs):
+        return Row(event_id=eid, ts=T0 + dt.timedelta(seconds=secs), user_id=user)
+
+    outdir = str(tmp_path / "sessions_out")
+
+    def _start(qname):
+        # parquet file sink: unlike the memory sink it SUPPORTS
+        # checkpoint recovery, which is the point of this test
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "b1")).schema
+        ).parquet(str(indir))
+        return (
+            sessionize_events(stream, gap="5 minutes", watermark="1 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+    _write("b1", [ev(1, 1, 0), ev(2, 1, 10)])
+    q = _start("sess_kr1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # kill with user 1's session OPEN in the state store
+
+    # events 60s later are within the gap -> must EXTEND the pre-kill
+    # session; the sentinel then flushes it
+    _write("b2", [ev(3, 1, 70), ev(4, 9, 4000)])
+    q2 = _start("sess_kr2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = (
+        spark.read.parquet(outdir).filter("user_id = 1").toPandas()
+    )
+    assert len(out) == 1, out
+    r = out.iloc[0]
+    # one continuous session spanning the restart: 0s..70s, 3 events
+    assert r.n_events == 3
+    assert r.session_end_us - r.session_start_us == 70_000_000
