@@ -240,6 +240,7 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
 
 
 _SIMHASH_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _md5_token_cache: dict[str, int] = {}
 
 
@@ -262,15 +263,16 @@ def simhash64(text: str) -> int:
     md5[:8], so the entire signature — and therefore the whole
     simhash_pairs query — is recomputable in DuckDB (see
     plans/queries.py _Q_SIMHASH_SQL)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in set(_SIMHASH_TOKEN_RE.findall(text)):
-        h = _md5_hash64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
+    toks = set(_SIMHASH_TOKEN_RE.findall(text))
+    if not toks:
+        return 0
+    # vectorized across tokens: one (n_tokens, 64) bit matrix instead of
+    # a per-token loop — this UDF is the map-stage hot path of
+    # simhash_pairs, the rest of which is pure JVM
+    th = np.fromiter((_md5_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    bits = (th[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum(dtype=np.uint64))
     return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
 
 
