@@ -226,6 +226,12 @@ def sessionize_events(
             if start_us is None:
                 start_us, last_us, n = t, t, 1
             elif t - last_us <= gap_us:
+                # late (out-of-order) events still inside the watermark
+                # merge into the open session, extending it backwards if
+                # they precede its start — the standard streaming
+                # sessionization semantic (a stream cannot retroactively
+                # split a session it never observed in order)
+                start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
             else:
