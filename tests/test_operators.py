@@ -477,6 +477,13 @@ def test_bpe_token_count_three_face_parity(spark):
         ("tabs\tand\nnewlines",),
         ("",),
         ("...",),
+        # Java-regex trap chars: \v in a Java class is the vertical-ws
+        # CLASS — these pin that the pattern uses \x0B instead, so NEL /
+        # LS / PS / VT count identically in all three engines
+        ("a\x85b",),
+        ("a b",),
+        ("a b",),
+        ("a\x0bb",),
     ]
     df = spark.createDataFrame(rows, "text string")
     out = df.select(

@@ -367,3 +367,13 @@ def test_sessionize_kill_resume(spark, tmp_path):
     # one continuous session spanning the restart: 0s..70s, 3 events
     assert r.n_events == 3
     assert r.session_end_us - r.session_start_us == 70_000_000
+
+
+def test_sessionize_guards(spark, tmp_path):
+    """watermark > gap is rejected (stream==batch parity would break —
+    an admitted late event could precede the open session by > gap)."""
+    from web_template_forensics_spark.streaming.ingest import sessionize_events
+
+    stream = _events_stream(spark, tmp_path)
+    with pytest.raises(ValueError, match="watermark"):
+        sessionize_events(stream, gap="5 minutes", watermark="2 hours")

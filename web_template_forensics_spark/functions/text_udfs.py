@@ -124,8 +124,12 @@ def token_count_sql(text_expr: str) -> str:
 # alone). Whitespace separates and is never counted. Escapes are left
 # to each engine's regex parser (the pattern is a raw string), which
 # keeps the SQL literal printable.
+# \x0B, not \v: inside a Java-regex character class \v means the
+# vertical-whitespace CLASS (\n \x0B \f \r U+0085 U+2028 U+2029), which
+# would silently desync the Spark face from Python/RE2 on NEL and the
+# Unicode line separators. \x0B is the single char in all three engines.
 BPE_TOKEN_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^ \t\n\r\v\fA-Za-z0-9']+|'"
+    r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^ \t\n\r\x0B\fA-Za-z0-9']+|'"
 )
 
 
@@ -193,7 +197,7 @@ def _token_hash(tok: str) -> int:
     h = _token_hash_cache.get(tok)
     if h is None:
         h = _stable_hash64(tok)
-        if len(_token_hash_cache) < 1_000_000:
+        if len(_token_hash_cache) < 262_144:  # bounded, see _md5_hash64
             _token_hash_cache[tok] = h
         else:
             return h
@@ -251,7 +255,10 @@ def _md5_hash64(s: str) -> int:
     h = _md5_token_cache.get(s)
     if h is None:
         h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-        if len(_md5_token_cache) < 1_000_000:
+        # bounded: per-WORKER dict; 2^18 entries (~40 MB) captures the
+        # zipf head of any real token distribution, vs ~5 GB aggregate
+        # RSS across 32 workers at a 1M cap
+        if len(_md5_token_cache) < 262_144:
             _md5_token_cache[s] = h
     return h
 

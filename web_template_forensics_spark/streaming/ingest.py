@@ -170,13 +170,42 @@ def sessionize_events(
     different users never communicate — linear scale-out in users.
 
     Output (append mode): user_id, session_start_us, session_end_us,
-    n_events (epoch-microsecond longs: exact, timezone-proof).
+    n_events (epoch-microsecond longs).
+
+    Two enforced preconditions (each a ValueError, not a silent drift):
+
+    * ``watermark <= gap`` — this is what makes stream==batch parity
+      exact: Spark's late filter admits only events with t >= wm, and an
+      open session implies wm >= session_start - watermark_delay (the
+      start event itself bounded the global max when it arrived), so
+      every admitted late event lies within ``gap`` of the open session
+      and the batch twin merges it identically. With watermark > gap an
+      admitted event could precede session_start by more than the gap —
+      merged here, split by the batch twin.
+    * session timezone must be UTC (the engine session factory's
+      default, session.py) — the NTZ->TIMESTAMP cast that feeds the
+      watermark machinery reinterprets naive parquet timestamps in the
+      session zone, so a non-UTC session would shift the emitted epoch
+      micros relative to the batch twin's NTZ-safe arithmetic.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import LongType, StructField, StructType
 
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    if pd.Timedelta(watermark) > pd.Timedelta(gap):
+        raise ValueError(
+            f"watermark ({watermark}) must not exceed gap ({gap}): late "
+            f"events admitted beyond the gap would merge into sessions "
+            f"the batch semantics split (see docstring)"
+        )
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"sessionize_events requires a UTC session timezone (got "
+            f"{tz!r}): the NTZ cast feeding the watermark would shift "
+            f"epoch output by the zone offset"
+        )
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
