@@ -60,9 +60,10 @@ def main() -> None:
         # JVM + its python worker handles ~1/N of the map-only parse; the
         # driver JVM only coordinates. Memory per executor is fixed so the
         # per-executor environment is identical at N and 4N.
-        master = f"local-cluster[{cores},1,3072]"
-        extra_conf["spark.executorEnv.PYTHONPATH"] = repo
-        extra_conf["spark.driver.memory"] = "8g"
+        from web_template_forensics_spark.session import cluster_conf
+
+        master, cc = cluster_conf(cores)
+        extra_conf.update(cc)
 
     spark = get_spark(
         "scaling",

@@ -72,11 +72,9 @@ def main() -> None:
         # N separate one-core executor JVMs (the scaling protocol's
         # substrate, BENCH/scaling.py) — immune to the single-JVM
         # thread-scaling pathology, so no probe/fallback needed.
-        master = f"local-cluster[{cpus},1,3072]"
-        extra = {
-            "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
-            "spark.driver.memory": "8g",
-        }
+        from web_template_forensics_spark.session import cluster_conf
+
+        master, extra = cluster_conf(cpus)
         spark = get_spark(
             "bench", cores=cpus, shuffle_partitions=max(cpus, 8),
             master=master, extra_conf=extra,

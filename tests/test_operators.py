@@ -582,3 +582,21 @@ def test_cosine_topk_ivf_layout_invariant(spark):
     rows1 = sorted(map(tuple, out1.toPandas().values.tolist()))
     rows2 = sorted(map(tuple, out2.toPandas().values.tolist()))
     assert rows1 == rows2
+
+
+def test_minhash_empty_docs_never_pair(spark):
+    """Zero-shingle (empty / whitespace-only) docs are excluded: their
+    Jaccard is 0/0, not 1.0 — previously the constant sentinel signatures
+    paired every empty doc with every other empty doc."""
+    from web_template_forensics_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = [
+        (1, ""),
+        (2, "   \t  "),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert pairs == {(3, 4)}, out

@@ -370,10 +370,77 @@ def test_sessionize_kill_resume(spark, tmp_path):
 
 
 def test_sessionize_guards(spark, tmp_path):
-    """watermark > gap is rejected (stream==batch parity would break —
-    an admitted late event could precede the open session by > gap)."""
+    """Non-UTC session timezone is rejected loudly (the NTZ cast would
+    silently shift epoch output by the zone offset)."""
     from web_template_forensics_spark.streaming.ingest import sessionize_events
 
     stream = _events_stream(spark, tmp_path)
-    with pytest.raises(ValueError, match="watermark"):
-        sessionize_events(stream, gap="5 minutes", watermark="2 hours")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            sessionize_events(stream, gap="5 minutes")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # watermark > gap is LEGAL under the immutability-buffered emission
+    # model (nothing emits while it could still change)
+    sessionize_events(stream, gap="5 minutes", watermark="2 hours")
+
+
+def test_sessionize_late_bridge_parity(spark, tmp_path):
+    """A late admitted event that BRIDGES two previously separate pending
+    sessions produces ONE session, matching batch semantics (the reviewer
+    counterexample: gap=300s, events 0s & 301s, then late 299.5s)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+    from web_template_forensics_spark.streaming.ingest import sessionize_events
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        (part,) = glob.glob(str(tmp_path / name / "part-*.parquet"))
+        shutil.copy(part, indir / f"{name}.parquet")
+
+    def ev(eid, u, ms):
+        return Row(
+            event_id=eid, ts=T0 + dt.timedelta(milliseconds=ms), user_id=u
+        )
+
+    _write("b1", [ev(1, 1, 0), ev(2, 1, 301_000)])
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(tmp_path / "b1")).schema
+    ).parquet(str(indir))
+    q = (
+        sessionize_events(stream, gap="300 seconds", watermark="2 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bridge")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # wm = 299s: neither pending session (0+300=300s, 301+300=601s)
+        # is immutable yet -> nothing emitted, nothing split
+        assert spark.sql("SELECT * FROM bridge").count() == 0
+        _write("b2", [ev(3, 1, 299_500), ev(4, 9, 3_600_000)])
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM bridge WHERE user_id = 1").toPandas()
+    finally:
+        q.stop()
+    # batch semantics on the complete set {0, 299.5, 301}: one session
+    assert len(out) == 1, out
+    r = out.iloc[0]
+    assert (r.n_events, r.session_start_us, r.session_end_us) == (
+        3,
+        1767261600000000,
+        1767261600000000 + 301_000_000,
+    )

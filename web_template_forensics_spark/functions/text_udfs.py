@@ -101,7 +101,7 @@ def token_count_col(text: Column) -> Column:
     """
     padded = F.concat(F.lit(" "), text)
     # collapse runs of whitespace to single ' ', then count remaining spaces
-    collapsed = F.regexp_replace(padded, F.lit(r"\s+"), F.lit(" "))
+    collapsed = F.regexp_replace(padded, F.lit(ASCII_WS_REGEX), F.lit(" "))
     trimmed = F.rtrim(collapsed)
     return (
         F.length(trimmed) - F.length(F.regexp_replace(trimmed, F.lit(" "), F.lit("")))
@@ -110,7 +110,7 @@ def token_count_col(text: Column) -> Column:
 
 def token_count_sql(text_expr: str) -> str:
     padded = f"(' ' || ({text_expr}))"
-    collapsed = f"regexp_replace({padded}, '\\s+', ' ', 'g')"
+    collapsed = f"regexp_replace({padded}, '{ASCII_WS_REGEX}', ' ', 'g')"
     trimmed = f"rtrim({collapsed})"
     return f"cast(length({trimmed}) - length(replace({trimmed}, ' ', '')) as bigint)"
 
@@ -184,7 +184,7 @@ def _stable_hash64(s: str) -> int:
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
-    toks = text.split()
+    toks = ASCII_TOKEN_RE.findall(text)
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -208,7 +208,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """uint64 hashes of the word k-gram shingles, numpy-vectorized:
     per-token blake2b (cached per distinct token) combined with odd
     multipliers + a SplitMix64 finalizer. Deterministic across runs."""
-    toks = text.split()
+    toks = ASCII_TOKEN_RE.findall(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
     th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
@@ -243,7 +243,15 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     return prod.min(axis=0)
 
 
-_SIMHASH_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+# THE whitespace spec, shared by every face of every text operator:
+# Python re.ASCII \s == Java regex \s == this explicit class, but RE2
+# (DuckDB) \s EXCLUDES \x0B — so SQL faces must spell the class out,
+# and the Python/Column faces use the same explicit form for clarity.
+ASCII_WS_REGEX = r"[ \t\n\x0B\f\r]+"
+# complement tokenizer (ASCII: \S == [^ \t\n\x0B\f\r], and unlike
+# str.split() it never treats Unicode whitespace as a separator)
+ASCII_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+_SIMHASH_TOKEN_RE = ASCII_TOKEN_RE
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _md5_token_cache: dict[str, int] = {}
 
@@ -286,7 +294,7 @@ def simhash64(text: str) -> int:
 def doc_fingerprint(text: str) -> int:
     """Rolling polynomial hash (base 257 mod 2^61-1) of the normalized text
     (lowercased, whitespace-collapsed) -> signed int64."""
-    norm = " ".join(text.lower().split())
+    norm = " ".join(ASCII_TOKEN_RE.findall(text.lower()))
     h = 0
     for ch in norm.encode("utf-8"):
         h = (h * 257 + ch) % _MERSENNE61

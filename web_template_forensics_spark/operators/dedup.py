@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text_udfs import ASCII_WS_REGEX
 from pyspark.sql.window import Window
 
 from ..functions.text_udfs import (
@@ -67,6 +69,12 @@ def minhash_lsh_pairs(
     Python, no re-shingling.
     """
     rows_per_band = N_MINHASH // bands
+    # zero-shingle (empty / whitespace-only) docs are excluded up front:
+    # their Jaccard is 0/0 — not "1.0" — and their constant sentinel
+    # signatures would otherwise bucket every empty doc with every other
+    # empty doc. JVM-side predicate, same ASCII-\S semantics as the
+    # shingle tokenizer (Java \s is ASCII-only, matching ASCII_TOKEN_RE).
+    df = df.filter(F.regexp_count(F.col(text_col), F.lit(r"\S")) > 0)
     sig = df.select(
         F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig")
     )
@@ -90,9 +98,8 @@ def minhash_lsh_pairs(
     ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jaccard = F.when(union == 0, F.lit(1.0)).otherwise(
-        inter.cast("double") / union.cast("double")
-    )
+    # union > 0 is guaranteed by the zero-shingle filter above
+    jaccard = inter.cast("double") / union.cast("double")
     return (
         paired.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
@@ -193,10 +200,10 @@ def ngram_jaccard_pairs(
                     F.transform(
                         F.sequence(
                             F.lit(0),
-                            F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0)),
+                            F.greatest(F.size(F.split(F.col(text_col), ASCII_WS_REGEX)) - n, F.lit(0)),
                         ),
                         lambda i: F.array_join(
-                            F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n), " "
+                            F.slice(F.split(F.col(text_col), ASCII_WS_REGEX), i + 1, n), " "
                         ),
                     )
                 )

@@ -300,8 +300,16 @@ def structure_match_scores(
     )
     if prefilter == "banded":
         band = lambda n: F.floor(F.log2(F.greatest(n, F.lit(1.0))))  # noqa: E731
+        # asNondeterministic: the equi-join's implicit isnotnull(_band)
+        # otherwise gets pushed below the Project through projection
+        # collapse, DUPLICATING the per-document tree parse (two
+        # ArrowEvalPython nodes for the same UDF — the exact cost the
+        # prefilter exists to save). Marking the size probe
+        # non-deterministic pins it to a single evaluation; it is in
+        # fact deterministic, only the optimizer fence is wanted.
+        size_once = structure_size_udf.asNondeterministic()
         lb = l.withColumn(
-            "_n", structure_size_udf(F.lit(filetype), "_c1").cast("double")
+            "_n", size_once(F.lit(filetype), "_c1").cast("double")
         ).withColumn(
             "_band",
             F.explode(
@@ -309,7 +317,7 @@ def structure_match_scores(
             ),
         )
         rb = r.withColumn(
-            "_band", band(structure_size_udf(F.lit(filetype), "_c2").cast("double"))
+            "_band", band(size_once(F.lit(filetype), "_c2").cast("double"))
         )
         pairs = lb.join(rb, "_band")
     elif prefilter == "all_pairs":

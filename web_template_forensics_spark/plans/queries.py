@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 from ..functions.geo_udfs import cell_encode_udf, cell_id_sql, morton_sql, tile_ix_col, tile_ix_sql, tile_iy_col, tile_iy_sql
 from ..functions.html_udfs import extract_text_udf, html_class_counts_udf
 from ..functions.text_udfs import (
+    ASCII_WS_REGEX,
     bpe_token_count_col,
     bpe_token_count_sql,
     lang_id_col,
@@ -597,7 +598,7 @@ def q_class_counts(spark, sf_dir):
     """Utility-class extraction (P5/C17 family): markup -> parse tree ->
     class tokens -> exploded (class, count) aggregate."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), ASCII_WS_REGEX)
     html = F.concat(
         F.lit("<div class=\""),
         F.array_join(F.slice(toks, 1, 3), " "),
@@ -613,7 +614,7 @@ def q_class_counts(spark, sf_dir):
 
 _Q_CLASS_COUNTS_SQL = r"""
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+    SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS t FROM documents),
   cls AS (
     SELECT unnest(t[1:3]) AS cls FROM toks)
   -- the Spark path's class-attribute whitespace split drops empty tokens;
@@ -669,7 +670,7 @@ def q_ngram_pairs(spark, sf_dir):
 
 _Q_NGRAM_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t FROM documents),
+    SELECT doc_id, lang, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS t FROM documents),
   g0 AS (
     SELECT doc_id, lang,
            unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -751,7 +752,7 @@ def q_minhash_pairs(spark, sf_dir):
 
 _Q_MINHASH_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+    SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS t FROM documents),
   g0 AS (
     SELECT doc_id,
            unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -1132,10 +1133,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (tests/test_operators.py). A regression in the quantizer, the list
 # assignment or the probe expansion moves hits and fails the hash.
 _Q_ANN_IVF_RECALL_SQL = f"""
-  WITH pins AS (
-    SELECT CASE WHEN (SELECT count(*) FROM embeddings) = 2000 THEN 176
-                WHEN (SELECT sum(embedding[1]) FROM embeddings) < 0 THEN 43
-                ELSE 45 END AS h
+  WITH sig AS (
+    SELECT count(*) AS cnt, sum(embedding[1]) AS s FROM embeddings
+  ), pins AS (
+    SELECT CASE
+      WHEN cnt = 2000 AND s BETWEEN 1.4 AND 1.7 THEN 176  -- sf0.1
+      WHEN cnt = 500 AND s BETWEEN -1.6 AND -1.3 THEN 43  -- sf0.001
+      WHEN cnt = 500 AND s BETWEEN 0.9 AND 1.2 THEN 45    -- sf0.01
+      ELSE CAST(error('ann_ivf_recall oracle: unrecognized embeddings '
+                      || 'corpus (count=' || cnt || ', checksum=' || s ||
+                      ') — measure hits on it and add a pin') AS BIGINT)
+    END AS h FROM sig
   )
   SELECT 3 AS k, CAST(h AS BIGINT) AS hits,
          CAST(count(*) AS BIGINT) AS total,
@@ -1409,7 +1417,7 @@ _Q_FINGERPRINT_SQL = r"""
     UNION ALL
     SELECT replace(upper(text), ' ', '  ') AS text FROM documents WHERE doc_id % 7 = 0),
   norm AS (
-    SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM corpus),
+    SELECT trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM corpus),
   g AS (SELECT t, count(*) AS c FROM norm GROUP BY t)
   SELECT c AS dup_count, count(*) AS n_groups FROM g GROUP BY c
 """

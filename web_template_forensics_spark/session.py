@@ -62,3 +62,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    cores: int, executor_mem_mb: int = 3072
+) -> tuple[str, dict[str, str]]:
+    """THE multi-JVM executor-substrate recipe (shared by bench.py and
+    BENCH/scaling.py so the two protocols can never silently diverge):
+    ``cores`` separate one-core executor JVMs over real BlockManager/RPC,
+    each with its own Python worker and a fixed memory budget — the
+    sandbox proxy for N executors. Returns (master, extra_conf) for
+    get_spark."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return (
+        f"local-cluster[{cores},1,{executor_mem_mb}]",
+        {
+            "spark.executorEnv.PYTHONPATH": repo_root,
+            "spark.driver.memory": "8g",
+        },
+    )

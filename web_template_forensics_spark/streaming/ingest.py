@@ -159,46 +159,42 @@ def sessionize_events(
     express, since a session's extent is data-dependent (it ends only
     when the per-user event gap exceeds ``gap``).
 
-    Per user key, state carries the one open session (start_us, last_us,
-    n_events). Each micro-batch merges its (sorted) event times into the
-    open session, emitting every session it closes; the open session is
-    re-armed with an EVENT-TIME timeout at ``last + gap``, so once the
-    watermark passes that point Spark calls back with ``hasTimedOut`` and
-    the final session flushes — late data beyond the watermark can no
-    longer reopen it. State is O(1) per active user (three int64s), the
-    shuffle is the groupBy(user) hash partition only, and sessions for
-    different users never communicate — linear scale-out in users.
+    Exactness model (stream == batch on the admitted event set): per user
+    key, state buffers ALL pending sessions as parallel (start, last, n)
+    arrays. Each invocation folds the batch's events in as unit sessions,
+    sorts, and coalesces adjacent sessions whose gap is <= ``gap`` — so a
+    late (but watermark-admitted) event can still bridge two previously
+    separate sessions, exactly as the batch twin (plans/queries.py
+    q_event_sessions) would. A session is EMITTED only once it is
+    provably immutable: the watermark has passed last + gap, after which
+    no admissible event (t >= watermark) can merge into it. Emission is
+    therefore exactly-once per final session for ANY watermark delay —
+    there is no watermark<=gap restriction, because nothing is emitted
+    while it could still change.
+
+    The event-time timeout is armed at the earliest pending
+    ``last + gap`` (ceil'd to ms so it can never fire early), so sessions
+    flush via ``hasTimedOut`` even when the user receives no further
+    events. State is O(pending sessions) per user — bounded by
+    ``watermark/gap + 1`` sessions, since anything older than the
+    watermark horizon emits. The only shuffle is the groupBy(user) hash
+    partition; users never communicate — linear scale-out.
 
     Output (append mode): user_id, session_start_us, session_end_us,
     n_events (epoch-microsecond longs).
 
-    Two enforced preconditions (each a ValueError, not a silent drift):
-
-    * ``watermark <= gap`` — this is what makes stream==batch parity
-      exact: Spark's late filter admits only events with t >= wm, and an
-      open session implies wm >= session_start - watermark_delay (the
-      start event itself bounded the global max when it arrived), so
-      every admitted late event lies within ``gap`` of the open session
-      and the batch twin merges it identically. With watermark > gap an
-      admitted event could precede session_start by more than the gap —
-      merged here, split by the batch twin.
-    * session timezone must be UTC (the engine session factory's
-      default, session.py) — the NTZ->TIMESTAMP cast that feeds the
-      watermark machinery reinterprets naive parquet timestamps in the
-      session zone, so a non-UTC session would shift the emitted epoch
-      micros relative to the batch twin's NTZ-safe arithmetic.
+    Enforced precondition: the session timezone must be UTC (the engine
+    session factory's default, session.py) — the NTZ->TIMESTAMP cast
+    that feeds the watermark machinery reinterprets naive parquet
+    timestamps in the session zone, so a non-UTC session would shift the
+    emitted epoch micros relative to the batch twin's NTZ-safe
+    arithmetic. A loud ValueError beats a silent offset.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
-    if pd.Timedelta(watermark) > pd.Timedelta(gap):
-        raise ValueError(
-            f"watermark ({watermark}) must not exceed gap ({gap}): late "
-            f"events admitted beyond the gap would merge into sessions "
-            f"the batch semantics split (see docstring)"
-        )
     tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
     if tz not in ("UTC", "Etc/UTC", "GMT"):
         raise ValueError(
@@ -216,73 +212,63 @@ def sessionize_events(
     )
     state_schema = StructType(
         [
-            StructField("start_us", LongType()),
-            StructField("last_us", LongType()),
-            StructField("n", LongType()),
+            StructField("starts", ArrayType(LongType())),
+            StructField("lasts", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
         ]
     )
 
-    def _row(user, start_us, last_us, n):
-        return pd.DataFrame(
-            {
-                "user_id": pd.array([user], dtype="int64"),
-                "session_start_us": pd.array([start_us], dtype="int64"),
-                "session_end_us": pd.array([last_us], dtype="int64"),
-                "n_events": pd.array([n], dtype="int64"),
-            }
-        )
-
     def fn(key, pdfs, state):
         user = int(key[0])
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield _row(user, start_us, last_us, n)
-            return
-        chunks = [pdf["_ts_us"] for pdf in pdfs]
-        ts = (
-            pd.concat(chunks).dropna().sort_values().astype("int64").to_numpy()
-            if chunks
-            else []
-        )
-        start_us = last_us = None
-        n = 0
+        sessions: list[tuple[int, int, int]] = []
         if state.exists:
-            start_us, last_us, n = state.get
-        closed = []
-        for t in ts:
-            t = int(t)
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                # late (out-of-order) events still inside the watermark
-                # merge into the open session, extending it backwards if
-                # they precede its start — the standard streaming
-                # sessionization semantic (a stream cannot retroactively
-                # split a session it never observed in order)
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
+            starts, lasts, ns = state.get
+            sessions = [
+                (int(a), int(b), int(c)) for a, b, c in zip(starts, lasts, ns)
+            ]
+        if not state.hasTimedOut:
+            chunks = [pdf["_ts_us"] for pdf in pdfs]
+            if chunks:
+                ts = pd.concat(chunks).dropna().astype("int64").to_numpy()
+                sessions.extend((int(t), int(t), 1) for t in ts)
+        # coalesce: sort by start and merge any adjacent pair within gap.
+        # Late admitted events participate like any other unit session,
+        # so they extend AND bridge exactly as batch semantics dictate.
+        sessions.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s0, l0, n0 in sessions:
+            if merged and s0 - merged[-1][1] <= gap_us:
+                ps, pl, pn = merged[-1]
+                merged[-1] = (ps, max(pl, l0), pn + n0)
             else:
-                closed.append((user, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-        if start_us is not None:
-            state.update((int(start_us), int(last_us), int(n)))
-            # event-time timeout: fire once the watermark passes the gap
-            # after the last event (clamped above the current watermark —
-            # Spark rejects timeouts at/behind it).
-            timeout_ms = max(
-                last_us // 1000 + gap_us // 1000,
-                state.getCurrentWatermarkMs() + 1,
+                merged.append((s0, l0, n0))
+        # emit only immutable sessions: watermark strictly past last+gap
+        # means every future admissible event (t >= wm) fails the merge
+        # predicate t - last <= gap
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emit = [x for x in merged if wm_us > x[1] + gap_us]
+        keep = [x for x in merged if wm_us <= x[1] + gap_us]
+        if keep:
+            state.update(
+                (
+                    [x[0] for x in keep],
+                    [x[1] for x in keep],
+                    [x[2] for x in keep],
+                )
             )
-            state.setTimeoutTimestamp(timeout_ms)
-        if closed:
+            # earliest point any pending session becomes immutable;
+            # ceil to ms (+1) so the timeout can never fire early
+            next_ms = min(-(-(x[1] + gap_us) // 1000) + 1 for x in keep)
+            state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        if emit:
             yield pd.DataFrame(
                 {
-                    "user_id": pd.array([c[0] for c in closed], dtype="int64"),
-                    "session_start_us": pd.array([c[1] for c in closed], dtype="int64"),
-                    "session_end_us": pd.array([c[2] for c in closed], dtype="int64"),
-                    "n_events": pd.array([c[3] for c in closed], dtype="int64"),
+                    "user_id": pd.array([user] * len(emit), dtype="int64"),
+                    "session_start_us": pd.array([x[0] for x in emit], dtype="int64"),
+                    "session_end_us": pd.array([x[1] for x in emit], dtype="int64"),
+                    "n_events": pd.array([x[2] for x in emit], dtype="int64"),
                 }
             )
 
