@@ -139,3 +139,36 @@ def test_covering_cells_and_index():
     idx = build_cell_index([p, square(2, 11.0, 21.0, 1.0)], 6)
     some_cell = int(cells.cell_encode(11.5, 21.5, 6)[()])
     assert idx[some_cell] == [1, 2]
+
+
+def test_polygon_out_of_range_lons_cross_antimeridian():
+    """A box authored with raw lon > 180 (anchor near the antimeridian,
+    e.g. lon 179 +/- 12 -> 167..191) must match probes whose longitude
+    wrapped into [-180, 180) — previously no single edge spanned > 180 so
+    detection failed and wrapped probes silently lost membership."""
+    from web_template_forensics_spark.geo.polygons import (
+        Polygon,
+        covering_cells,
+        points_in_polygon,
+    )
+
+    ring = [(-25.5, 167.0), (-25.5, 191.0), (-9.5, 191.0), (-9.5, 167.0)]
+    p = Polygon.make(1, "around-fj", [ring])
+    assert p.crosses_antimeridian
+    # east of the antimeridian, expressed in wrapped coordinates
+    assert points_in_polygon([-15.9], [-178.3], p)[0]
+    # west side still matches, far-away point does not
+    assert points_in_polygon([-17.5], [179.0], p)[0]
+    assert not points_in_polygon([-17.5], [0.0], p)[0]
+    # the covering cells include the wrapped probe's cell
+    from web_template_forensics_spark.geo import cells
+
+    lvl = 6
+    assert int(cells.cell_encode(-15.9, -178.3, lvl)[()]) in set(
+        covering_cells(p, lvl).tolist()
+    )
+    # negative-side authoring (-191..-167) works symmetrically
+    ring2 = [(-25.5, -191.0), (-25.5, -167.0), (-9.5, -167.0), (-9.5, -191.0)]
+    p2 = Polygon.make(2, "neg", [ring2])
+    assert p2.crosses_antimeridian
+    assert points_in_polygon([-15.9], [178.3], p2)[0]

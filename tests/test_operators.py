@@ -600,3 +600,20 @@ def test_minhash_empty_docs_never_pair(spark):
     out = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).toPandas()
     pairs = set(zip(out.id_a, out.id_b))
     assert pairs == {(3, 4)}, out
+
+
+def test_knn_brute_only_r_max_zero(spark):
+    """r_max=0 is the legal brute-force-only parameterization (previously
+    AttributeError on the None accumulator)."""
+    import pandas as pd
+
+    from web_template_forensics_spark.operators.spatial_join import knn_join
+
+    pdf = pd.DataFrame(
+        {"id": range(20), "lat": [float(i) for i in range(20)], "lon": [2.0 * i for i in range(20)]}
+    )
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("id") % 5 == 0)
+    out = knn_join(spark, probes, df, k=2, level=3, r_max=0).toPandas()
+    assert len(out) == 4 * 2
+    assert set(out.probe_id) == {0, 5, 10, 15}

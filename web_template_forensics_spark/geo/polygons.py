@@ -51,6 +51,14 @@ class Polygon:
             dlon = np.abs(np.diff(np.concatenate([a[:, 1], a[:1, 1]])))
             if np.any(dlon > 180.0):
                 crosses = True
+            # rings authored with raw out-of-range lons (e.g. a box
+            # around anchor lon 179 spanning 167..191) ARE antimeridian
+            # polygons even though no single edge spans > 180 — without
+            # this, probes whose lon wrapped into [-180, 180) silently
+            # fail the ray cast while the covering-cell candidates (which
+            # wrap mod n) still match
+            if np.any(a[:, 1] > 180.0) or np.any(a[:, 1] < -180.0):
+                crosses = True
             arrs.append(a)
         if crosses:
             arrs = [np.column_stack([a[:, 0], np.where(a[:, 1] < 0, a[:, 1] + 360.0, a[:, 1])])

@@ -168,8 +168,12 @@ def knn_join(
         collected = (cand if collected is None else collected.unionByName(cand)).persist()
 
         guarantee = (r * cell_h) ** 2
+        # rank only the still-pending probes' candidates: finished probes
+        # dominate `collected` in later rounds and their re-ranking is
+        # pure redundant work
+        active = collected.join(pending.select("probe_id"), "probe_id", "left_semi")
         stats = (
-            collected.withColumn("rn", F.row_number().over(w))
+            active.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .groupBy("probe_id")
             .agg(F.count("*").alias("n"), F.max("dist2").alias("kth_d2"))
@@ -187,18 +191,37 @@ def knn_join(
             break
 
     if pending is not None and not pending.isEmpty():
-        # sparse-region fallback: bounded brute force for the residual probes
+        # sparse-region fallback: bounded brute force for the residual
+        # probes (with r_max=0 this is the whole probe set — a legal
+        # brute-force-only parameterization)
         brute = pending.crossJoin(corpus_c.drop("cell_id"))
         if exclude_self:
             brute = brute.filter(F.col("probe_id") != F.col("neighbor_id"))
         brute = brute.withColumn("dist2", dist2).select(
             "probe_id", "p_lat", "p_lon", "p_cell", "neighbor_id", "n_lat", "n_lon", "dist2"
         )
-        collected = collected.unionByName(brute).dropDuplicates(["probe_id", "neighbor_id"])
+        collected = (
+            brute
+            if collected is None
+            else collected.unionByName(brute).dropDuplicates(["probe_id", "neighbor_id"])
+        )
 
-    w = Window.partitionBy("probe_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
-    return (
+    result = (
         collected.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "dist2")
+        .persist()
     )
+    # materialize the (small, <= k x probes) result, then release the
+    # iteration caches — previously corpus_c + the final collected/pending
+    # stayed persisted for the session's lifetime
+    result.count()
+    corpus_c.unpersist()
+    if pending is not None:
+        pending.unpersist()
+    for df in (collected,):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return result

@@ -55,8 +55,15 @@ def pages_to_geo(
             "_text_ok", (extract_text_udf("html") == F.col("text")).cast("int")
         )
     geo = geocode_pages(spark, pages)
+    # null-safe: cell_encode on NaN would int64-cast to INT64_MIN and
+    # clip to the lat-90/lon-180 corner cell — ungeocoded rows must keep
+    # cell_id null (the fused path guards identically with its ok mask)
     return geo.withColumn(
-        "cell_id", cell_encode_udf(CELL_LEVEL)(F.col("lat"), F.col("lon"))
+        "cell_id",
+        F.when(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull(),
+            cell_encode_udf(CELL_LEVEL)(F.col("lat"), F.col("lon")),
+        ),
     )
 
 
@@ -129,7 +136,9 @@ def pages_to_geo_fused(pages: DataFrame, verify_text: bool = False) -> DataFrame
                     "url": url,
                     "warc_ts": pdf["warc_ts"],
                     "lang": pdf["lang"],
-                    "n_bytes": html.str.len().astype("int64"),
+                    # raw BINARY length — the decoded str length would
+                    # undercount multi-byte UTF-8 pages
+                    "n_bytes": pdf["html"].map(len).astype("int64"),
                     "text_ok": text_ok,
                     "lat": lat,
                     "lon": lon,
@@ -172,9 +181,10 @@ def run_pages_pipeline(
         F.sum(F.col("lat").isNotNull().cast("int")).alias("n_geo"),
         F.sum("text_ok").alias("n_text_ok"),
     ).first()
-    if verify_text and head["n_text_ok"] != head["n_total"]:
+    n_text_ok = head["n_text_ok"] or 0  # sum over zero rows is null
+    if verify_text and n_text_ok != head["n_total"]:
         raise AssertionError(
-            f"text-extraction invariant violated on {head['n_total'] - head['n_text_ok']} rows"
+            f"text-extraction invariant violated on {head['n_total'] - n_text_ok} rows"
         )
 
     geocoded = geo.filter(F.col("lat").isNotNull())
