@@ -445,6 +445,7 @@ def test_text_udfs_ascii_whitespace_parity(spark):
         ("nbsp joined and joined tokens",),
         ("tabs\tand\nnewlines split",),
         ("",),
+        (None,),  # null text: every face must yield 0, not NULL
     ]
     df = spark.createDataFrame(rows, "text string")
     out = df.select(
@@ -453,8 +454,10 @@ def test_text_udfs_ascii_whitespace_parity(spark):
         quality_score_udf("text").alias("q_udf"),
         quality_score_col(F.col("text")).alias("q_col"),
     ).toPandas()
+    assert out.t_col.notna().all() and out.q_col.notna().all(), out
     assert (out.t_udf == out.t_col).all(), out
     assert (out.q_udf == out.q_col).all(), out
+    assert out.t_col.iloc[-1] == 0  # null row
     # NBSP/LS glue tokens: 'nbsp\\u00a0joined', 'and\\u2028joined', 'tokens'
     assert out.t_udf[1] == 3
 
@@ -617,3 +620,31 @@ def test_knn_brute_only_r_max_zero(spark):
     out = knn_join(spark, probes, df, k=2, level=3, r_max=0).toPandas()
     assert len(out) == 4 * 2
     assert set(out.probe_id) == {0, 5, 10, 15}
+
+
+def test_ngram_whitespace_and_simhash_exact_band(spark):
+    """Leading/trailing whitespace must not corrupt grams (identical
+    token content scores 1.0), whitespace-only docs never pair, and
+    max_hamming=0 (one full-64-bit band) is legal."""
+    from web_template_forensics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = [
+        (1, "alpha bravo charlie delta", "en"),
+        (2, "  alpha bravo charlie delta  ", "en"),
+        (3, "   ", "en"),
+        (4, " \t ", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = ngram_jaccard_pairs(df, "doc_id", "text", "lang", threshold=0.01).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    assert got == {(1, 2): 1.0}, got  # padded twin identical; ws-only never pair
+
+    sdf = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    exact = simhash_near_dup_pairs(sdf, "doc_id", "text", max_hamming=0).toPandas()
+    assert set(zip(exact.id_a, exact.id_b)) == {(1, 2)}
+    assert (exact.hamming == 0).all()

@@ -42,7 +42,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def _count_token_occurrences_col(text: Column, token: str) -> Column:
     """Occurrences of ' token ' in ' '||text||' ' via length/replace —
     identical integer semantics in Spark and DuckDB."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    padded = F.concat(F.lit(" "), F.coalesce(text, F.lit("")), F.lit(" "))
     pat = f" {token} "
     return (
         (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(pat), F.lit(""))))
@@ -52,7 +52,7 @@ def _count_token_occurrences_col(text: Column, token: str) -> Column:
 
 def _count_token_occurrences_sql(text_expr: str, token: str) -> str:
     pat = f" {token} "
-    padded = f"(' ' || ({text_expr}) || ' ')"
+    padded = f"(' ' || coalesce(({text_expr}), '') || ' ')"
     return f"cast((length({padded}) - length(replace({padded}, '{pat}', ''))) / {len(pat)} as bigint)"
 
 
@@ -99,7 +99,9 @@ def token_count_col(text: Column) -> Column:
     number of non-space runs = count of positions where a non-space follows
     a space in ' '||text. Computed as length(regexp-collapse) arithmetic.
     """
-    padded = F.concat(F.lit(" "), text)
+    # coalesce: the pandas-UDF faces fillna('') and return 0 for null
+    # text; the Column/SQL faces must agree, not propagate NULL
+    padded = F.concat(F.lit(" "), F.coalesce(text, F.lit("")))
     # collapse runs of whitespace to single ' ', then count remaining spaces
     collapsed = F.regexp_replace(padded, F.lit(ASCII_WS_REGEX), F.lit(" "))
     trimmed = F.rtrim(collapsed)
@@ -109,7 +111,7 @@ def token_count_col(text: Column) -> Column:
 
 
 def token_count_sql(text_expr: str) -> str:
-    padded = f"(' ' || ({text_expr}))"
+    padded = f"(' ' || coalesce(({text_expr}), ''))"
     collapsed = f"regexp_replace({padded}, '{ASCII_WS_REGEX}', ' ', 'g')"
     trimmed = f"rtrim({collapsed})"
     return f"cast(length({trimmed}) - length(replace({trimmed}, ' ', '')) as bigint)"
@@ -135,17 +137,23 @@ BPE_TOKEN_PATTERN = (
 
 def bpe_token_count_col(text: Column) -> Column:
     """BPE-ish token count, pure codegen (regexp_count, zero Python)."""
-    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+    return F.regexp_count(
+        F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_PATTERN)
+    ).cast("long")
 
 
 def bpe_token_count_sql(text_expr: str) -> str:
     pat = BPE_TOKEN_PATTERN.replace("'", "''")
-    return f"cast(len(regexp_extract_all({text_expr}, '{pat}')) as bigint)"
+    return (
+        f"cast(len(regexp_extract_all(coalesce(({text_expr}), ''), "
+        f"'{pat}')) as bigint)"
+    )
 
 
 def quality_score_col(text: Column) -> Column:
     """Deterministic quality heuristic (documented spec; same in SQL):
     0.3*min(1, tokens/64) + 0.4*alpha_ratio + 0.3*min(1, chars/512), round 6."""
+    text = F.coalesce(text, F.lit(""))
     n_chars = F.length(text).cast("double")
     n_alpha = F.length(F.regexp_replace(F.lower(text), F.lit("[^a-z]"), F.lit(""))).cast("double")
     tokens = token_count_col(text).cast("double")
@@ -158,6 +166,7 @@ def quality_score_col(text: Column) -> Column:
 
 
 def quality_score_sql(text_expr: str) -> str:
+    text_expr = f"coalesce(({text_expr}), '')"
     n_chars = f"cast(length({text_expr}) as double)"
     n_alpha = f"cast(length(regexp_replace(lower({text_expr}), '[^a-z]', '', 'g')) as double)"
     tokens = f"cast({token_count_sql(text_expr)} as double)"
@@ -367,4 +376,13 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
         + 0.4 * (n_alpha / np.maximum(n_chars, 1.0))
         + 0.3 * np.minimum(1.0, n_chars / 512.0)
     )
-    return np.round(score, 6)
+    # Spark F.round = BigDecimal(double).setScale(6, HALF_UP) on the
+    # exact binary value; np.round is half-even and can differ on ties —
+    # Decimal(float) replicates the JVM semantics exactly
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    return pd.Series(
+        [float(Decimal(v).quantize(q, ROUND_HALF_UP)) for v in score],
+        index=score.index if hasattr(score, "index") else None,
+    )

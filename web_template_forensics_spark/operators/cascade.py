@@ -196,13 +196,10 @@ def config_score_udf(kind: pd.Series, j1: pd.Series, j2: pd.Series) -> pd.Series
     return pd.Series(out)
 
 
-@F.pandas_udf(T.DoubleType())
-def seq_ratio_pair_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    from ..oracle.similarity import seq_ratio
-
-    return pd.Series(
-        [seq_ratio(x or "", y or "") for x, y in zip(a, b)]
-    )
+# basename difflib scoring reuses the shared UDF (functions/
+# similarity_udfs.seq_ratio_udf) — an identical local copy previously
+# lived here and the two had to be kept in sync by hand
+from ..functions.similarity_udfs import seq_ratio_udf as seq_ratio_pair_udf  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -244,7 +241,11 @@ def match_cascade(files: DataFrame) -> DataFrame:
         rem1 = l.join(r.select("path"), "path", "left_anti")
         rem2 = r.join(l.select("path"), "path", "left_anti")
 
-        # J2 fuzzy (basename difflib >= 0.75, greedy)
+        # J2 fuzzy (basename difflib >= 0.75, greedy). Deliberately the
+        # reference's full remainder cross product (file_matcher.py:61-82)
+        # — remainders are per-project-small by construction here; the
+        # guarded/blocked variant for arbitrary inputs is
+        # matching.fuzzy_filename_scores.
         base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
         fz_scored = (
             rem1.select(F.col("path").alias("left_key"), base(F.col("path")).alias("_lb"))

@@ -12,10 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text_udfs import ASCII_WS_REGEX
 from pyspark.sql.window import Window
 
 from ..functions.text_udfs import (
+    ASCII_WS_REGEX,
     N_MINHASH,
     minhash_udf,
     shingle_hashes_udf,
@@ -68,6 +68,12 @@ def minhash_lsh_pairs(
     computes exact Jaccard JVM-side with array_intersect — no per-pair
     Python, no re-shingling.
     """
+    if not (1 <= bands <= N_MINHASH) or N_MINHASH % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the signature length "
+            f"{N_MINHASH} (bands > {N_MINHASH} would degenerate to an "
+            f"all-docs bucket; non-divisors silently drop signature tail)"
+        )
     rows_per_band = N_MINHASH // bands
     # zero-shingle (empty / whitespace-only) docs are excluded up front:
     # their Jaccard is 0/0 — not "1.0" — and their constant sentinel
@@ -141,12 +147,15 @@ def simhash_near_dup_pairs(
     for b in range(n_bands):
         lo = 64 * b // n_bands
         width = 64 * (b + 1) // n_bands - lo
-        mask = (1 << width) - 1
+        shifted = F.shiftrightunsigned(F.col("_sh"), lo)
+        # a full-word band (max_hamming=0 -> one 64-bit band) needs no
+        # mask — and (1<<64)-1 would overflow the JVM long in F.lit
+        band_val = (
+            shifted if width >= 64
+            else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        )
         band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_no"),
-                F.shiftrightunsigned(F.col("_sh"), lo).bitwiseAND(F.lit(mask)).alias("band_val"),
-            )
+            F.struct(F.lit(b).alias("band_no"), band_val.alias("band_val"))
         )
     sh = df.select(F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("_sh"))
     banded = sh.select(
@@ -163,6 +172,16 @@ def simhash_near_dup_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _toks(text_col: str):
+    """ASCII-whitespace tokens with empties dropped — F.split emits ''
+    for leading/trailing whitespace, which would otherwise corrupt grams
+    (' alpha bravo' != 'alpha bravo') and let whitespace-only docs pair
+    via the single gram ' '. Same semantics as ASCII_TOKEN_RE.findall."""
+    return F.filter(
+        F.split(F.col(text_col), ASCII_WS_REGEX), lambda x: x != F.lit("")
     )
 
 
@@ -200,11 +219,9 @@ def ngram_jaccard_pairs(
                     F.transform(
                         F.sequence(
                             F.lit(0),
-                            F.greatest(F.size(F.split(F.col(text_col), ASCII_WS_REGEX)) - n, F.lit(0)),
+                            F.greatest(F.size(_toks(text_col)) - n, F.lit(0)),
                         ),
-                        lambda i: F.array_join(
-                            F.slice(F.split(F.col(text_col), ASCII_WS_REGEX), i + 1, n), " "
-                        ),
+                        lambda i: F.array_join(F.slice(_toks(text_col), i + 1, n), " "),
                     )
                 )
             ).alias("gram"),

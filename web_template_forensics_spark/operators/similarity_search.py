@@ -40,12 +40,16 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    broadcast_corpus: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k -> (probe_id, neighbor_id, rank, cosine).
 
-    Deterministic total order (cosine desc, neighbor_id asc). The corpus
-    side is broadcast when small; at scale, replicate-probes x partitioned
-    corpus (a crossJoin Catalyst handles with BroadcastNestedLoopJoin).
+    Deterministic total order (cosine desc, neighbor_id asc).
+    ``broadcast_corpus=True`` (default) forces the corpus onto every
+    executor — right for the gate/bench corpora. For a corpus that does
+    not fit executor memory pass ``False``: the crossJoin then runs as
+    replicate-probes x partitioned-corpus (Catalyst picks the
+    nested-loop strategy with the small probe side broadcast instead).
     """
     p = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -55,7 +59,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
     )
-    pairs = p.crossJoin(F.broadcast(c))
+    pairs = p.crossJoin(F.broadcast(c) if broadcast_corpus else c)
     if exclude_self:
         pairs = pairs.filter(F.col("probe_id") != F.col("neighbor_id"))
     scored = with_cosine(pairs, "p_vec", "c_vec")
@@ -130,14 +134,29 @@ def cosine_topk_lsh(
         dim = 4096
     bucket = _sign_lsh_udf(dim, bits)
 
-    # probe bucket expansion: all buckets within hamming distance
-    flips = [0]
-    if probe_hamming >= 1:
-        flips += [1 << b for b in range(bits)]
-    if probe_hamming >= 2:
-        flips += [
-            (1 << b1) | (1 << b2) for b1 in range(bits) for b2 in range(b1 + 1, bits)
-        ]
+    # probe bucket expansion: ALL buckets within the requested hamming
+    # distance (itertools over bit subsets — the old hand-rolled version
+    # silently capped at 2 flips, so probe_hamming=3 quietly behaved
+    # like 2). Fan-out is sum(C(bits, h)) for h <= probe_hamming; the
+    # guard keeps an accidental probe_hamming=bits from exploding into
+    # the full 2^bits bucket space unnoticed.
+    import itertools
+    import math
+
+    if probe_hamming > bits:
+        raise ValueError(f"probe_hamming={probe_hamming} exceeds bits={bits}")
+    fan_out = sum(math.comb(bits, h) for h in range(probe_hamming + 1))
+    if fan_out > 4096:
+        raise ValueError(
+            f"probe expansion of {fan_out} buckets (bits={bits}, "
+            f"probe_hamming={probe_hamming}) — lower probe_hamming or "
+            f"raise this guard deliberately"
+        )
+    flips = [
+        sum(1 << b for b in combo)
+        for h in range(probe_hamming + 1)
+        for combo in itertools.combinations(range(bits), h)
+    ]
 
     p = probes.select(
         F.col(id_col).alias("probe_id"),

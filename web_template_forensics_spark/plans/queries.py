@@ -670,7 +670,10 @@ def q_ngram_pairs(spark, sf_dir):
 
 _Q_NGRAM_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, lang, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS t FROM documents),
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS t
+    FROM documents),
   g0 AS (
     SELECT doc_id, lang,
            unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -752,7 +755,10 @@ def q_minhash_pairs(spark, sf_dir):
 
 _Q_MINHASH_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS t FROM documents),
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS t
+    FROM documents),
   g0 AS (
     SELECT doc_id,
            unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),

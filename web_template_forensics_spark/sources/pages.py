@@ -194,7 +194,14 @@ def gen_pages_pdf(
         has_meta = (hk % 10) == 3
         meta = _meta_coords(hk) if has_meta else None
         html = _build_html(key, hk, tld, meta, rich=rich)
-        ts = base_ts + np.timedelta64(int((i * 7919) % 2_592_000), "s")
+        # ts derives from KEY so a dup row's base matches its original's,
+        # plus a strictly positive re-crawl offset — the old i-based
+        # modulus could wrap between i-1 and i, giving the "re-crawl" an
+        # EARLIER ts (~once per 4300 rows) and inverting latest-crawl
+        # fixture semantics
+        ts = base_ts + np.timedelta64(int((key * 7919) % 2_592_000), "s")
+        if is_dup:
+            ts = ts + np.timedelta64(3600, "s")
         lang = TLD_ANCHORS[tld][2]
         row = {
             "url": url,
@@ -226,14 +233,21 @@ def host_geo_udf():
 
     @F.pandas_udf(schema)
     def _geo(host: pd.Series, a_lat: pd.Series, a_lon: pd.Series) -> pd.DataFrame:
+        # null host_id (foreign url) or null anchor (unknown tld) must
+        # yield null coords, not a fabricated anchor-jittered point
+        ok = host.notna().to_numpy() & a_lat.notna().to_numpy()
         hm = splitmix64(host.fillna(0).to_numpy().astype(np.uint64))
-        lat = a_lat.to_numpy() + ((hm % np.uint64(4001)).astype(np.float64) - 2000.0) / 1000.0
-        lon = a_lon.to_numpy() + (
+        lat = a_lat.fillna(0.0).to_numpy() + (
+            (hm % np.uint64(4001)).astype(np.float64) - 2000.0
+        ) / 1000.0
+        lon = a_lon.fillna(0.0).to_numpy() + (
             ((hm // np.uint64(4096)) % np.uint64(8001)).astype(np.float64) - 4000.0
         ) / 1000.0
         lon = np.where(lon >= 180.0, lon - 360.0, lon)
         lon = np.where(lon < -180.0, lon + 360.0, lon)
-        return pd.DataFrame({"h_lat": lat, "h_lon": lon})
+        return pd.DataFrame(
+            {"h_lat": np.where(ok, lat, np.nan), "h_lon": np.where(ok, lon, np.nan)}
+        )
 
     return _geo
 
@@ -248,7 +262,12 @@ def geocode_pages(spark, pages):
 
     anchors = [(tld, lat, lon) for tld, (lat, lon, _) in TLD_ANCHORS.items()]
     anchors_df = spark.createDataFrame(anchors, "tld string, a_lat double, a_lon double")
-    host_id = F.regexp_extract("url", r"https://h(\d+)\.", 1).cast("long")
+    # nullif: regexp_extract yields '' on non-matching urls, and under
+    # ANSI mode ''.cast(long) aborts the job — foreign urls must geocode
+    # to null (the documented contract), not crash
+    host_id = F.nullif(
+        F.regexp_extract("url", r"https://h(\d+)\.", 1), F.lit("")
+    ).cast("long")
     tld = F.regexp_extract("url", r"\.([a-z]+)/", 1)
     geo = (
         pages.withColumn("_meta", extract_meta_geo_udf("html"))
