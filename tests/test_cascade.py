@@ -85,8 +85,20 @@ def test_quirks_q9_q11_structure_only_css(spark):
 
 def test_quirk_q13_nextenv_filtered_from_unmatched(spark, files, mwc, replay):
     agg = {r.filetype: r for r in C.filetype_aggregates(files, mwc).collect()}
-    # fixture has modified next-env.d.ts (dropped) + original scripts/build.js
-    assert agg["js"].files_unmatched == replay["per_type"]["js"]["files_unmatched"] == 1
+    # Q13 sequencing (file_matcher.py:557-576): files_unmatched is stored
+    # BEFORE the next-env.d.ts filter, so BOTH js unmatched files count —
+    # modified next-env.d.ts AND original scripts/build.js. The filter's
+    # only observable effect is A2's denominator (the reference rebinds
+    # matched_pairs locally but mutates unmatched_files in place).
+    assert agg["js"].files_unmatched == replay["per_type"]["js"]["files_unmatched"] == 2
+    # A2 denominator effect: the filtered variant drops next-env.d.ts
+    unm_a2 = {
+        r.filetype: r.files_unmatched
+        for r in C._unmatched_counts(
+            files, mwc, q13_filter=True
+        ).collect()
+    }
+    assert unm_a2["js"] == 1
 
 
 def test_filetype_aggregates_equal_replay(spark, files, mwc, replay):

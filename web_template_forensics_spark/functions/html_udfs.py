@@ -73,15 +73,24 @@ def tree_signature_udf(html: pd.Series) -> pd.DataFrame:
 
 
 # Tailwind/utility class extraction (reference core/tailwind_analyzer.py:18-55).
-_JSX_CLASS_RE = re.compile(r"(?:class|className)\s*=\s*[\"']([^\"']+)[\"']")
+# DOUBLE-quoted values only: the reference character class is ["\"] (the
+# double quote twice), so className='single-quoted' yields NO classes —
+# a previous [\"'] here silently extended the reference semantics.
+_JSX_CLASS_RE = re.compile(r'(?:class|className)\s*=\s*"([^"]+)"')
 
 
 def class_counts_from_tree(html_str: str) -> dict[str, int]:
-    """HTML path: walk the parse tree collecting class tokens
-    (core/tailwind_analyzer.py:18-31 walks bs4 tags the same way)."""
-    tree = parse_html_tree(html_str)
+    """HTML path: walk the FULL document tree collecting class tokens —
+    the reference's soup.find_all(True) covers html/head too
+    (core/tailwind_analyzer.py:18-31), so classes outside <body> count;
+    the body-rooted parse_html_tree is the STRUCTURE oracle's shape, not
+    this one's."""
+    from ..oracle.html_oracle import _to_reference_node, parse_raw
+
+    builder = parse_raw(html_str)
+    tree = _to_reference_node(builder.document, False)
     counts: Counter[str] = Counter()
-    stack = [tree]
+    stack = [tree] if tree else []
     while stack:
         node = stack.pop()
         if node["type"] == "element":

@@ -409,34 +409,37 @@ def tailwind_pairs(files: DataFrame, mwc: DataFrame | None = None) -> DataFrame:
     )
 
 
-def _unmatched_counts(files: DataFrame, matched: DataFrame) -> DataFrame:
-    """Per-filetype unmatched file counts, with the js next-env.d.ts
-    post-filter applied to the UNMATCHED lists only (Q13)."""
+def _unmatched_counts(
+    files: DataFrame, matched: DataFrame, q13_filter: bool = False
+) -> DataFrame:
+    """Per-filetype unmatched file counts.
+
+    Q13, precisely (file_matcher.py:557-576 + the rebinding quirk): the
+    reference computes ``files_unmatched`` and the per-type aggregate
+    BEFORE its js next-env.d.ts filter, and ``results[ft]['matched_pairs']``
+    keeps pointing at the unfiltered list (the filter rebinds a local) —
+    but the filter mutates ``unmatched_files[ft]`` in place, so A2's
+    file-count denominator (file_matcher.py:614-617) sees the FILTERED
+    unmatched lists. Hence: ``q13_filter=False`` for the A1
+    ``files_unmatched`` column, ``True`` for the A2 denominator."""
     nextenv_ok = ~(
         (F.col("filetype") == "js") & F.col("path").endswith("next-env.d.ts")
     )
-    un1 = (
-        files.filter(F.col("side") == "original")
-        .join(
-            matched.selectExpr("filetype as _mft", "original as _mpath"),
-            (F.col("filetype") == F.col("_mft")) & (F.col("path") == F.col("_mpath")),
-            "left_anti",
+    def _side(side_name: str, matched_col: str, alias: str):
+        out = (
+            files.filter(F.col("side") == side_name)
+            .join(
+                matched.selectExpr("filetype as _mft", f"{matched_col} as _mpath"),
+                (F.col("filetype") == F.col("_mft")) & (F.col("path") == F.col("_mpath")),
+                "left_anti",
+            )
         )
-        .filter(nextenv_ok)
-        .groupBy("filetype")
-        .agg(F.count(F.lit(1)).alias("n_un1"))
-    )
-    un2 = (
-        files.filter(F.col("side") == "modified")
-        .join(
-            matched.selectExpr("filetype as _mft", "modified as _mpath"),
-            (F.col("filetype") == F.col("_mft")) & (F.col("path") == F.col("_mpath")),
-            "left_anti",
-        )
-        .filter(nextenv_ok)
-        .groupBy("filetype")
-        .agg(F.count(F.lit(1)).alias("n_un2"))
-    )
+        if q13_filter:
+            out = out.filter(nextenv_ok)
+        return out.groupBy("filetype").agg(F.count(F.lit(1)).alias(alias))
+
+    un1 = _side("original", "original", "n_un1")
+    un2 = _side("modified", "modified", "n_un2")
     types = files.sparkSession.createDataFrame([(t,) for t in FILETYPES], "filetype string")
     return (
         types.join(un1, "filetype", "left")
@@ -504,7 +507,7 @@ def overall_similarity(
     sims = pair_scores(files, mwc).agg(
         F.sum("similarity").alias("sim_sum"), F.count(F.lit(1)).alias("n_matched")
     )
-    unm = _unmatched_counts(files, mwc).agg(
+    unm = _unmatched_counts(files, mwc, q13_filter=True).agg(
         F.sum("files_unmatched").alias("n_unmatched")
     )
     tw = tailwind_pairs(files, mwc).agg(

@@ -235,8 +235,6 @@ def tailwind_compare(c1: str, c2: str, filetype: str) -> dict:
     freq = inter / union if union else 1.0
     so, su = set(o), set(u)
     set_j = len(so & su) / len(so | su) if (so | su) else 1.0
-    if not so and not su:
-        set_j = 1.0
     impact = []
     for cls in so | su:
         diff = abs(o.get(cls, 0) - u.get(cls, 0))
@@ -305,7 +303,14 @@ def replay_cascade(rows: list[tuple[str, str, str, str]]) -> dict[str, Any]:
         matched_modifieds = {p[1] for p in pairs}
         un1 = [f for f in files1 if f not in matched_originals]
         un2 = [f for f in files2 if f not in matched_modifieds]
-        if filetype == "js":  # Q13
+        # Q13, exactly as the reference sequences it: files_unmatched and
+        # the per-type aggregate use the PRE-filter lists
+        # (file_matcher.py:557-566); the js next-env.d.ts filter runs
+        # after (572-576) and — because it mutates unmatched_files in
+        # place while only REBINDING the local matched_pairs — its sole
+        # downstream effect is A2's file-count denominator (614-617).
+        num_unmatched = len(un1) + len(un2)
+        if filetype == "js":  # Q13 (A2-denominator effect only)
             un1 = [f for f in un1 if not f.endswith("next-env.d.ts")]
             un2 = [f for f in un2 if not f.endswith("next-env.d.ts")]
 
@@ -332,7 +337,6 @@ def replay_cascade(rows: list[tuple[str, str, str, str]]) -> dict[str, Any]:
                     for cls, oc, uc, diff in tw["change_impact"]:
                         impact_rows.append((o, m, cls, oc, uc, diff))
 
-        num_unmatched = len(un1) + len(un2)
         unique_matched = {(p[0], p[1]) for p in pairs}
         denom = len(files1) + len(files2) - len(unique_matched)
         sim_scores = sims + [0.0] * num_unmatched
@@ -492,30 +496,48 @@ def guarded_structure_score(filetype: str, c1: str, c2: str) -> float:
     """Capable J3 pair score: parse, guard on meaningful-node counts,
     then the filetype's structure comparator. Quirk-free counterpart of
     the cascade's css-only structure stage."""
+    # guard BEFORE comparing: parsing is needed for the node counts, but
+    # the (much more expensive) full structure comparison is skipped for
+    # guard-rejected candidates — this function scores O(candidates) pairs
+    # inside structure_match_scores, where most candidates fail the guard
     if filetype == "html":
         t1, t2 = parse_html_tree(c1), parse_html_tree(c2)
         n1 = count_meaningful_nodes_capable(t1, "html")
         n2 = count_meaningful_nodes_capable(t2, "html")
-        score = compare_structures(t1, t2).similarity_score
-    elif filetype == "jsx":
+        if n1 < 2 or n2 < 2:
+            return (
+                compare_structures(t1, t2).similarity_score
+                if n1 == 1 and n2 == 1
+                else 0.0
+            )
+        return compare_structures(t1, t2).similarity_score
+    if filetype == "jsx":
         from .jsx_treesitter import parse_jsx_or_fallback
 
         p1, p2 = parse_jsx_or_fallback(c1), parse_jsx_or_fallback(c2)
         n1 = count_meaningful_nodes_capable(p1, "jsx")
         n2 = count_meaningful_nodes_capable(p2, "jsx")
-        score = compare_structures(p1["ast"], p2["ast"]).similarity_score
-    elif filetype == "css":
-        n1, n2 = c1.count("{"), c2.count("{")
-        score = compare_css(c1, c2)["css_similarity"]
-    else:
-        from .js_oracle import _tree_similarity, parse_js
-
-        p1, p2 = parse_js(c1), parse_js(c2)
-        n1 = count_meaningful_nodes_capable(p1, "js")
-        n2 = count_meaningful_nodes_capable(p2, "js")
         if n1 < 2 or n2 < 2:
-            return _tree_similarity(p1["ast"], p2["ast"]) if n1 == 1 and n2 == 1 else 0.0
-        return compare_js(c1, c2)["similarity"]
+            return (
+                compare_structures(p1["ast"], p2["ast"]).similarity_score
+                if n1 == 1 and n2 == 1
+                else 0.0
+            )
+        return compare_structures(p1["ast"], p2["ast"]).similarity_score
+    if filetype == "css":
+        n1, n2 = c1.count("{"), c2.count("{")
+        if n1 < 2 or n2 < 2:
+            return (
+                compare_css(c1, c2)["css_similarity"]
+                if n1 == 1 and n2 == 1
+                else 0.0
+            )
+        return compare_css(c1, c2)["css_similarity"]
+    from .js_oracle import _tree_similarity, parse_js
+
+    p1, p2 = parse_js(c1), parse_js(c2)
+    n1 = count_meaningful_nodes_capable(p1, "js")
+    n2 = count_meaningful_nodes_capable(p2, "js")
     if n1 < 2 or n2 < 2:
-        return score if n1 == 1 and n2 == 1 else 0.0
-    return score
+        return _tree_similarity(p1["ast"], p2["ast"]) if n1 == 1 and n2 == 1 else 0.0
+    return compare_js(c1, c2)["similarity"]

@@ -6,9 +6,16 @@ Every query here runs the DISTRIBUTED implementation
 produced by the single-threaded pure-Python replay
 (oracle/cascade_oracle.py) of the reference lifecycle. The two
 implementations share only the leaf comparator functions (by mandate —
-the scores ARE the semantics); the composition, greedy/threshold
-semantics, remainders, and the whole A1-A6 aggregation layer are
-computed twice, independently, and hash-compared by the driver.
+the scores ARE the semantics); for the single-pair queries the
+composition, greedy/threshold semantics, remainders, and the whole
+A1-A6 aggregation layer are computed twice, independently, and
+hash-compared by the driver. TWO exceptions, disclosed: the
+match_cascade_many and forensic_pairs rows run the SAME replay function
+on both sides (the per-pair grouped-map wraps replay_cascade /
+analyze_pair by design), so those two rows verify the applyInPandas
+distribution plumbing, not the composition math — which for those paths
+is pinned instead by the ported-fixture pytest suite (test_cascade.py,
+test_js_reference_parity.py) against the reference.
 
 Float fidelity: per-pair scores are bit-identical by construction (same
 pure functions both sides); ORDER-DEPENDENT aggregates are rounded to 6
@@ -35,16 +42,22 @@ def fixture_files(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(project_pair_rows(), _FILES_SCHEMA)
 
 
-_MWC_CACHE: dict[int, DataFrame] = {}
+_MWC_CACHE: dict[str, DataFrame] = {}
 
 
 def _mwc(spark: SparkSession) -> DataFrame:
     """matched_with_contents over the fixture, materialized ONCE per
     session (localCheckpoint) — the cascade subplan holds ~a dozen
     grouped-map stages, and the 13 queries here would otherwise each
-    recompute it several times over."""
-    key = id(spark)
+    recompute it several times over.
+
+    Keyed by applicationId, not id(spark): CPython reuses freed object
+    addresses, so an id() key could serve a checkpointed DataFrame bound
+    to a STOPPED SparkContext to a brand-new session. One entry per app
+    is kept (sessions are sequential here), so the dict stays bounded."""
+    key = spark.sparkContext.applicationId
     if key not in _MWC_CACHE:
+        _MWC_CACHE.clear()  # drop frames bound to previous (dead) contexts
         _MWC_CACHE[key] = C.matched_with_contents(fixture_files(spark)).localCheckpoint()
     return _MWC_CACHE[key]
 
@@ -354,8 +367,11 @@ def q_match_cascade_many(spark, sf_dir):
     """The MANY-pairs cascade as ONE grouped dataflow (cascade.py
     cascade_reports_per_pair): three differently-seeded project pairs run
     the whole E1 lifecycle per pair_id in a single applyInPandas pass —
-    no cross-pair shuffle, linear in pairs (the embarrassingly-parallel
-    claim, now under the driver's oracle and not just pytest)."""
+    no cross-pair shuffle, linear in pairs. The driver row checks the
+    grouped-map DISTRIBUTION plumbing (per-pair isolation, Arrow
+    round-trip, row fan-in): both sides intentionally call the same
+    replay (see module docstring); the composition math itself is
+    fixture-pinned in pytest."""
     rows = []
     for pid, seed in enumerate(_MANY_PAIR_SEEDS):
         rows += [(pid, *r) for r in project_pair_rows(seed=seed)]
