@@ -79,6 +79,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from web_template_forensics_spark.session import get_spark
 
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+
     spark = get_spark("compare-oracle", cores=8, shuffle_partitions=8)
     con = duck_con(sf_dir)
     qs = entrymod.queries()

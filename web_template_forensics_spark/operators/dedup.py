@@ -252,11 +252,11 @@ def ngram_jaccard_pairs(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
-            ),
+            "_raw", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # threshold on the RAW ratio (the SQL oracle filters pre-rounding;
+        # filtering the rounded value would admit boundary pairs like
+        # 0.0039995 -> 0.004000 that the oracle rejects)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
     )

@@ -100,7 +100,12 @@ def _sign_lsh_udf(dim: int, bits: int, seed: int = 7):
         mat = np.stack(vec.to_numpy())  # (n, d), d <= dim
         # slice to the batch's actual width: signs are a pure function of
         # (d, b), so planes[:d] is identical to generating (d, bits)
-        signs = (mat @ planes[: mat.shape[1]]) > 0  # (n, bits)
+        # round before the sign: the SQL oracle sums the dot product
+        # sequentially while BLAS blocks/FMAs it — for a projection
+        # within ~1e-15 of 0 the two orders can disagree on the SIGN and
+        # flip the bucket; quantizing at 1e-9 makes both faces agree
+        # everywhere except a measure-zero knife-edge 6 digits finer
+        signs = np.round(mat @ planes[: mat.shape[1]], 9) > 0  # (n, bits)
         weights = (1 << np.arange(bits)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int32))
 

@@ -599,9 +599,20 @@ def q_class_counts(spark, sf_dir):
     class tokens -> exploded (class, count) aggregate."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), ASCII_WS_REGEX)
+    # escape the interpolated tokens (& < > ") so a token containing a
+    # quote or entity cannot terminate/alter the attribute — the parser
+    # decodes the entities back, so the extracted classes equal the raw
+    # tokens the SQL mirror emits. (Tokens containing UNICODE whitespace
+    # would still split differently — parser class-attr split is
+    # str.split() — a documented latent limit; shipped corpora are ASCII.)
+    joined = F.array_join(F.slice(toks, 1, 3), " ")
+    esc = F.regexp_replace(joined, F.lit("&"), F.lit("&amp;"))
+    esc = F.regexp_replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.regexp_replace(esc, F.lit(">"), F.lit("&gt;"))
+    esc = F.regexp_replace(esc, F.lit('"'), F.lit("&quot;"))
     html = F.concat(
         F.lit("<div class=\""),
-        F.array_join(F.slice(toks, 1, 3), " "),
+        esc,
         F.lit("\"><span>x</span></div>"),
     )
     counts = d.select(html_class_counts_udf(F.encode(html, "utf-8")).alias("m"))
@@ -815,12 +826,29 @@ WITH toks AS (
   SELECT d.doc_id, b.bit, coalesce(a.acc, 0) > 0 AS s
   FROM documents d CROSS JOIN bitrange b
   LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.bit = b.bit
+), bands AS (
+  -- 4 x 16-bit bands assembled from the sign bits (16-bit values never
+  -- overflow BIGINT, unlike full 64-bit assembly). The same pigeonhole
+  -- trick as the Spark side: a pair within hamming 3 must agree on >= 1
+  -- of 4 bands, so candidates come from a band equi-join instead of the
+  -- previous all-pairs bit join (which was O(64 * n^2) and made the
+  -- oracle itself the scale bottleneck).
+  SELECT doc_id, CAST(bit // 16 AS INTEGER) AS band,
+         SUM(CASE WHEN s THEN (CAST(1 AS BIGINT) << CAST(bit % 16 AS INTEGER))
+                  ELSE 0 END) AS bval
+  FROM signs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)::INTEGER AS hamming
-FROM signs a JOIN signs b ON a.bit = b.bit AND a.doc_id < b.doc_id
+SELECT c.id_a, c.id_b,
+       CAST(SUM(bit_count(xor(a.bval, b.bval))) AS INTEGER) AS hamming
+FROM cand c
+JOIN bands a ON a.doc_id = c.id_a
+JOIN bands b ON b.doc_id = c.id_b AND b.band = a.band
 GROUP BY 1, 2
-HAVING SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) <= 3
+HAVING SUM(bit_count(xor(a.bval, b.bval))) <= 3
 """
 
 
@@ -856,7 +884,7 @@ def _q_ann_lsh_sql(dim: int = 64, bits: int = 8) -> str:
       {plane_rows}),
   sb AS (
     SELECT e.vec_id, e.v,
-           cast(sum(CASE WHEN list_dot_product(e.v, p.s) > 0
+           cast(sum(CASE WHEN round(list_dot_product(e.v, p.s), 9) > 0
                          THEN 1 << p.b ELSE 0 END) as bigint) AS bucket
     FROM e, planes p GROUP BY e.vec_id, e.v),
   pe AS (
@@ -1247,13 +1275,24 @@ def q_partition_pruned_scan(spark, sf_dir):
     """S3: partition pruning demo — documents written partitioned by
     ``part = doc_id % 16``, read back with a partition filter (the scan
     touches ONE directory; PartitionFilters visible in the plan)."""
+    import hashlib as _hl
     import os
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # cache key = hash of the ABSOLUTE source path + source mtime guard:
+    # a suffix-only key ('sf0.01') silently served one corpus's cached
+    # partitioning for a different corpus with the same suffix, and a
+    # regenerated corpus would keep hitting the stale cache
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/documents.parquet")
+    key = _hl.md5(src.encode()).hexdigest()[:10]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".bench_data", f"docs_partitioned_{sf}",
+        ".bench_data", f"docs_partitioned_{key}",
     )
+    if os.path.isdir(out) and os.path.exists(src):
+        if os.path.getmtime(src) > os.path.getmtime(out):
+            import shutil as _sh
+
+            _sh.rmtree(out, ignore_errors=True)
     if not os.path.isdir(out):
         (
             _t(spark, sf_dir, "documents")

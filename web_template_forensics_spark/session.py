@@ -34,9 +34,22 @@ def get_spark(
     cores_s = "*" if cores is None else str(cores)
     effective_cores = cores if cores is not None else (os.cpu_count() or 8)
     n_shuffle = shuffle_partitions or effective_cores
+    # spark-submit compatibility: builder options override spark-submit's
+    # --master, so forcing local[] here would silently run a cluster job
+    # single-node on the driver. Only pin a master when the caller asked
+    # for one (master/cores) or none is configured at all.
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif cores is not None:
+        builder = builder.master(f"local[{cores_s}]")
+    else:
+        from pyspark import SparkConf
+
+        if SparkConf().get("spark.master", None) is None:
+            builder = builder.master(f"local[{cores_s}]")
     builder = (
-        SparkSession.builder.master(master or f"local[{cores_s}]")
-        .appName(app_name)
+        builder
         # AQE: runtime coalescing + skew-join splitting (north rule names it).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
