@@ -173,3 +173,41 @@ def _bpe_duck():
 
         _BPE_CON.append(duckdb.connect())
     return _BPE_CON[0]
+
+
+# -- sessionizer coalesce: batch-split invariance as a PROPERTY ------------
+
+_ts_lists = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ts=_ts_lists, split=st.integers(min_value=0, max_value=60),
+       gap=st.integers(min_value=1, max_value=2_000))
+def test_sessionize_coalesce_batch_split_invariant(ts, split, gap):
+    """Folding events through coalesce_sessions in two arbitrary batches
+    (any order, any split point) equals one pass over the complete set,
+    AND equals the batch twin's lag/cumsum derivation — the pure-core
+    statement of the stream==batch parity claim."""
+    from web_template_forensics_spark.streaming.ingest import coalesce_sessions
+
+    split = min(split, len(ts))
+    b1, b2 = ts[:split], ts[split:]
+    two_step = coalesce_sessions(
+        coalesce_sessions([(t, t, 1) for t in b1], gap)
+        + [(t, t, 1) for t in b2],
+        gap,
+    )
+    one_step = coalesce_sessions([(t, t, 1) for t in ts], gap)
+    assert two_step == one_step
+
+    # lag/cumsum reference (q_event_sessions semantics)
+    ref = []
+    for t in sorted(ts):
+        if ref and t - ref[-1][1] <= gap:
+            s0, l0, n0 = ref[-1]
+            ref[-1] = (s0, max(l0, t), n0 + 1)
+        else:
+            ref.append((t, t, 1))
+    assert one_step == ref

@@ -147,6 +147,26 @@ def latest_state_stream(
     return start, read_state
 
 
+def coalesce_sessions(
+    sessions: list[tuple[int, int, int]], gap_us: int
+) -> list[tuple[int, int, int]]:
+    """Pure core of the stateful sessionizer: merge (start, last, n)
+    intervals whose gap is <= gap_us, sorted by start. Associative over
+    batch splits by construction — folding events in ANY batch order
+    through this yields the same final sessions as one pass over the
+    complete set (hypothesis-pinned in tests/test_properties.py), which
+    is exactly the stream==batch parity claim."""
+    sessions = sorted(sessions)
+    merged: list[tuple[int, int, int]] = []
+    for s0, l0, n0 in sessions:
+        if merged and s0 - merged[-1][1] <= gap_us:
+            ps, pl, pn = merged[-1]
+            merged[-1] = (ps, max(pl, l0), pn + n0)
+        else:
+            merged.append((s0, l0, n0))
+    return merged
+
+
 def sessionize_events(
     events_stream: DataFrame,
     gap: str = "30 minutes",
@@ -231,17 +251,10 @@ def sessionize_events(
             if chunks:
                 ts = pd.concat(chunks).dropna().astype("int64").to_numpy()
                 sessions.extend((int(t), int(t), 1) for t in ts)
-        # coalesce: sort by start and merge any adjacent pair within gap.
-        # Late admitted events participate like any other unit session,
-        # so they extend AND bridge exactly as batch semantics dictate.
-        sessions.sort()
-        merged: list[tuple[int, int, int]] = []
-        for s0, l0, n0 in sessions:
-            if merged and s0 - merged[-1][1] <= gap_us:
-                ps, pl, pn = merged[-1]
-                merged[-1] = (ps, max(pl, l0), pn + n0)
-            else:
-                merged.append((s0, l0, n0))
+        # coalesce (pure core, see coalesce_sessions): late admitted
+        # events participate like any other unit session, so they extend
+        # AND bridge exactly as batch semantics dictate
+        merged = coalesce_sessions(sessions, gap_us)
         # emit only immutable sessions: watermark strictly past last+gap
         # means every future admissible event (t >= wm) fails the merge
         # predicate t - last <= gap
