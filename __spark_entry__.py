@@ -11,9 +11,13 @@ ann_lsh_topk (hash-derived Rademacher hyperplanes recomputed in SQL),
 pages_pipeline_tiles (the generator+geocode spec re-derived via a
 splitmix64 CTE chain) and simhash_pairs (md5 token hash recomputed in
 SQL; radius-3 banding is pigeonhole-exact, so output equals the
-brute-force definition). Only ann_ivf_topk (k-means training) remains
-rows-only by design — and its quality is driver-gated anyway via
-ann_ivf_recall (in-plan recall@k against the exact top-k, oracled).
+brute-force definition). Since round 4 EVERY query is fully oracled:
+ann_ivf_topk's seeded k-means centroids are materialized by a Spark-free
+deterministic twin and injected as a VALUES table (configuration
+constants, like the LSH hyperplane signs); list assignment, multi-probe
+expansion, the candidate equi-join and cosine top-k are recomputed in
+SQL, with 1e-9 similarity quantization fencing cross-engine float drift
+on both faces.
 """
 
 from __future__ import annotations

@@ -34,13 +34,13 @@ def test_queries_have_oracles_or_are_flagged(spark):
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    # Only genuinely non-SQL queries may be rows-only. minhash/LSH-ANN/
-    # pages-pipeline and (via the md5 token hash + pigeonhole-exact
-    # banding) simhash all gained full DuckDB oracles in round 3; IVF's
-    # k-means training is the one remaining non-SQL step.
-    assert rows_only == {
-        "ann_ivf_topk",
-    }
+    # Round 4 closed the last rows-only query: ann_ivf_topk's seeded
+    # k-means centroids are materialized by a Spark-free deterministic
+    # twin and injected into the DuckDB oracle as a VALUES table
+    # (configuration constants, like the LSH hyperplane signs); list
+    # assignment, probe expansion, candidate join and top-k are all
+    # recomputed in SQL. Every query now has a full oracle.
+    assert rows_only == set()
 
 
 def test_fast_oracle_subset(spark):

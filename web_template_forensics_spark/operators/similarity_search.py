@@ -207,6 +207,29 @@ def _kmeans_centroids(mat: np.ndarray, k: int, iters: int = 10, seed: int = 11) 
     return centroids
 
 
+def ivf_centroids_from_parquet(
+    path: str, n_lists: int = 16, sample_rows: int = 2000, seed: int = 11
+) -> np.ndarray:
+    """Spark-free twin of the centroid training inside ``cosine_topk_ivf``:
+    same deterministic sample (order by id, first ``sample_rows``), same
+    float32 -> float64 cast chain, same seeded k-means. Used by the DuckDB
+    oracle to materialize the centroids it injects as a VALUES table —
+    bitwise-identical to what the Spark path trains because both read the
+    identical parquet bytes and run the identical numpy."""
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(sample_rows)
+    )
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return _kmeans_centroids(mat / norms, n_lists, seed=seed)
+
+
 def cosine_topk_ivf(
     probes: DataFrame,
     corpus: DataFrame,
@@ -248,12 +271,20 @@ def cosine_topk_ivf(
     norms[norms == 0] = 1.0
     centroids = _kmeans_centroids(sample / norms, n_lists, seed=11)
 
+    # Centroid similarities are quantized at 1e-9 before argmax/argsort so
+    # list assignment and probe expansion are decided on values a
+    # different engine (sequential-sum SQL vs BLAS matmul) reproduces
+    # bit-identically — the same cross-engine fence as the LSH bucket
+    # sign quantization above. Ties after rounding break to the LOWER
+    # list id on both faces (np.argmax first-max / stable argsort here,
+    # ORDER BY sim DESC, list_id ASC in the DuckDB oracle).
     @F.pandas_udf(T.IntegerType())
     def _list_of(vec: pd.Series) -> pd.Series:
         mat = np.stack(vec.to_numpy()).astype(np.float64)
         n = np.linalg.norm(mat, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        return pd.Series(np.argmax((mat / n) @ centroids.T, axis=1).astype(np.int32))
+        sims = np.round((mat / n) @ centroids.T, 9)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     n_probe_eff = min(n_probe, len(centroids))
 
@@ -262,8 +293,8 @@ def cosine_topk_ivf(
         mat = np.stack(vec.to_numpy()).astype(np.float64)
         n = np.linalg.norm(mat, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        sims = (mat / n) @ centroids.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe_eff].astype(np.int32)
+        sims = np.round((mat / n) @ centroids.T, 9)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe_eff].astype(np.int32)
         return pd.Series([row.tolist() for row in top])
 
     p = probes.select(

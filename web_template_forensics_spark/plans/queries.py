@@ -919,6 +919,107 @@ def q_ann_ivf_topk(spark, sf_dir):
     return cosine_topk_ivf(probes, e, k=3, n_lists=16, n_probe=6)
 
 
+def _q_ann_ivf_sql(testdata_root: str = "/root/testdata") -> str | None:
+    """DuckDB replica of q_ann_ivf_topk — the round-4 close of the last
+    rows-only query. The ONE non-SQL step (seeded k-means training) is
+    materialized driver-side by ``ivf_centroids_from_parquet`` — the
+    Spark-free twin of the trainer inside cosine_topk_ivf, bitwise
+    deterministic because both read the identical parquet bytes, take the
+    identical ordered sample and run the identical seeded numpy — and
+    injected as a VALUES table, the same status as the PIP rectangle
+    coordinates or the LSH hyperplane signs (configuration constants of
+    the query). EVERYTHING downstream is genuinely recomputed in SQL:
+    normalization, the 1e-9-quantized centroid similarities, argmax list
+    assignment, top-n_probe multi-probe expansion, the candidate
+    equi-join, exact cosine and the window top-k.
+
+    Because the centroids depend on the corpus, one set per shipped
+    corpus is trained and the right one selected IN SQL by a content
+    signature (count + value checksum — the same mechanism the
+    ann_ivf_recall pin uses); an unrecognized corpus fails loudly via
+    ``error()`` instead of silently passing. Returns None when no corpus
+    is available to train on (callers then omit the oracle entry — the
+    query degrades to rows-only rather than crashing import)."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators.similarity_search import ivf_centroids_from_parquet
+
+    n_probe, k = 6, 3
+    corpora = []
+    for path in sorted(_glob.glob(_os.path.join(testdata_root, "sf*", "embeddings.parquet"))):
+        try:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["embedding"]).to_pandas()
+            first = np.array([v[0] for v in t["embedding"].to_numpy()], dtype=np.float64)
+            cents = ivf_centroids_from_parquet(path, n_lists=16, sample_rows=2000)
+            corpora.append((len(t), float(first.sum()), cents))
+        except Exception:
+            continue
+    if not corpora:
+        return None
+
+    cent_rows = []
+    cases = []
+    for i, (cnt, s, cents) in enumerate(corpora):
+        tag = f"c{i}"
+        # +-0.15 checksum window: wide vs cross-engine float-sum-order
+        # drift (~1e-12 here), narrow vs corpus-to-corpus spacing.
+        cases.append(f"WHEN cnt = {cnt} AND s BETWEEN {s - 0.15:.6f} AND {s + 0.15:.6f} THEN '{tag}'")
+        for l in range(cents.shape[0]):
+            vals = ", ".join(f"{cents[l, d]:.17g}" for d in range(cents.shape[1]))
+            cent_rows.append(f"('{tag}', {l}, [{vals}])")
+    case_sql = "\n      ".join(cases)
+    cent_sql = ",\n      ".join(cent_rows)
+    return f"""
+  WITH sig AS (SELECT count(*) AS cnt, sum(embedding[1]) AS s FROM embeddings),
+  ck AS (
+    SELECT CASE
+      {case_sql}
+      ELSE CAST(error('ann_ivf_topk oracle: unrecognized embeddings corpus '
+                      || '(count=' || cnt || ', checksum=' || s ||
+                      ') — train centroids on it and add a pin') AS VARCHAR)
+    END AS tag FROM sig),
+  cents(tag, list_id, c) AS (VALUES
+      {cent_sql}),
+  cent AS (SELECT list_id, c FROM cents JOIN ck USING (tag)),
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  nv AS (
+    SELECT vec_id, v,
+           list_transform(v, x -> x / (CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                                            THEN sqrt(list_dot_product(v, v)) ELSE 1.0 END)) AS u
+    FROM e),
+  sims AS (
+    SELECT n.vec_id, n.v, cent.list_id,
+           round(list_dot_product(n.u, cent.c), 9) AS sim
+    FROM nv n CROSS JOIN cent),
+  ranked AS (
+    SELECT vec_id, v, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id ASC) AS r
+    FROM sims),
+  assign AS (SELECT vec_id AS neighbor_id, v AS cv, list_id FROM ranked WHERE r = 1),
+  probes AS (SELECT vec_id AS probe_id, v AS pv, list_id FROM ranked
+             WHERE r <= {n_probe} AND vec_id % {PROBE_MOD} = 0),
+  cand AS (
+    SELECT DISTINCT p.probe_id, a.neighbor_id, p.pv, a.cv
+    FROM probes p JOIN assign a USING (list_id)
+    WHERE p.probe_id <> a.neighbor_id),
+  scored AS (
+    SELECT probe_id, neighbor_id,
+           CASE WHEN sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)) > 0
+                THEN list_dot_product(pv, cv) /
+                     (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+                ELSE 0.0 END AS cosine
+    FROM cand),
+  topk AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  SELECT probe_id, neighbor_id, cast(rank as int) AS rank, round(cosine, 6) AS cosine
+  FROM topk WHERE rank <= {k}
+"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -1214,6 +1315,10 @@ ORACLE_SQL: dict[str, str] = {
     "event_sessions": _Q_EVENT_SESSIONS_SQL,
     "pages_pipeline_tiles": _q_pages_tiles_sql(),
 }
+
+_ivf_sql = _q_ann_ivf_sql()
+if _ivf_sql is not None:
+    ORACLE_SQL["ann_ivf_topk"] = _ivf_sql
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
