@@ -1,14 +1,20 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on the
+executor-JVM substrate (default: local-cluster with 8 one-core executor
+JVMs — the SAME substrate the N-vs-4N scaling protocol measures on, so
+headline and scaling numbers are comparable by construction). Prints ONE
+JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall time of the headline suite (lower = better);
-per-query seconds in ``queries``. Throughput fields for the scaling
-protocol (BENCH/BASELINE.md) are included under "pages_per_sec" when the
-pages pipeline runs.
+``value``/``queries`` are min-over-passes wall times (contract continuity
+with earlier rounds); ``value_cold``/``queries_cold`` is the first pass
+(plan compile + codegen + broadcast included) and ``value_warm`` the min
+of later passes — reported separately so round-over-round comparisons
+are not confounded by warmup. Throughput fields for the scaling protocol
+(BENCH/BASELINE.md) are under "pages_per_sec" (+ "_cold").
 
-Usage: python bench.py            # sf0.1, all headline queries
-       SPARK_GRAFT_CPUS=8 python bench.py
+Usage: python bench.py                              # sf0.1, 8 executor JVMs
+       SPARK_GRAFT_CPUS=16 python bench.py          # more executor JVMs
+       SPARK_GRAFT_BENCH_MODE=threads python bench.py  # legacy local[N]
 """
 
 from __future__ import annotations
@@ -58,16 +64,27 @@ def _healthy_core_count(get_spark, requested: int) -> tuple[int, bool]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     pages_rows = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from web_template_forensics_spark.session import get_spark
     from web_template_forensics_spark.plans.queries import QUERIES
 
+    # Round-4 default substrate: the EXECUTOR-JVM cluster (the same
+    # local-cluster recipe the scaling protocol measures on), so the
+    # headline numbers and the N-vs-4N efficiency numbers come off one
+    # substrate and are comparable by construction. 8 one-core executor
+    # JVMs is the measured healthy range on this host: separate JVMs
+    # sidestep the single-JVM thread collapse, but the host ALSO
+    # collapses under ~32 parallel JVMs (623 -> 38 krows/s/core measured
+    # on the jvm_probe codegen loop at 8 vs 32 executors), so 8 is the
+    # default in cluster mode; SPARK_GRAFT_CPUS overrides explicitly.
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "cluster")
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    cpus = int(cpus_env) if cpus_env else (8 if mode == "cluster" else 32)
+
     cpus_requested = cpus
     jvm_pathology = False
-    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "threads")
     if mode == "cluster":
         # N separate one-core executor JVMs (the scaling protocol's
         # substrate, BENCH/scaling.py) — immune to the single-JVM
@@ -75,6 +92,7 @@ def main() -> None:
         from web_template_forensics_spark.session import cluster_conf
 
         master, extra = cluster_conf(cpus)
+        substrate = f"{master} ({cpus} one-core executor JVMs)"
         spark = get_spark(
             "bench", cores=cpus, shuffle_partitions=max(cpus, 8),
             master=master, extra_conf=extra,
@@ -82,6 +100,7 @@ def main() -> None:
     else:
         if cpus > 8 and os.environ.get("SPARK_GRAFT_SKIP_PROBE") != "1":
             cpus, jvm_pathology = _healthy_core_count(get_spark, cpus)
+        substrate = f"local[{cpus}] (single JVM, {cpus} task threads)"
         spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
     # Warm the Python worker pool (parallel cold imports of pandas/numpy in
@@ -112,13 +131,21 @@ def main() -> None:
         "pages_pipeline_tiles",
     ]
 
-    # min over REPEATS passes per query: this box's hypervisor throughput
-    # swings 2-3x between minutes (BENCH/BASELINE.md "host variance"), and
-    # a single pass makes the recorded number hostage to that lottery.
-    # Min-of-N is the standard noisy-host estimator for deterministic
-    # workloads (the plan and data are identical across passes).
+    # COLD and WARM passes are recorded SEPARATELY (round-4 de-confound:
+    # r3's min-of-2 mixed a measurement-methodology change into the
+    # round-over-round comparison). Pass 0 = cold (first execution of
+    # each plan this session: query compilation, codegen, broadcast
+    # build, Python-worker module imports all included); passes >=1 =
+    # warm (min over repeats, the standard noisy-host estimator for a
+    # deterministic workload — this box's hypervisor throughput swings
+    # 2-3x between minutes, BENCH/BASELINE.md "host variance").
+    # ``queries``/``value`` remain min-over-all-passes for contract
+    # continuity with BENCH_r03; queries_cold/value_cold are the clean
+    # single-run numbers.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
+    timings_warm: dict[str, float] = {}
     for rep in range(repeats):
         for name in headline:
             fn = QUERIES[name]
@@ -127,6 +154,10 @@ def main() -> None:
             n = df.count()  # materialize the full plan
             wall = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, wall), wall)
+            if rep == 0:
+                timings_cold[name] = wall
+            else:
+                timings_warm[name] = min(timings_warm.get(name, wall), wall)
             print(f"# {name}[{rep}]: {n} rows in {wall}s", file=sys.stderr)
 
     # pages-pipeline throughput at bench scale (the N vs 4N protocol):
@@ -153,9 +184,10 @@ def main() -> None:
             n_files
         ).write.mode("overwrite").parquet(pages_path)
 
-    # best-of-REPEATS for the headline throughput too (fresh sink per
+    # cold + warm for the headline throughput too (fresh sink per
     # pass — the pipeline is deterministic, the host is not).
     pipe_wall = float("inf")
+    pipe_cold = None
     for rep in range(repeats):
         sink = tempfile.mkdtemp(prefix="bench_sink_")
         try:
@@ -168,12 +200,15 @@ def main() -> None:
         finally:
             shutil.rmtree(sink, ignore_errors=True)
         pipe_wall = min(pipe_wall, wall)
+        if rep == 0:
+            pipe_cold = wall
         print(
             f"# pages_pipeline[{rep}]: {pages_rows} pages in {wall:.1f}s -> "
             f"{round(pages_rows / wall, 1)} pages/sec ({stats})",
             file=sys.stderr,
         )
     pages_per_sec = round(pages_rows / pipe_wall, 1)
+    pages_per_sec_cold = round(pages_rows / pipe_cold, 1)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -184,13 +219,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(timings_cold.values()), 3),
+                "queries_cold": timings_cold,
+                "value_warm": round(sum(timings_warm.values()), 3) if timings_warm else None,
+                "queries_warm": timings_warm or None,
                 "sf": sf,
                 "pages_per_sec": pages_per_sec,
+                "pages_per_sec_cold": pages_per_sec_cold,
                 "pages_rows": pages_rows,
                 "cpus": cpus,
                 "cpus_requested": cpus_requested,
                 "jvm_thread_pathology": jvm_pathology,
                 "mode": mode,
+                "substrate": substrate,
                 "repeats": repeats,
             }
         )
