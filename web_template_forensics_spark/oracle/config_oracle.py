@@ -260,15 +260,27 @@ def tailwind_config_similarity(cfg1: dict, cfg2: dict) -> dict:
 # The reference turns the config file into a dict by evaluating it in a
 # Node subprocess (core/tailwind_analyzer.py:111-124: `require(path)` +
 # JSON.stringify). That is the per-row-side-process anti-pattern SURVEY
-# §2.1 S6 flags, and Node is absent here anyway — so this is a small
-# TOLERANT reader for the JS-object-literal subset real tailwind configs
-# are written in: unquoted keys, single/double/backtick strings, numbers,
-# booleans, null/undefined, nested objects/arrays, trailing commas, //
-# and /* */ comments, `module.exports = {...}` or `export default {...}`.
+# §2.1 S6 flags — so this is a small in-process TOLERANT reader for the
+# JS-object-literal subset real tailwind configs are written in: unquoted
+# keys, single/double/backtick strings, numbers, booleans,
+# null/undefined, nested objects/arrays, trailing commas, // and /* */
+# comments, `module.exports = {...}` or `export default {...}`.
+# Node v20 IS present on this host, and tests/test_tailwind_node_parity.py
+# pins this reader against the reference's actual require+JSON.stringify
+# subprocess on literal fixture configs (including JSON.stringify's
+# undefined semantics: object keys dropped, array elements -> null).
 # Non-literal values (require(...), identifiers, arrow functions) are
 # preserved as their raw source text — C20 only consumes the theme
-# extensions, which are literal in practice; Node's eval would expand
-# plugin objects, a divergence we document rather than hide.
+# extensions, which are literal in practice; Node's eval would error on
+# an uninstalled plugin require where this reader degrades gracefully, a
+# divergence the parity tests document rather than hide.
+
+
+# JS `undefined` sentinel: the reference's dict comes through
+# JSON.stringify, which DROPS undefined-valued object keys and turns
+# undefined ARRAY elements into null — distinct from `null` (kept as
+# null in both positions). Parity pinned in test_tailwind_node_parity.
+_UNDEFINED = object()
 
 
 class _JsLiteralParser:
@@ -351,6 +363,8 @@ class _JsLiteralParser:
         m = re.match(r"(true|false|null|undefined)(?![\w$])", self.s[self.i :])
         if m:
             self.i += m.end()
+            if m.group(1) == "undefined":
+                return _UNDEFINED
             return {"true": True, "false": False}.get(m.group(1))
         raw = self._raw_until_delim()
         # bare identifier that is really a literal-ish alias? keep raw text
@@ -395,7 +409,9 @@ class _JsLiteralParser:
             self._ws()
             if self.i < self.n and self.s[self.i] == ":":
                 self.i += 1
-                out[key] = self.value()
+                v = self.value()
+                if v is not _UNDEFINED:  # JSON.stringify drops these keys
+                    out[key] = v
             else:
                 out[key] = key  # shorthand property {a,} -> raw name
         return out
@@ -414,7 +430,8 @@ class _JsLiteralParser:
             if self.s[self.i] == ",":
                 self.i += 1
                 continue
-            out.append(self.value())
+            v = self.value()
+            out.append(None if v is _UNDEFINED else v)  # JSON.stringify: undefined element -> null
 
 
 def parse_tailwind_config_text(src: str) -> dict:
