@@ -81,9 +81,16 @@ def main() -> None:
     # rows (~14 MB) per file so both N and 4N levels have many waves of
     # real work. Real 100 TB tables have >>cores row groups by construction.
     n_files = max(32, pages_rows // 10_000)
-    pages_path = os.path.join(repo, ".bench_data", f"pages_{pages_rows}_r{rich}_f{n_files}")
+    # SPARK_GRAFT_HOT_FRAC amplifies the hot-TLD share (default corpus is
+    # ~30% .de) — the skew-leg input for the protocol's skew table.
+    hot_env = os.environ.get("SPARK_GRAFT_HOT_FRAC")
+    hot_frac = float(hot_env) if hot_env else None
+    hot_tag = f"_h{int(hot_frac * 100)}" if hot_frac is not None else ""
+    pages_path = os.path.join(
+        repo, ".bench_data", f"pages_{pages_rows}_r{rich}_f{n_files}{hot_tag}"
+    )
     if not os.path.isdir(pages_path):
-        build_pages_df(spark, pages_rows, seed=42, rich=rich).repartition(
+        build_pages_df(spark, pages_rows, seed=42, rich=rich, hot_frac=hot_frac).repartition(
             n_files
         ).write.mode("overwrite").parquet(pages_path)
 
@@ -106,20 +113,61 @@ def main() -> None:
         wall = time.perf_counter() - t0
     finally:
         shutil.rmtree(sink, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "mode": mode,
-                "pages": pages_rows,
-                "wall_sec": round(wall, 2),
-                "pages_per_sec": round(pages_rows / wall, 1),
-                "geocoded": stats["geocoded"],
-                "pip_assignments": stats["pip_assignments"],
-                "tiles": stats["tiles"],
-            }
+
+    out = {
+        "cores": cores,
+        "mode": mode,
+        "pages": pages_rows,
+        "hot_frac": hot_frac,
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(pages_rows / wall, 1),
+        "geocoded": stats["geocoded"],
+        "pip_assignments": stats["pip_assignments"],
+        "tiles": stats["tiles"],
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKEW_REPORT") == "1":
+        # Per-stage partition-skew stats (protocol item 5: max/median
+        # partition rows). Computed OUTSIDE the measured window — each
+        # block re-runs part of the plan purely for measurement.
+        from web_template_forensics_spark.functions.geo_udfs import (
+            tile_ix_col,
+            tile_iy_col,
         )
-    )
+        from web_template_forensics_spark.plans.pipeline import (
+            TILE_Z,
+            pages_to_geo_fused,
+        )
+
+        def dist(df_counts):
+            r = df_counts.agg(
+                F.count("*").alias("n"),
+                F.max("count").alias("mx"),
+                F.expr("percentile(count, 0.5)").alias("md"),
+            ).first()
+            return {"groups": r["n"], "max_rows": int(r["mx"]), "median_rows": float(r["md"])}
+
+        skew = {}
+        # 1. scan: rows per input partition of the pages table
+        skew["scan_partitions"] = dist(
+            pages.groupBy(F.spark_partition_id().alias("p")).count()
+        )
+        pts = pages_to_geo_fused(pages).select(
+            tile_ix_col(F.col("lon"), TILE_Z).alias("tile_x"),
+            tile_iy_col(F.col("lat"), TILE_Z).alias("tile_y"),
+            F.pmod(F.spark_partition_id(), F.lit(16)).alias("_salt"),
+        )
+        # 2. tile-rollup reducer keys WITHOUT salting: the hot .de tile
+        # is the max key group — what a naive groupBy(tile) reducer eats
+        skew["tile_keys_unsalted"] = dist(pts.groupBy("tile_x", "tile_y").count())
+        # 3. the engine's actual phase-1 salted groups: the bound the
+        # salted rollup puts on any single reducer's input
+        skew["tile_salted_groups"] = dist(
+            pts.groupBy("tile_x", "tile_y", "_salt").count()
+        )
+        out["skew"] = skew
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,16 @@ _TLDS = list(TLD_ANCHORS)
 # 30% hot cluster on .de; rest spread (indices into _TLDS, len 20)
 _TLD_DRAW = [0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 8, 9, 10, 11, 1, 3]
 
+
+def tld_draw_for_hot_frac(hot_frac: float) -> list[int]:
+    """Amplified-skew draw table: ``hot_frac`` of the 20 slots hit the hot
+    .de key, the rest cycle over the other TLDs. Used by the skew legs of
+    the scaling protocol and the M5 salting-bound test."""
+    n = len(_TLD_DRAW)
+    k = max(0, min(n, round(hot_frac * n)))
+    rest = list(range(1, len(_TLDS)))
+    return [0] * k + [rest[j % len(rest)] for j in range(n - k)]
+
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
@@ -178,9 +188,18 @@ def _build_html(
 
 
 def gen_pages_pdf(
-    start: int, count: int, seed: int = 42, with_gold: bool = False, rich: int = 0
+    start: int,
+    count: int,
+    seed: int = 42,
+    with_gold: bool = False,
+    rich: int = 0,
+    hot_frac: float | None = None,
 ) -> pd.DataFrame:
-    """Generate rows [start, start+count) as a pandas DataFrame."""
+    """Generate rows [start, start+count) as a pandas DataFrame.
+
+    ``hot_frac`` overrides the default ~30% hot-TLD skew with an
+    amplified draw (see tld_draw_for_hot_frac) — the skew-leg corpora."""
+    draw = _TLD_DRAW if hot_frac is None else tld_draw_for_hot_frac(hot_frac)
     rows = []
     base_ts = np.datetime64("2025-01-01T00:00:00")
     for i in range(start, start + count):
@@ -188,7 +207,7 @@ def gen_pages_pdf(
         is_dup = (i % 13 == 7) and i > 0
         key = i - 1 if is_dup else i
         hk = int(splitmix64(np.uint64(seed) * np.uint64(0x100000001) + np.uint64(key))[()])
-        tld = _TLDS[_TLD_DRAW[hk % len(_TLD_DRAW)]]
+        tld = _TLDS[draw[hk % len(draw)]]
         host_id = (hk % 100000) if key % 5 else (hk % 500)  # mix of rare + common hosts
         url = f"https://h{host_id}.example.{tld}/p/{key}"
         has_meta = (hk % 10) == 3
@@ -283,7 +302,12 @@ def geocode_pages(spark, pages):
 
 
 def build_pages_df(
-    spark, n_rows: int, seed: int = 42, partitions: int | None = None, rich: int = 0
+    spark,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    rich: int = 0,
+    hot_frac: float | None = None,
 ):
     """Distributed generation: each task generates its own id slice."""
     parts = partitions or spark.sparkContext.defaultParallelism
@@ -297,9 +321,11 @@ def build_pages_df(
             start, stop = int(ids[0]), int(ids[-1])
             if np.array_equal(ids, np.arange(start, stop + 1)):
                 # spark.range slices are contiguous — single-shot fast path
-                yield gen_pages_pdf(start, stop - start + 1, seed, rich=rich)
+                yield gen_pages_pdf(start, stop - start + 1, seed, rich=rich, hot_frac=hot_frac)
             else:
-                frames = [gen_pages_pdf(int(i), 1, seed, rich=rich) for i in ids]
+                frames = [
+                    gen_pages_pdf(int(i), 1, seed, rich=rich, hot_frac=hot_frac) for i in ids
+                ]
                 yield pd.concat(frames, ignore_index=True)
 
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
