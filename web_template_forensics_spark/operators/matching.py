@@ -261,6 +261,7 @@ def structure_match_scores(
     content_col: str = "content",
     prefilter: str = "banded",
     threshold: float = 0.5,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Capable J3 (ENGINE EXTENSION): candidate scores for structure
     matching with the node-count guard working as the reference INTENDED
@@ -286,17 +287,25 @@ def structure_match_scores(
     literally scores the full remainder cross product,
     file_matcher.py:131-183) — every pair gets a score row, including
     sub-threshold ones.
+
+    ``group_cols`` is the MANY-project-pairs shape (the cascade's 100x
+    scale axis): columns like pair_id become extra equi-join keys, so
+    ONE plan scores every project pair at once — candidates never cross
+    pair boundaries, the banded join key is (group..., _band), and with
+    all_pairs the cross product stays confined within each group (an
+    equi-join on the group keys, not a CartesianProduct).
     """
     from ..functions.similarity_udfs import (
         guarded_structure_score_udf,
         structure_size_udf,
     )
 
+    gcols = list(group_cols)
     l = left.select(
-        F.col(path_col).alias("left_key"), F.col(content_col).alias("_c1")
+        *gcols, F.col(path_col).alias("left_key"), F.col(content_col).alias("_c1")
     )
     r = right.select(
-        F.col(path_col).alias("right_key"), F.col(content_col).alias("_c2")
+        *gcols, F.col(path_col).alias("right_key"), F.col(content_col).alias("_c2")
     )
     if prefilter == "banded":
         band = lambda n: F.floor(F.log2(F.greatest(n, F.lit(1.0))))  # noqa: E731
@@ -319,12 +328,13 @@ def structure_match_scores(
         rb = r.withColumn(
             "_band", band(size_once(F.lit(filetype), "_c2").cast("double"))
         )
-        pairs = lb.join(rb, "_band")
+        pairs = lb.join(rb, gcols + ["_band"])
     elif prefilter == "all_pairs":
-        pairs = l.crossJoin(r)
+        pairs = l.crossJoin(r) if not gcols else l.join(r, gcols)
     else:
         raise ValueError(f"unknown prefilter mode: {prefilter!r}")
     return pairs.select(
+        *gcols,
         "left_key",
         "right_key",
         guarded_structure_score_udf(F.lit(filetype), "_c1", "_c2").alias("score"),

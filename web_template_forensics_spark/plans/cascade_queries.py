@@ -360,7 +360,11 @@ def sql_config_scores() -> str:
     return _values_sql(rows, ["kind", "score"], [_s, _d])
 
 
-_MANY_PAIR_SEEDS = (42, 43, 44)
+# 20 differently-seeded project pairs (round 4; was 3): each pair is a
+# full ~30-file project on both sides, so the grouped-map distribution
+# plumbing is exercised across more groups than cores and the oracle
+# carries one A1/A2 row per pair.
+_MANY_PAIR_SEEDS = tuple(range(42, 62))
 
 
 def q_match_cascade_many(spark, sf_dir):
