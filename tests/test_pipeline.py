@@ -58,6 +58,21 @@ def test_checkpointed_write_resume(spark, tmp_path):
     assert back.count() == 1000
     assert back.agg(F.sum("id")).first()[0] == 499500
 
+    # lineage fingerprints (round 4): markers from BOTH legs (pre-kill
+    # sequential + post-resume batch) must match a fresh recompute from
+    # the written data — the resume path cannot commit a different
+    # fingerprint shape than the normal path
+    from web_template_forensics_spark.sources.catalog import (
+        bucket_fingerprints,
+        lineage_rows,
+    )
+
+    marks = {m["bucket"]: m for m in lineage_rows(path)}
+    assert len(marks) == 16 and all("fingerprint" in m for m in marks.values())
+    fresh = bucket_fingerprints(spark, path, "id", list(range(16)))
+    for b, m in marks.items():
+        assert m["fingerprint"] == fresh[b], f"bucket {b} fingerprint drift"
+
 
 def test_full_pipeline_stats(spark, tmp_path):
     from web_template_forensics_spark.plans.pipeline import run_pages_pipeline

@@ -1575,3 +1575,85 @@ _Q_FINGERPRINT_SQL = r"""
 QUERIES["fingerprint_dedup"] = q_fingerprint_dedup
 ORACLE_SQL["fingerprint_dedup"] = _Q_FINGERPRINT_SQL
 ORACLE_SQL["simhash_pairs"] = _Q_SIMHASH_SQL
+
+
+# ---------------------------------------------------------------------------
+# round-4: the lineage table itself under the oracle (S7 bookkeeping)
+# ---------------------------------------------------------------------------
+
+LINEAGE_N_BUCKETS = 16
+
+
+def q_pipeline_lineage(spark, sf_dir):
+    """S7's resume-contract BOOKKEEPING oracle-checked (round 4): run a
+    fresh checkpointed_write of the documents table, then return the
+    lineage markers themselves — per-bucket rows, content fingerprint,
+    commit status, and a marker-vs-parquet-footer consistency bit.
+
+    The DuckDB oracle recomputes rows and fingerprint per bucket from
+    the SOURCE table alone (bucket = doc_id % 16 — the engine-portable
+    bucketing checkpointed_write accepts via bucket_col; fingerprint =
+    sum of a 48-bit md5 slice of the key, the same expression the sink
+    reads back from the WRITTEN files). A lost row, a double-written
+    bucket, or a marker that disagrees with the parquet footers all
+    break the match — so the lineage/snapshot bookkeeping, not just the
+    sink data (pages_pipeline_tiles), is under the gate."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from ..sources.catalog import (
+        _bucket_stats,
+        _data_dir,
+        checkpointed_write,
+        lineage_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(LINEAGE_N_BUCKETS)))
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/documents.parquet")
+    key = _hl.md5(src.encode()).hexdigest()[:10]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".bench_data", f"lineage_gate_{key}",
+    )
+    # fresh write every run: the gate measures the commit protocol, not
+    # the (kill/resume-pytested) skip path
+    shutil.rmtree(out, ignore_errors=True)
+    checkpointed_write(
+        spark, docs, out, key_col="doc_id",
+        n_buckets=LINEAGE_N_BUCKETS, bucket_col="bucket",
+    )
+    rows = []
+    for m in lineage_rows(out):
+        f_rows, f_bytes = _bucket_stats(
+            os.path.join(_data_dir(out), f"bucket={m['bucket']}")
+        )
+        rows.append(
+            (
+                m["bucket"],
+                m["rows"],
+                m["fingerprint"],
+                "committed",
+                bool(m["rows"] == f_rows and m["bytes"] == f_bytes and m["bytes"] > 0),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bucket long, n_rows long, fingerprint long, status string, "
+        "bytes_consistent boolean",
+    )
+
+
+_Q_PIPELINE_LINEAGE_SQL = f"""
+  SELECT doc_id % {LINEAGE_N_BUCKETS} AS bucket,
+         count(*) AS n_rows,
+         cast(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT) as bigint)
+           AS fingerprint,
+         'committed' AS status,
+         TRUE AS bytes_consistent
+  FROM documents GROUP BY 1
+"""
+
+QUERIES["pipeline_lineage"] = q_pipeline_lineage
+ORACLE_SQL["pipeline_lineage"] = _Q_PIPELINE_LINEAGE_SQL

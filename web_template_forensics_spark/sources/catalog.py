@@ -33,6 +33,12 @@ class BucketStatus:
     rows: int
     bytes: int
     wall_sec: float
+    # content fingerprint of the WRITTEN bucket (read back from the data
+    # files, not from the input frame): sum of a 48-bit md5 slice of the
+    # bucket key per row. Engine-portable (DuckDB recomputes it in SQL),
+    # so the lineage bookkeeping itself is oracle-checkable, and a
+    # partial/corrupt bucket write cannot match its marker.
+    fingerprint: int = 0
 
 
 def _lineage_dir(path: str) -> str:
@@ -65,6 +71,7 @@ def write_bucket_marker(path: str, status: BucketStatus) -> None:
                 "rows": status.rows,
                 "bytes": status.bytes,
                 "wall_sec": status.wall_sec,
+                "fingerprint": status.fingerprint,
                 "committed_at": "deterministic",  # no wall clock in metadata
             },
             fh,
@@ -72,12 +79,18 @@ def write_bucket_marker(path: str, status: BucketStatus) -> None:
     os.replace(tmp, marker)
 
 
-def write_snapshot(path: str, n_buckets: int) -> dict:
-    """Aggregate lineage into a snapshot manifest (metrics table rows)."""
-    lineage = []
+def lineage_rows(path: str) -> list[dict]:
+    """The committed lineage markers, in bucket order."""
+    out = []
     for b in sorted(done_buckets(path)):
         with open(os.path.join(_lineage_dir(path), f"bucket-{b}.json")) as fh:
-            lineage.append(json.load(fh))
+            out.append(json.load(fh))
+    return out
+
+
+def write_snapshot(path: str, n_buckets: int) -> dict:
+    """Aggregate lineage into a snapshot manifest (metrics table rows)."""
+    lineage = lineage_rows(path)
     snap = {
         "n_buckets": n_buckets,
         "committed_buckets": len(lineage),
@@ -92,6 +105,35 @@ def write_snapshot(path: str, n_buckets: int) -> dict:
     return snap
 
 
+def _fingerprint_expr(key_col: str):
+    """Per-row 48-bit md5 slice of the key, summed per bucket: fits a
+    BIGINT sum for <= ~2^15 rows/bucket at gate scale and is computable
+    verbatim in DuckDB (('0x' || substr(md5(k),1,12))::UBIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def bucket_fingerprints(
+    spark: SparkSession, path: str, key_col: str, buckets: list[int]
+) -> dict[int, int]:
+    """Read the WRITTEN buckets back and fingerprint each — one column-
+    pruned scan of the new data, grouped by the partition column."""
+    base = _data_dir(path)
+    dirs = [os.path.join(base, f"bucket={b}") for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return {}
+    rows = (
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .groupBy("bucket")
+        .agg(F.sum(_fingerprint_expr(key_col)).alias("fp"))
+        .collect()
+    )
+    return {int(r["bucket"]): int(r["fp"]) for r in rows}
+
+
 def checkpointed_write(
     spark: SparkSession,
     df: DataFrame,
@@ -99,6 +141,7 @@ def checkpointed_write(
     key_col: str,
     n_buckets: int = 32,
     fail_after: int | None = None,
+    bucket_col: str | None = None,
 ) -> dict:
     """Resumable bucketed write with per-partition lineage + metrics.
 
@@ -109,8 +152,23 @@ def checkpointed_write(
     the frame), then commits one lineage marker per bucket. ``fail_after``
     switches to a sequential per-bucket loop and kills the job after N
     buckets — the kill/resume test path.
+
+    ``bucket_col`` overrides the default ``pmod(xxhash64(key), n)``
+    bucketing with a caller-provided column (values must be in
+    [0, n_buckets)) — used by the oracle-gated lineage query, whose
+    bucketing must be recomputable in plain SQL.
+
+    Each marker carries a content fingerprint read BACK from the written
+    files (bucket_fingerprints) — one extra column-pruned scan of the
+    newly-written buckets per commit, which both makes the bookkeeping
+    independently recomputable (the DuckDB lineage oracle) and catches a
+    partial bucket write at commit time.
     """
-    bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    bucket_expr = (
+        F.col(bucket_col)
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
     done = done_buckets(path)
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
@@ -134,9 +192,10 @@ def checkpointed_write(
         # row/byte metrics from the written parquet footers (driver-side
         # metadata read) — one Spark job total instead of a separate
         # groupBy-sizes job + a persist of the whole frame
+        fps = bucket_fingerprints(spark, path, key_col, todo)
         for b in todo:
             rows, nbytes = _bucket_stats(os.path.join(_data_dir(path), f"bucket={b}"))
-            write_bucket_marker(path, BucketStatus(b, rows, nbytes, per))
+            write_bucket_marker(path, BucketStatus(b, rows, nbytes, per, fps.get(b, 0)))
     else:
         bdf = bdf.persist()  # per-bucket loop re-reads the frame
         written = 0
@@ -146,9 +205,10 @@ def checkpointed_write(
             out = os.path.join(_data_dir(path), f"bucket={b}")
             part.write.mode("overwrite").parquet(out)
             rows, nbytes = _bucket_stats(out)
+            fp = bucket_fingerprints(spark, path, key_col, [b]).get(b, 0)
             write_bucket_marker(
                 path,
-                BucketStatus(b, rows, nbytes, round(time.perf_counter() - t0, 3)),
+                BucketStatus(b, rows, nbytes, round(time.perf_counter() - t0, 3), fp),
             )
             written += 1
             if written >= fail_after:
