@@ -377,12 +377,26 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
         + 0.3 * np.minimum(1.0, n_chars / 512.0)
     )
     # Spark F.round = BigDecimal(double).setScale(6, HALF_UP) on the
-    # exact binary value; np.round is half-even and can differ on ties —
-    # Decimal(float) replicates the JVM semantics exactly
+    # exact binary value; np.round is half-even and can differ on ties.
+    # Vectorized HALF_UP: floor(x*1e6 + 0.5-style compare)/1e6 — exact
+    # for every value whose scaled fraction sits > 1e-9 from the .5
+    # boundary (the float multiply error is <= ~2.2e-10 here, and no
+    # double is EXACTLY at a 1e-6 tie: odd/2e6 has a 5^6 factor in the
+    # denominator, unrepresentable in binary). The rare at-risk values
+    # fall back to exact Decimal quantization, so parity with the JVM
+    # holds unconditionally without serializing the whole batch through
+    # Python.
     from decimal import ROUND_HALF_UP, Decimal
 
-    q = Decimal("0.000001")
-    return pd.Series(
-        [float(Decimal(v).quantize(q, ROUND_HALF_UP)) for v in score],
-        index=score.index if hasattr(score, "index") else None,
-    )
+    y = score.to_numpy(dtype="float64") * 1e6
+    fl = np.floor(y)
+    frac = y - fl
+    out = np.where(frac >= 0.5, fl + 1.0, fl) / 1e6
+    risk = np.abs(frac - 0.5) < 1e-9
+    if risk.any():
+        q = Decimal("0.000001")
+        vals = score.to_numpy(dtype="float64")
+        out[risk] = [
+            float(Decimal(float(v)).quantize(q, ROUND_HALF_UP)) for v in vals[risk]
+        ]
+    return pd.Series(out, index=score.index)

@@ -17,9 +17,14 @@ fixtures are generated under sorted file order.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+_warned_banded = False
 
 
 def exact_match(
@@ -300,6 +305,20 @@ def structure_match_scores(
         structure_size_udf,
     )
 
+    if prefilter == "banded":
+        # one-time heads-up (ADVICE r3): banded is a deliberate recall
+        # change vs the reference's all-pairs semantics — degenerate
+        # single-child-chain trees can score >= 0.5 across size bands
+        # and be missed. Callers needing reference-exact recall pass
+        # prefilter="all_pairs".
+        global _warned_banded
+        if not _warned_banded:
+            _warned_banded = True
+            _log.info(
+                "structure_match_scores: banded prefilter drops cross-band "
+                "candidates (adversarial chain-shaped trees may be missed); "
+                "use prefilter='all_pairs' for reference-exact recall"
+            )
     gcols = list(group_cols)
     l = left.select(
         *gcols, F.col(path_col).alias("left_key"), F.col(content_col).alias("_c1")

@@ -85,9 +85,11 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
 
 def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
     rows = []
-    for _, r in pdf.iterrows():
-        payload = bytes(r["payload"]) if r["payload"] is not None else b""
-        if r["kind"] == "image":
+    # itertuples, not iterrows: the loop is inherently per-item (codec
+    # call per payload) but iterrows materializes a Series per row
+    for r in pdf[["payload", "kind", "media_id"]].itertuples(index=False):
+        payload = bytes(r.payload) if r.payload is not None else b""
+        if r.kind == "image":
             img = decode_image(payload, fake=fake_decode)
             thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
             feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
@@ -100,8 +102,8 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
             thumb = np.zeros(3)
         rows.append(
             (
-                int(r["media_id"]),
-                r["kind"],
+                int(r.media_id),
+                r.kind,
                 len(payload),
                 feat.astype(np.float32).tolist(),
                 np.asarray(thumb, dtype=np.float32).tolist(),
@@ -155,11 +157,11 @@ def image_thumbnails(
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for r in pdf[["payload", "media_id"]].itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
                 img = decode_image(payload, fake=fake_decode)
                 thumb = resize_image(img, out_h, out_w)
-                rows.append((int(r["media_id"]), out_h, out_w, thumb.tobytes()))
+                rows.append((int(r.media_id), out_h, out_w, thumb.tobytes()))
             yield pd.DataFrame(rows, columns=["media_id", "thumb_h", "thumb_w", "thumb"])
 
     return media.mapInPandas(op, schema=THUMB_SCHEMA)
@@ -180,9 +182,9 @@ def sample_video_frames(
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "video"]
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                meta = r["meta"]
+            for r in pdf[["payload", "meta", "media_id"]].itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                meta = r.meta
                 duration = int(meta["duration_ms"]) if meta is not None else 0
                 for fno, pos in enumerate(frame_sample_indices(duration, every_ms)):
                     # deterministic per-position slice stands in for a seek
@@ -191,7 +193,7 @@ def sample_video_frames(
                     img = decode_image(chunk, fake=fake_decode)
                     feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
                     feat = feat / max(1.0, feat.sum())
-                    rows.append((int(r["media_id"]), fno, int(pos), feat.astype(np.float32).tolist()))
+                    rows.append((int(r.media_id), fno, int(pos), feat.astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "position_ms", "feat"])
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -780,10 +780,24 @@ _Q_MINHASH_SQL = rf"""
   inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
     FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    GROUP BY 1, 2)
-  SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
-  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE ni / (sa.n + sb.n - ni) >= {MINHASH_THRESHOLD}
+    GROUP BY 1, 2),
+  jac AS (
+    SELECT id_a, id_b, ni / (sa.n + sb.n - ni) AS j
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
+  gapchk AS (
+    -- the banded-LSH == exact-threshold equality argument needs the
+    -- corpus Jaccard GAP: the 3.8e-8 LSH miss bound holds for J >= 0.9
+    -- and the false-candidate bound for J <= 0.2, so a regenerated
+    -- corpus with boundary pairs must fail LOUDLY, not flake
+    SELECT CASE WHEN count(*) = 0 THEN 1
+                ELSE CAST(error('minhash_pairs oracle: ' || count(*) ||
+                                ' pair(s) with Jaccard in (0.2, 0.9) — the '
+                                || 'banded==exact equality claim needs re-deriving '
+                                || 'for this corpus') AS INT)
+           END AS ok
+    FROM jac WHERE j > 0.2 AND j < 0.9)
+  SELECT id_a, id_b, round(j, 6) AS jaccard
+  FROM jac, gapchk WHERE gapchk.ok = 1 AND j >= {MINHASH_THRESHOLD}
 """
 
 
@@ -878,8 +892,17 @@ def _q_ann_lsh_sql(dim: int = 64, bits: int = 8) -> str:
         for b in range(bits)
     )
     flips = [0] + [1 << b for b in range(bits)]  # probe_hamming = 1
+    # dim guard: the hyperplane literals are generated for a fixed width,
+    # while the Spark bucket UDF adapts to the table at runtime — a
+    # corpus with a different embedding width must fail LOUDLY here, not
+    # bucket differently on the two faces.
     return f"""
-  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  WITH dimchk AS (
+    SELECT CASE WHEN min(len(embedding)) = {dim} AND max(len(embedding)) = {dim} THEN 1
+                ELSE CAST(error('ann_lsh_topk oracle: embeddings width <> {dim} — '
+                                || 'regenerate the hyperplane literals') AS INT)
+           END AS ok FROM embeddings),
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings, dimchk WHERE dimchk.ok = 1),
   planes(b, s) AS (VALUES
       {plane_rows}),
   sb AS (

@@ -85,6 +85,10 @@ def merge_upsert_latest(
     )
     data_dir = os.path.join(table_path, "data")
     if os.path.isdir(data_dir):
+        # driver-side collect is bounded by n_buckets (<= n_buckets rows
+        # of one int each), NOT by batch or table size — callers passing
+        # a large n_buckets raise that bound proportionally, so keep it
+        # to O(100s) (Iceberg-partition granularity), not O(key space)
         touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
         if not touched:
             return
