@@ -37,7 +37,7 @@ def test_checkpointed_write_resume(spark, tmp_path):
 
     # kill after 5 of 16 buckets
     with pytest.raises(RuntimeError, match="injected failure"):
-        checkpointed_write(spark, df, path, key_col="id", n_buckets=16, fail_after=5)
+        checkpointed_write(spark, df, path, key_col="id", n_buckets=16, fail_after=5, fingerprint=True)
     assert len(done_buckets(path)) == 5
 
     # record mtimes of committed bucket data — resume must not rewrite them
@@ -47,7 +47,7 @@ def test_checkpointed_write_resume(spark, tmp_path):
         return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
     mtimes_before = {b: bucket_mtime(b) for b in committed}
 
-    snap = checkpointed_write(spark, df, path, key_col="id", n_buckets=16)
+    snap = checkpointed_write(spark, df, path, key_col="id", n_buckets=16, fingerprint=True)
     assert snap["committed_buckets"] == 16
     assert snap["total_rows"] == 1000
     for b in committed:

@@ -1645,7 +1645,7 @@ def q_pipeline_lineage(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     checkpointed_write(
         spark, docs, out, key_col="doc_id",
-        n_buckets=LINEAGE_N_BUCKETS, bucket_col="bucket",
+        n_buckets=LINEAGE_N_BUCKETS, bucket_col="bucket", fingerprint=True,
     )
     rows = []
     for m in lineage_rows(out):

@@ -142,6 +142,7 @@ def checkpointed_write(
     n_buckets: int = 32,
     fail_after: int | None = None,
     bucket_col: str | None = None,
+    fingerprint: bool = False,
 ) -> dict:
     """Resumable bucketed write with per-partition lineage + metrics.
 
@@ -158,11 +159,15 @@ def checkpointed_write(
     [0, n_buckets)) — used by the oracle-gated lineage query, whose
     bucketing must be recomputable in plain SQL.
 
-    Each marker carries a content fingerprint read BACK from the written
-    files (bucket_fingerprints) — one extra column-pruned scan of the
-    newly-written buckets per commit, which both makes the bookkeeping
-    independently recomputable (the DuckDB lineage oracle) and catches a
-    partial bucket write at commit time.
+    ``fingerprint=True`` adds a content fingerprint to each marker, read
+    BACK from the written files (bucket_fingerprints) — one extra
+    column-pruned scan of the newly-written buckets per commit, which
+    both makes the bookkeeping independently recomputable (the DuckDB
+    lineage oracle) and catches a partial bucket write at commit time.
+    Opt-in because the read-back is real I/O in the commit path: the
+    oracle gate and the kill/resume tests run with it on; the throughput
+    pipeline leaves it off (rows/bytes still come from parquet footers
+    either way).
     """
     bucket_expr = (
         F.col(bucket_col)
@@ -192,7 +197,7 @@ def checkpointed_write(
         # row/byte metrics from the written parquet footers (driver-side
         # metadata read) — one Spark job total instead of a separate
         # groupBy-sizes job + a persist of the whole frame
-        fps = bucket_fingerprints(spark, path, key_col, todo)
+        fps = bucket_fingerprints(spark, path, key_col, todo) if fingerprint else {}
         for b in todo:
             rows, nbytes = _bucket_stats(os.path.join(_data_dir(path), f"bucket={b}"))
             write_bucket_marker(path, BucketStatus(b, rows, nbytes, per, fps.get(b, 0)))
@@ -205,7 +210,11 @@ def checkpointed_write(
             out = os.path.join(_data_dir(path), f"bucket={b}")
             part.write.mode("overwrite").parquet(out)
             rows, nbytes = _bucket_stats(out)
-            fp = bucket_fingerprints(spark, path, key_col, [b]).get(b, 0)
+            fp = (
+                bucket_fingerprints(spark, path, key_col, [b]).get(b, 0)
+                if fingerprint
+                else 0
+            )
             write_bucket_marker(
                 path,
                 BucketStatus(b, rows, nbytes, round(time.perf_counter() - t0, 3), fp),
