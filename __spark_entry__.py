@@ -6,7 +6,9 @@ thin adapter. ``queries()`` covers the operator inventory of SURVEY.md §2
 text-extraction invariant, crawl dedup, class extraction, text analysis,
 exact/LSH dedup, embedding similarity search); ``oracle_sql()`` holds the
 DuckDB-recomputable counterpart for every SQL-expressible query —
-including (since round 3) minhash_pairs (exact word-3-gram set math),
+including minhash_pairs (since round 4 an EXACT banded replica: md5
+token hashes, SplitMix64 finalizer, all 64 mod-M61 permutations and the
+band collision recomputed in SQL, plus an in-SQL banded==exact check),
 ann_lsh_topk (hash-derived Rademacher hyperplanes recomputed in SQL),
 pages_pipeline_tiles (the generator+geocode spec re-derived via a
 splitmix64 CTE chain) and simhash_pairs (md5 token hash recomputed in

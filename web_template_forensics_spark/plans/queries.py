@@ -752,17 +752,17 @@ MINHASH_THRESHOLD = 0.8
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs at the standard 0.8 operating point.
 
-    At threshold 0.8 with 16 bands x 4 rows the per-pair miss probability
-    is (1 - J^4)^16: <= 3.8e-8 at J >= 0.9, ~1.6e-7 at the corpus'
-    lowest over-threshold pair (J = 0.889 at sf0.001). False positives
-    are impossible (exact-Jaccard verification on both faces), so the
-    banded output equals the set of ALL pairs with exact shingle-Jaccard
-    >= threshold up to that aggregate miss bound — which the oracle
-    ASSERTS in-SQL stays under 1e-5 (gapchk CTE), making the equality
-    claim corpus-checked rather than assumed. The DuckDB side computes
-    the exact set directly from word-3-gram set math. Jaccard over distinct gram STRINGS equals
-    Jaccard over their distinct 64-bit hashes absent collisions (none on
-    this corpus; deterministic hashes make the check stable)."""
+    Since round 4 the DuckDB oracle (_q_minhash_sql, bottom of this
+    module) recomputes the BANDING itself — md5 token hashes, 3-gram
+    combine, SplitMix64 finalizer, all 64 mod-M61 permutations, band
+    tuple collision — so oracle == operator by construction; no
+    probabilistic miss-bound argument remains in the equality claim.
+    The oracle additionally ASSERTS banded == exact-threshold-set on
+    the corpus in-SQL (eqchk errors loudly on any missed pair; none on
+    the shipped corpora — the lowest over-threshold pair sits at
+    J = 0.889 where the theoretical miss probability is ~1.6e-7).
+    False positives are impossible on either face: both verify
+    candidates with exact set Jaccard before the threshold filter."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", threshold=MINHASH_THRESHOLD)
 
