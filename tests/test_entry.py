@@ -16,6 +16,8 @@ FAST_SUBSET = [
     "latest_crawl_dedup",
     "text_stats",
     "label_stats",
+    "pipeline_lineage",  # r4: lineage bookkeeping under the oracle
+    "ann_ivf_topk",      # r4: the last formerly-rows-only query
 ]
 
 
