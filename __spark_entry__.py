@@ -7,8 +7,10 @@ text-extraction invariant, crawl dedup, class extraction, text analysis,
 exact/LSH dedup, embedding similarity search); ``oracle_sql()`` holds the
 DuckDB-recomputable counterpart for every SQL-expressible query —
 including minhash_pairs (since round 4 an EXACT banded replica: md5
-token hashes, SplitMix64 finalizer, all 64 mod-M61 permutations and the
-band collision recomputed in SQL, plus an in-SQL banded==exact check),
+token hashes, SplitMix64 finalizer, all 64 permutations — with the
+numpy face's uint64 wraps replicated since round 5, pytest-pinned
+bitwise-identical — and the band collision recomputed in SQL, plus an
+in-SQL banded==exact check),
 ann_lsh_topk (hash-derived Rademacher hyperplanes recomputed in SQL),
 pages_pipeline_tiles (the generator+geocode spec re-derived via a
 splitmix64 CTE chain) and simhash_pairs (md5 token hash recomputed in
@@ -32,7 +34,11 @@ from web_template_forensics_spark.plans.cascade_queries import (
     CASCADE_QUERIES,
     cascade_oracle_sql,
 )
-from web_template_forensics_spark.plans.queries import ORACLE_SQL, QUERIES, flagship
+from web_template_forensics_spark.plans.queries import (
+    QUERIES,
+    flagship,
+    oracle_sql_all,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,4 +52,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**ORACLE_SQL, **cascade_oracle_sql()}
+    # oracle_sql_all builds the one expensive entry (ann_ivf_topk's
+    # injected trained centroids) lazily on first call
+    return {**oracle_sql_all(), **cascade_oracle_sql()}

@@ -62,6 +62,13 @@ CASES = [
 
 @pytest.fixture(scope="module")
 def reference_analyzer():
+    from conftest import reference_execution_enabled
+
+    if not reference_execution_enabled():
+        pytest.skip(
+            "live-reference execution is opt-in (untrusted checkout): "
+            "set SPARK_GRAFT_REF_PARITY=1"
+        )
     sys.path.insert(0, "/root/reference")
     try:
         from core.js_logic_analyzer import JSLogicAnalyzer

@@ -94,7 +94,17 @@ def test_drift_is_byte_arithmetic():
 @pytest.mark.skipif(not HAS_TREE_SITTER, reason="tree-sitter binary stack unavailable")
 @pytest.mark.parametrize("idx", range(len(UNI_FIXTURES)))
 def test_nonascii_parity_vs_reference(idx):
-    """Node-for-node: identical drift to the reference parser itself."""
+    """Node-for-node: identical drift to the reference parser itself.
+    Opt-in (ADVICE r4): executes code from the untrusted reference
+    checkout in-process — the pinned goldens above are the always-on
+    contract."""
+    from conftest import reference_execution_enabled
+
+    if not reference_execution_enabled():
+        pytest.skip(
+            "live-reference execution is opt-in (untrusted checkout): "
+            "set SPARK_GRAFT_REF_PARITY=1"
+        )
     ref_dir = os.environ.get("SPARK_GRAFT_TS_FALLBACK_DIR", "/root/reference")
     if not os.path.isdir(os.path.join(ref_dir, "core")):
         pytest.skip("reference checkout unavailable")

@@ -85,3 +85,46 @@ def test_full_pipeline_stats(spark, tmp_path):
     assert stats["tiles"] > 50
     assert stats["pip_assignments"] > 100
     assert stats["tiles_snapshot"] == 16
+
+
+def test_lineage_gate_empty_residue_class(spark, tmp_path):
+    """ADVICE r4: a corpus where some doc_id % 16 residue class is empty
+    must still gate green — the empty bucket's marker is (0 rows,
+    0 bytes, consistent) on the Spark face and the oracle generates the
+    full 0..15 bucket domain with 0-row defaults."""
+    import duckdb
+    import pandas as pd
+
+    from web_template_forensics_spark.plans.queries import (
+        _Q_PIPELINE_LINEAGE_SQL,
+        LINEAGE_N_BUCKETS,
+        lineage_gate_df,
+    )
+
+    src = tmp_path / "docs.parquet"
+    docs_pd = pd.DataFrame({"doc_id": [i for i in range(160) if i % 16 not in (5, 11)]})
+    docs_pd.to_parquet(src)
+
+    got = (
+        lineage_gate_df(spark, spark.createDataFrame(docs_pd), str(tmp_path / "gate"))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(got) == LINEAGE_N_BUCKETS
+    empty = got[got.bucket.isin([5, 11])]
+    assert (empty.n_rows == 0).all()
+    assert empty.bytes_consistent.all(), "empty residue class must be consistent"
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+    want = (
+        con.execute(_Q_PIPELINE_LINEAGE_SQL)
+        .df()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(want) == LINEAGE_N_BUCKETS
+    for col in ("bucket", "n_rows", "fingerprint", "status"):
+        assert got[col].astype(want[col].dtype).equals(want[col]), col
+    assert got.bytes_consistent.all() and want.bytes_consistent.all()

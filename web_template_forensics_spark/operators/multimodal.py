@@ -1,14 +1,17 @@
 """Multimodal column operators: image/audio/video as opaque binary columns.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
-signatures) is real and tested; the actual codec work is STUBBED because
-no image/audio libraries exist in this container:
+signatures) is real and tested. Codecs (round 5): PNG decodes FOR REAL
+via the dependency-free stdlib-zlib + numpy codec in
+functions/png_codec.py (all five scanline filters, grey/RGB/palette/
+alpha, CRC-verified); other formats (JPEG/WebP/audio/video containers)
+still need libraries absent from this container:
 
-  * ``decode_image`` raises ``NotImplementedError`` unless
-    ``fake=True``, in which case a deterministic fake decoder (seeded from
-    the bytes) produces a (h, w, 3) uint8 array — same shapes and dtypes a
-    real decoder would emit, so the downstream operators are fully
-    exercised.
+  * for non-PNG payloads ``decode_image`` raises ``NotImplementedError``
+    unless ``fake=True``, in which case a deterministic fake decoder
+    (seeded from the bytes) produces a (h, w, 3) uint8 array — same
+    shapes and dtypes a real decoder would emit, so the downstream
+    operators are fully exercised.
 
 At 100 TB the design rules are: binary payloads NEVER pass through a
 shuffle (feature-extract first, shuffle the small features); metadata is a
@@ -24,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.png_codec import PNG_SIGNATURE, decode_png
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
@@ -36,12 +41,30 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """bytes -> (h, w, 3) uint8. Real codecs are not available in this
-    container; ``fake=True`` derives a deterministic image from the bytes."""
+    """bytes -> (h, w, 3) uint8.
+
+    PNG payloads are decoded FOR REAL (round 5) by the dependency-free
+    codec in functions/png_codec.py — stdlib zlib inflate + numpy
+    unfilter, all five scanline filters, greyscale/RGB/palette/alpha —
+    then normalized to 3 channels (grey replicated, alpha dropped: the
+    downstream features are RGB statistics). Non-PNG codecs (JPEG, WebP,
+    …) still need Pillow/opencv, absent in this container, and raise
+    ``NotImplementedError`` unless ``fake=True`` selects the
+    deterministic stub decoder (seeded from the bytes — same shapes and
+    dtypes a real decoder would emit). ``fake`` is a fallback permission
+    for codec-less formats, not an override: a real PNG payload decodes
+    for real either way."""
+    if payload[:8] == PNG_SIGNATURE:
+        img = decode_png(payload)
+        if img.ndim == 2:  # greyscale
+            return np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 2:  # grey + alpha
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA
     if not fake:
         raise NotImplementedError(
-            "image codecs (Pillow/opencv) are not available in this environment; "
-            "pass fake=True for the deterministic stub decoder"
+            "non-PNG image codecs (Pillow/opencv) are not available in this "
+            "environment; pass fake=True for the deterministic stub decoder"
         )
     h = 16 + (payload[0] % 16) if payload else 16
     w = 16 + (payload[1] % 16) if len(payload) > 1 else 16

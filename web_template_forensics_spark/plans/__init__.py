@@ -1,1 +1,1 @@
-from .queries import ORACLE_SQL, QUERIES, flagship  # noqa: F401
+from .queries import ORACLE_SQL, QUERIES, flagship, oracle_sql_all  # noqa: F401

@@ -68,13 +68,40 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # stdout hygiene: stage-progress bars interleave with any
+        # one-line-JSON contract a caller prints (bench.py's r4 artifact
+        # loss, VERDICT r4 #1)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_deploy_loggers(spark)
     return spark
+
+
+def _silence_deploy_loggers(spark: SparkSession) -> None:
+    """In ``local-cluster`` mode the standalone Master/Worker run inside
+    the DRIVER JVM and log at WARN; at teardown of a long run the Master
+    emits thousands of ``Got status update for unknown executor`` lines,
+    which drowned bench.py's one-JSON-line output in round 4
+    (BENCH_r04.json ``parsed: null``). Drop the whole deploy subsystem to
+    ERROR — its WARNs are executor-churn bookkeeping, never actionable
+    here. Best-effort: a driver without log4j2 (or a future Spark that
+    renames it) just keeps the default levels."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for logger in (
+            "org.apache.spark.deploy",  # Master, Worker, client
+            "org.apache.spark.scheduler.cluster",  # executor add/remove churn
+        ):
+            configurator.setLevel(logger, level)
+    except Exception:
+        pass
 
 
 def cluster_conf(
