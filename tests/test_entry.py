@@ -18,6 +18,7 @@ FAST_SUBSET = [
     "label_stats",
     "pipeline_lineage",  # r4: lineage bookkeeping under the oracle
     "ann_ivf_topk",      # r4: the last formerly-rows-only query
+    "event_sessions_stream",  # r5: the stateful STREAM face itself
 ]
 
 

