@@ -187,3 +187,37 @@ def test_media_features_real_png_on_cluster(spark):
         want = resize_image(img, 4, 4)
         got = np.frombuffer(thumbs.loc[i, "thumb"], dtype=np.uint8).reshape(4, 4, 3)
         assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 13),
+    w=st.integers(1, 13),
+    c=st.sampled_from([1, 2, 3, 4]),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, ft, seed):
+    img = _rand_img(h, w, c, seed)
+    out = decode_png(encode_png(img, filter_type=ft))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_png_decode_never_returns_garbage(junk):
+    """Arbitrary bytes after the signature either decode (CRC + size +
+    inflate all happen to check out — effectively impossible) or raise a
+    typed error; no hangs, no silent wrong-shaped output."""
+    try:
+        decode_png(PNG_SIGNATURE + junk)
+    except (PngFormatError, NotImplementedError):
+        pass
