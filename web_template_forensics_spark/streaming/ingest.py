@@ -58,6 +58,7 @@ def merge_upsert_latest(
     key_col: str,
     ts_col: str,
     n_buckets: int = 16,
+    tiebreak_cols: list[str] | None = None,
 ) -> None:
     """MERGE a micro-batch into the bucketed state table at ``table_path``
     keeping the latest row per key (the Iceberg ``MERGE INTO`` shape on
@@ -69,14 +70,21 @@ def merge_upsert_latest(
     replay: keep-latest of (old state ∪ batch) after (key, ts) dedup is a
     fixed point, so re-running a delivered batch leaves the table
     unchanged (exactly-once effect per epoch).
+
+    ``tiebreak_cols`` (round 5) break ``ts`` ties deterministically
+    (descending, after ts) — without them a key whose max ts appears on
+    two rows keeps an arbitrary winner, which is fine for a cache but
+    not for an oracle-gated face (the gate passes ["event_id"], matching
+    the batch query's ordering).
     """
     import os
 
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
+    tb = [F.col(c).desc() for c in (tiebreak_cols or [])]
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc(), *tb)
     latest = (
         batch_df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -106,7 +114,9 @@ def merge_upsert_latest(
     else:
         merged = latest
     merged = (
-        merged.dropDuplicates([key_col, ts_col])
+        # replay dedup key includes the tie-breakers: deduping on
+        # (key, ts) alone could arbitrarily drop the tie-break winner
+        merged.dropDuplicates([key_col, ts_col, *(tiebreak_cols or [])])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -126,6 +136,7 @@ def latest_state_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     n_buckets: int = 16,
+    tiebreak_cols: list[str] | None = None,
 ):
     """Streaming as-of dedup with a REAL sink: every micro-batch is
     MERGEd into the bucketed state table (merge_upsert_latest) instead of
@@ -133,7 +144,9 @@ def latest_state_stream(
     ``read_state(spark)`` reads the current latest-per-key table."""
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_upsert_latest(batch_df, table_path, key_col, ts_col, n_buckets)
+        merge_upsert_latest(
+            batch_df, table_path, key_col, ts_col, n_buckets, tiebreak_cols
+        )
 
     def start(checkpoint_dir: str):
         return (
