@@ -62,6 +62,31 @@ def _healthy_core_count(get_spark, requested: int) -> tuple[int, bool]:
     return requested, False
 
 
+def _probe_burn(_: int) -> float:
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(12_000_000):
+        n += i * i
+    return time.perf_counter() - t0
+
+
+def _host_probe(procs: int = 8) -> float:
+    """Raw-process parallel-overlap efficiency RIGHT NOW (no Spark, no
+    JVM): ``procs`` OS processes each burn a fixed CPU loop; 1.0 means
+    perfect overlap. Recorded before and after the measured passes so
+    every committed per-query number carries the concurrent host-capacity
+    reading next to it (round-5 protocol: per-query swings on this box
+    are host-dominated, and the probe makes that attribution part of the
+    artifact instead of after-the-fact analysis)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        t0 = time.perf_counter()
+        per = pool.map(_probe_burn, range(procs))
+        wall = time.perf_counter() - t0
+    return round(sum(per) / procs / wall, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     pages_rows = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
@@ -82,6 +107,8 @@ def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "cluster")
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     cpus = int(cpus_env) if cpus_env else (8 if mode == "cluster" else 32)
+
+    host_probe_pre = _host_probe()
 
     cpus_requested = cpus
     jvm_pathology = False
@@ -210,6 +237,7 @@ def main() -> None:
     pages_per_sec = round(pages_rows / pipe_wall, 1)
     pages_per_sec_cold = round(pages_rows / pipe_cold, 1)
 
+    host_probe_post = _host_probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = json.dumps(
@@ -232,6 +260,10 @@ def main() -> None:
             "mode": mode,
             "substrate": substrate,
             "repeats": repeats,
+            # concurrent host-capacity readings bracketing the measured
+            # window (raw processes, no Spark; 1.0 = perfect overlap)
+            "host_probe_pre": host_probe_pre,
+            "host_probe_post": host_probe_post,
         }
     )
     # Artifact durability (round-4 failure: BENCH_r04.json parsed:null —
