@@ -622,6 +622,81 @@ def test_knn_brute_only_r_max_zero(spark):
     assert set(out.probe_id) == {0, 5, 10, 15}
 
 
+def test_knn_all_points_one_cell(spark):
+    """Adversarial density: every probe AND every corpus point lands in
+    ONE level-3 cell (a 22.5-degree cell easily holds a 0.5-degree
+    cluster). Round 1's disk-1 search sees ALL candidates at once; the
+    coverage proof must still hold (kth_d2 < guarantee) and results must
+    equal brute force exactly."""
+    import pandas as pd
+
+    from web_template_forensics_spark.operators.spatial_join import knn_join
+
+    rng = np.random.RandomState(11)
+    n = 60
+    # 0.5-degree-wide cluster centered mid-cell (10.0, 10.0)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "lat": 10.0 + rng.uniform(-0.25, 0.25, n),
+            "lon": 10.0 + rng.uniform(-0.25, 0.25, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        knn_join(spark, df, df, k=3, level=3)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    lats, lons = pdf.lat.to_numpy(), pdf.lon.to_numpy()
+    rows = []
+    for pid in range(n):
+        d2 = (lats[pid] - lats) ** 2 + (lons[pid] - lons) ** 2
+        order = sorted((float(d2[j]), j) for j in range(n) if j != pid)[:3]
+        rows.extend((pid, j, r, dd) for r, (dd, j) in enumerate(order, 1))
+    exp = pd.DataFrame(rows, columns=["probe_id", "neighbor_id", "rank", "dist2"])
+    assert len(out) == len(exp)
+    assert (out.neighbor_id.to_numpy() == exp.neighbor_id.to_numpy()).all()
+    assert np.array_equal(out.dist2.to_numpy(), exp.dist2.to_numpy())
+
+
+def test_knn_probes_in_empty_space_r_max_one(spark):
+    """Adversarial sparsity: probes sit in a region with ZERO corpus
+    points within the r_max=1 search disk, so every probe must fall
+    through to the bounded brute-force pass — and still return the
+    exact k nearest from the far-away corpus."""
+    import pandas as pd
+
+    from web_template_forensics_spark.operators.spatial_join import knn_join
+
+    corpus_pdf = pd.DataFrame(
+        {
+            "id": range(30),
+            "lat": [60.0 + 0.1 * i for i in range(30)],
+            "lon": [120.0 + 0.1 * i for i in range(30)],
+        }
+    )
+    probe_pdf = pd.DataFrame(
+        {"id": [1000, 1001, 1002], "lat": [-60.0, -61.0, -62.0], "lon": [-120.0] * 3}
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    probes = spark.createDataFrame(probe_pdf)
+    out = (
+        knn_join(spark, probes, corpus, k=2, level=4, r_max=1)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # every probe's 2 nearest are corpus ids 0 then 1 (corpus marches
+    # away northeast; probes are all far southwest)
+    assert len(out) == 6
+    assert set(out.probe_id) == {1000, 1001, 1002}
+    for pid in (1000, 1001, 1002):
+        got = out[out.probe_id == pid].neighbor_id.tolist()
+        assert got == [0, 1], got
+
+
 def test_ngram_whitespace_and_simhash_exact_band(spark):
     """Leading/trailing whitespace must not corrupt grams (identical
     token content scores 1.0), whitespace-only docs never pair, and

@@ -182,15 +182,21 @@ def knn_join(
         )
         prev_pending = pending
         pending = pending.join(stats, "probe_id", "left_anti").persist()
-        empty = pending.isEmpty()
+        # ONE driver action per round: count() both answers "is anyone
+        # still pending?" and FULLY materializes the persisted frame
+        # (isEmpty's limit-1 scan left the cache partial, so later
+        # rounds re-derived the anti-join chain past partition 0).
+        n_pending = pending.count()
         prev_pending.unpersist()
         if prev is not None:
             prev.unpersist()
-        if empty:
+        if n_pending == 0:
             pending = None
             break
 
-    if pending is not None and not pending.isEmpty():
+    if pending is not None:
+        # non-None ==> the last round counted >0 pending rows (or r_max
+        # == 0 skipped the loop) — no second emptiness action needed
         # sparse-region fallback: bounded brute force for the residual
         # probes (with r_max=0 this is the whole probe set — a legal
         # brute-force-only parameterization)
