@@ -165,6 +165,43 @@ module.exports = {
 
 
 @pytest.mark.skipif(node_missing, reason="node not installed")
+def test_template_literal_interpolation_divergence_documented(tmp_path):
+    """A template literal WITH interpolation (`${base * 4}px`): Node
+    EVALUATES the expression (the reference sees '32px'); our reader is
+    a literal parser, so it keeps the raw `${base * 4}px` source text —
+    the one value that diverges. Everything else in the config (plain
+    backtick strings included — those are already pinned identical by
+    the quote_styles fixture) matches the Node face exactly."""
+    src = """\
+const base = 8;
+module.exports = {
+  content: ['./src/**/*.js'],
+  theme: {
+    extend: {
+      spacing: { huge: `${base * 4}px`, fixed: `32px` },
+      colors: { brand: '#abc' },
+    },
+  },
+}
+"""
+    path = tmp_path / "tailwind.config.js"
+    path.write_text(src)
+    ref = node_parse(str(path))
+    assert "error" not in ref, ref
+    ours = parse_tailwind_config_text(src)
+    # the single divergent leaf: evaluated vs raw-text degradation
+    assert ref["theme"]["extend"]["spacing"]["huge"] == "32px"
+    assert ours["theme"]["extend"]["spacing"]["huge"] == "${base * 4}px"
+    # degradation equality everywhere else: patch the one leaf and the
+    # faces are identical, so the raw-text fallback loses NOTHING else
+    patched = json.loads(json.dumps(ours))
+    patched["theme"]["extend"]["spacing"]["huge"] = "32px"
+    assert patched == ref
+    # downstream C20 consumer sees the same keys on both faces
+    assert sorted(extract_theme_extensions(ours)) == sorted(extract_theme_extensions(ref))
+
+
+@pytest.mark.skipif(node_missing, reason="node not installed")
 def test_esm_export_divergence_documented(tmp_path):
     """`export default {...}` in a .js file: Node >= 20.19 resolves the
     require() through ESM interop, so the reference gets the WRAPPER
