@@ -237,6 +237,40 @@ def main() -> None:
     pages_per_sec = round(pages_rows / pipe_wall, 1)
     pages_per_sec_cold = round(pages_rows / pipe_cold, 1)
 
+    # cascade throughput (round-5 item 6): the E1-at-scale shape — N
+    # seeded ~34-file project pairs through the ONE grouped-map pass
+    # (cascade_reports_per_pair). Input generated distributed once to a
+    # parquet cache (excluded from the measured window, same protocol as
+    # the pages input); the measured job is read -> groupBy(pair_id) ->
+    # applyInPandas full-cascade replay -> count.
+    from web_template_forensics_spark.operators.cascade import cascade_reports_per_pair
+    from web_template_forensics_spark.sources.pairs import build_pair_files_df
+
+    cascade_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_CASCADE_PAIRS", "10000"))
+    pairs_path = os.path.join(repo, ".bench_data", f"pairs_{cascade_pairs}")
+    if not os.path.isdir(pairs_path):
+        print(f"# generating {cascade_pairs} project pairs to {pairs_path}", file=sys.stderr)
+        build_pair_files_df(spark, cascade_pairs, seed0=42).write.mode(
+            "overwrite"
+        ).parquet(pairs_path)
+    cascade_wall = float("inf")
+    cascade_cold = None
+    for rep in range(repeats):
+        files = spark.read.parquet(pairs_path)
+        t0 = time.perf_counter()
+        n_reports = cascade_reports_per_pair(files).count()
+        wall = time.perf_counter() - t0
+        cascade_wall = min(cascade_wall, wall)
+        if rep == 0:
+            cascade_cold = wall
+        print(
+            f"# cascade_pairs[{rep}]: {n_reports} pair reports in {wall:.1f}s -> "
+            f"{round(n_reports / wall, 1)} pairs/sec",
+            file=sys.stderr,
+        )
+    cascade_pairs_per_sec = round(cascade_pairs / cascade_wall, 1)
+    cascade_pairs_per_sec_cold = round(cascade_pairs / cascade_cold, 1)
+
     host_probe_post = _host_probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -254,6 +288,9 @@ def main() -> None:
             "pages_per_sec": pages_per_sec,
             "pages_per_sec_cold": pages_per_sec_cold,
             "pages_rows": pages_rows,
+            "cascade_pairs_per_sec": cascade_pairs_per_sec,
+            "cascade_pairs_per_sec_cold": cascade_pairs_per_sec_cold,
+            "cascade_pairs": cascade_pairs,
             "cpus": cpus,
             "cpus_requested": cpus_requested,
             "jvm_thread_pathology": jvm_pathology,

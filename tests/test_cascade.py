@@ -297,6 +297,32 @@ def test_cascade_reports_per_pair_many_pairs(spark):
         assert r.tailwind_class_similarity == rep["tailwind_aggregate"]["class_similarity"]
 
 
+def test_build_pair_files_df_distributed_matches_driver(spark):
+    """The bench's distributed pair-corpus generator (sources/pairs.py):
+    executor-side mapInPandas generation of pair ``pid`` must be
+    byte-identical to the driver-side fixture at seed0+pid, and the
+    grouped cascade over it must equal the per-pair replay."""
+    from web_template_forensics_spark.operators.cascade import cascade_reports_per_pair
+    from web_template_forensics_spark.sources.pairs import build_pair_files_df
+
+    n_pairs = 12
+    df = build_pair_files_df(spark, n_pairs, seed0=77, partitions=5)
+    pdf = df.toPandas().sort_values(["pair_id", "side", "path"]).reset_index(drop=True)
+    assert sorted(pdf.pair_id.unique()) == list(range(n_pairs))
+    for pid in (0, 5, 11):
+        exp = sorted(project_pair_rows(seed=77 + pid))
+        got = [
+            (r.side, r.path, r.filetype, r.content)
+            for r in pdf[pdf.pair_id == pid].itertuples(index=False)
+        ]
+        assert sorted(got) == exp
+    rep = {r.pair_id: r for r in cascade_reports_per_pair(df).collect()}
+    for pid in (0, 11):
+        exp = replay_cascade(project_pair_rows(seed=77 + pid))
+        assert rep[pid].overall_similarity == exp["overall_similarity"]
+        assert rep[pid].prediction == exp["overall_prediction"]
+
+
 def test_structure_match_banded_many_pairs(spark):
     """Round-4 composition proof: the capable-J3 banded prefilter runs
     over MANY project pairs in ONE plan (group_cols adds pair_id to the
