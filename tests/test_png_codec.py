@@ -136,8 +136,15 @@ def test_decode_image_real_png_path():
     rgba = _rand_img(5, 5, 4, seed=7)
     out = decode_image(encode_png(rgba))
     assert (out == rgba[:, :, :3]).all()
-    with pytest.raises(NotImplementedError, match="non-PNG"):
+    # JPEG payloads now route to the real jpeg_codec (corrupt body ->
+    # format error, not NotImplementedError); codec-less formats (WebP)
+    # still raise the honest stub error
+    from web_template_forensics_spark.functions.jpeg_codec import JpegFormatError
+
+    with pytest.raises(JpegFormatError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    with pytest.raises(NotImplementedError, match="beyond PNG/baseline-JPEG"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_media_features_real_png_on_cluster(spark):

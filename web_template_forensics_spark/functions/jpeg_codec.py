@@ -1,0 +1,636 @@
+"""Dependency-free baseline JPEG codec (pure numpy + stdlib).
+
+Like functions/png_codec.py (round 5), this closes an honestly-stubbed
+codec seam without new dependencies: baseline sequential DCT JPEG
+(ITU-T T.81 / JFIF) encode AND decode in numpy. The reference repo has
+no image path at all — this backs the multimodal graft surface
+(operators/multimodal.py decode_image), whose 100 TB plumbing was
+already real; now JPEG payloads decode for real too.
+
+Scope (asserted, not implied):
+  * encode: 8-bit greyscale or RGB, 4:4:4 (no subsampling), standard
+    Annex-K quantization tables scaled by the IJG quality formula,
+    standard Annex-K Huffman tables, optional restart intervals.
+  * decode: baseline SOF0 only (SOF2 progressive raises), 8-bit, 1- or
+    3-component, arbitrary sampling factors up to 2x2 (replication
+    upsample), multi-table DQT/DHT segments, 16-bit quant precision,
+    DRI/RSTn restart markers, 0xFF00 byte unstuffing.
+
+The tables are written into DQT/DHT segments, so encoder and decoder
+are self-consistent by construction; _validate_tables() additionally
+pins at import time that the Huffman tables are canonical-valid and
+cover every symbol the encoder can emit (12 DC categories; all 162
+baseline AC symbols).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_SOI = b"\xff\xd8"
+
+
+class JpegFormatError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# ITU-T T.81 Annex K.1 example quantization tables (the de-facto
+# standard ones every encoder ships), natural (row-major) order.
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.3 Huffman specifications: (bits[1..16], huffval). These travel
+# in the DHT segment, so round-trip correctness never depends on them
+# matching the standard byte-for-byte — but they must be VALID canonical
+# tables covering every symbol we emit, which _validate_tables() pins.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """-> {symbol: (code, length)} via T.81 C.2 canonical assignment."""
+    if len(bits) != 16 or sum(bits) != len(vals):
+        raise JpegFormatError("huffman spec: counts do not match values")
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1] > (1 << length) - code:
+            raise JpegFormatError("huffman spec: over-full code space")
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _validate_tables() -> None:
+    for bits, vals, need in (
+        (DC_LUMA_BITS, DC_LUMA_VALS, set(range(12))),
+        (DC_CHROMA_BITS, DC_CHROMA_VALS, set(range(12))),
+        (
+            AC_LUMA_BITS,
+            AC_LUMA_VALS,
+            {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)},
+        ),
+        (
+            AC_CHROMA_BITS,
+            AC_CHROMA_VALS,
+            {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)},
+        ),
+    ):
+        codes = _canonical_codes(bits, vals)
+        missing = need - set(codes)
+        if missing:
+            raise JpegFormatError(f"huffman table missing symbols: {sorted(missing)[:5]}")
+        if len(vals) != len(set(vals)):
+            raise JpegFormatError("huffman table has duplicate symbols")
+
+
+_validate_tables()
+
+# orthonormal 8x8 DCT-II basis: F = C @ block @ C.T ; block = C.T @ F @ C
+_n = np.arange(8)
+_C = np.cos((2 * _n[None, :] + 1) * _n[:, None] * np.pi / 16) / 2.0
+_C[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def quant_tables_for_quality(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (public libjpeg formula)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _mag_bits(v: int, size: int) -> int:
+    # negative values encode as value - 1 in `size` low bits (T.81 F.1.4)
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float, H,W % 8 == 0 -> (n_blocks, 8, 8) in raster order."""
+    H, W = plane.shape
+    return (
+        plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """-> (n_blocks, 64) int32 zigzagged quantized coefficients."""
+    blocks = _blocks_of(plane.astype(np.float64) - 128.0)
+    coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    q = np.round(coef / qt[None, :, :]).astype(np.int32)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise JpegFormatError("encode_jpeg expects (h,w)[,3] uint8")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise JpegFormatError("encode_jpeg expects 3 channels for color")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegFormatError("empty image")
+    grey = img.ndim == 2
+    qt_l, qt_c = quant_tables_for_quality(quality)
+
+    # pad to block multiples by edge replication (standard practice:
+    # keeps the padded coefficients cheap and the crop exact on decode)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)) + ((0, 0),) * (img.ndim - 2), mode="edge")
+
+    if grey:
+        planes = [padded.astype(np.float64)]
+        qts = [qt_l]
+    else:
+        ycc = _rgb_to_ycbcr(padded)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+
+    coef = [_encode_plane_blocks(p, q) for p, q in zip(planes, qts)]
+    n_blocks = coef[0].shape[0]
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not grey:
+        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    entropy = bytearray()
+    rst = 0
+    for b in range(n_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            bw.flush()
+            entropy += bw.out
+            entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            pred = [0] * len(planes)
+        for ci in range(len(planes)):
+            tid = 0 if ci == 0 else 1
+            zz = coef[ci][b]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size = _category(diff)
+            code, length = dc_codes[tid][size]
+            bw.write(code, length)
+            if size:
+                bw.write(_mag_bits(diff, size), size)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[tid][0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = ac_codes[tid][(run << 4) | size]
+                bw.write(code, length)
+                bw.write(_mag_bits(v, size), size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[tid][0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+    entropy += bw.out
+
+    out = bytearray(JPEG_SOI)
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt_l.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    if not grey:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qt_c.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if grey else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += _seg(0xC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+    ) + (
+        ()
+        if grey
+        else (
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        )
+    ):
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise JpegFormatError("read past restart/end marker")
+        if self.pos >= len(self.data):
+            raise JpegFormatError("truncated entropy data")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpegFormatError("truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise _MarkerHit(nxt)
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """-> {(length, code): symbol} for sequential canonical decode."""
+    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegFormatError("invalid huffman code in entropy data")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """baseline JFIF bytes -> (h, w) or (h, w, 3) uint8."""
+    if data[:2] != JPEG_SOI:
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    comps: list[dict] = []
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise JpegFormatError("truncated segment header")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if prec else 1)
+                raw = body[i : i + n]
+                if len(raw) < n:
+                    raise JpegFormatError("truncated DQT segment")
+                i += n
+                arr = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                qtabs[tid] = arr[UNZIGZAG].reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                if len(bits) < 16:
+                    raise JpegFormatError("truncated DHT segment")
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise JpegFormatError("truncated DHT segment")
+                htabs[(cls, tid)] = _decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise JpegFormatError("truncated SOF segment")
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * ncomp:
+                raise JpegFormatError("truncated SOF segment")
+            if prec != 8:
+                raise JpegFormatError(f"unsupported sample precision {prec}")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid}
+                )
+            frame = (h, w, ncomp)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(
+                f"unsupported JPEG process (marker 0xFF{marker:02X}); baseline only"
+            )
+        elif marker == 0xDA:  # SOS -> entropy decode
+            if frame is None:
+                raise JpegFormatError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append((comp, tids >> 4, tids & 0x0F))
+            h, w, ncomp = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise JpegFormatError("sampling factors beyond 2x2 unsupported")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = []
+            for c in comps:
+                pw = mcux * 8 * c["h"]
+                ph = mcuy * 8 * c["v"]
+                planes.append(np.zeros((ph, pw), dtype=np.float64))
+            br = _BitReader(data, pos + seglen)
+            pred = [0] * len(scan)
+            mcu_count = 0
+            try:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            br.align()
+                            # consume the RSTn marker
+                            p = br.pos
+                            while p + 1 < len(data) and not (
+                                data[p] == 0xFF and data[p + 1] != 0x00
+                            ):
+                                p += 1
+                            if p + 1 >= len(data) or not (
+                                0xD0 <= data[p + 1] <= 0xD7
+                            ):
+                                raise JpegFormatError("expected RSTn marker")
+                            br = _BitReader(data, p + 2)
+                            pred = [0] * len(scan)
+                        for si, (comp, dc_id, ac_id) in enumerate(scan):
+                            dct = htabs.get((0, dc_id))
+                            act = htabs.get((1, ac_id))
+                            qt = qtabs.get(comp["q"])
+                            if dct is None or act is None or qt is None:
+                                raise JpegFormatError("missing huffman/quant table")
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    zz = np.zeros(64, dtype=np.int64)
+                                    size = _read_symbol(br, dct)
+                                    diff = (
+                                        _extend(br.bits(size), size) if size else 0
+                                    )
+                                    pred[si] += diff
+                                    zz[0] = pred[si]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _read_symbol(br, act)
+                                        if rs == 0x00:
+                                            break
+                                        if rs == 0xF0:
+                                            k += 16
+                                            continue
+                                        k += rs >> 4
+                                        size = rs & 0x0F
+                                        if k > 63:
+                                            raise JpegFormatError("AC index overflow")
+                                        zz[k] = _extend(br.bits(size), size)
+                                        k += 1
+                                    block = (zz[UNZIGZAG].reshape(8, 8) * qt).astype(
+                                        np.float64
+                                    )
+                                    pix = _C.T @ block @ _C + 128.0
+                                    y0 = (my * comp["v"] + by) * 8
+                                    x0 = (mx * comp["h"] + bx) * 8
+                                    planes[comps.index(comp)][
+                                        y0 : y0 + 8, x0 : x0 + 8
+                                    ] = pix
+                        mcu_count += 1
+            except _MarkerHit as mh:
+                raise JpegFormatError(
+                    f"unexpected marker 0xFF{mh.marker:02X} inside scan"
+                )
+            # upsample to full resolution by replication, crop
+            full = []
+            for c, p in zip(comps, planes):
+                ry, rx = vmax // c["v"], hmax // c["h"]
+                if ry > 1 or rx > 1:
+                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+                full.append(p[:h, :w])
+            if ncomp == 1:
+                return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            if ncomp == 3:
+                return _ycbcr_to_rgb(np.stack(full, axis=-1))
+            raise JpegFormatError(f"unsupported component count {ncomp}")
+        pos += seglen
+    raise JpegFormatError("no SOS scan found")

@@ -4,8 +4,11 @@ The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
 signatures) is real and tested. Codecs (round 5): PNG decodes FOR REAL
 via the dependency-free stdlib-zlib + numpy codec in
 functions/png_codec.py (all five scanline filters, grey/RGB/palette/
-alpha, CRC-verified); other formats (JPEG/WebP/audio/video containers)
-still need libraries absent from this container:
+alpha, CRC-verified), and baseline JPEG decodes FOR REAL via the pure
+numpy codec in functions/jpeg_codec.py (SOF0, 1/3 components, sampling
+factors to 2x2, restart markers); other formats (progressive JPEG,
+WebP, audio/video containers) still need libraries absent from this
+container:
 
   * for non-PNG payloads ``decode_image`` raises ``NotImplementedError``
     unless ``fake=True``, in which case a deterministic fake decoder
@@ -27,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
 
 MEDIA_SCHEMA = (
@@ -43,17 +47,19 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """bytes -> (h, w, 3) uint8.
 
-    PNG payloads are decoded FOR REAL (round 5) by the dependency-free
-    codec in functions/png_codec.py — stdlib zlib inflate + numpy
-    unfilter, all five scanline filters, greyscale/RGB/palette/alpha —
-    then normalized to 3 channels (grey replicated, alpha dropped: the
-    downstream features are RGB statistics). Non-PNG codecs (JPEG, WebP,
-    …) still need Pillow/opencv, absent in this container, and raise
-    ``NotImplementedError`` unless ``fake=True`` selects the
+    PNG and baseline JPEG payloads are decoded FOR REAL (round 5) by
+    the dependency-free codecs in functions/png_codec.py (stdlib zlib
+    inflate + numpy unfilter, all five scanline filters, greyscale/RGB/
+    palette/alpha) and functions/jpeg_codec.py (numpy huffman + IDCT,
+    SOF0 baseline, sampling to 2x2, restart markers) — then normalized
+    to 3 channels (grey replicated, alpha dropped: the downstream
+    features are RGB statistics). Remaining formats (progressive JPEG,
+    WebP, …) still need Pillow/opencv, absent in this container, and
+    raise ``NotImplementedError`` unless ``fake=True`` selects the
     deterministic stub decoder (seeded from the bytes — same shapes and
     dtypes a real decoder would emit). ``fake`` is a fallback permission
-    for codec-less formats, not an override: a real PNG payload decodes
-    for real either way."""
+    for codec-less formats, not an override: a real PNG/JPEG payload
+    decodes for real either way."""
     if payload[:8] == PNG_SIGNATURE:
         img = decode_png(payload)
         if img.ndim == 2:  # greyscale
@@ -61,10 +67,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         if img.shape[2] == 2:  # grey + alpha
             return np.repeat(img[:, :, :1], 3, axis=2)
         return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA
+    if payload[:2] == JPEG_SOI:
+        img = decode_jpeg(payload)
+        if img.ndim == 2:  # single-component scan
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img
     if not fake:
         raise NotImplementedError(
-            "non-PNG image codecs (Pillow/opencv) are not available in this "
-            "environment; pass fake=True for the deterministic stub decoder"
+            "image codecs beyond PNG/baseline-JPEG (Pillow/opencv) are not "
+            "available in this environment; pass fake=True for the "
+            "deterministic stub decoder"
         )
     h = 16 + (payload[0] % 16) if payload else 16
     w = 16 + (payload[1] % 16) if len(payload) > 1 else 16
