@@ -19,6 +19,7 @@ FAST_SUBSET = [
     "pipeline_lineage",  # r4: lineage bookkeeping under the oracle
     "ann_ivf_topk",      # r4: the last formerly-rows-only query
     "event_sessions_stream",  # r5: the stateful STREAM face itself
+    "multimodal_features",    # r5: real PNG/JPEG codecs under the oracle
 ]
 
 

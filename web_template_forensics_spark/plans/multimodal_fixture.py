@@ -1,0 +1,183 @@
+"""Deterministic mixed PNG/JPEG fixture corpus for the multimodal
+CORRECTNESS query (round 5).
+
+The multimodal operator surface (operators/multimodal.py, mirroring the
+reference's binary-asset handling gap — the reference repo has no image
+path, see SURVEY.md §2 multimodal graft) gained REAL codecs this round:
+PNG (functions/png_codec.py) and baseline JPEG (functions/jpeg_codec.py).
+This module provides the fixture corpus and the Spark-free expected-value
+twin that put ``extract_media_features`` under the driver's DuckDB
+oracle gate:
+
+* ``fixture_corpus()`` — a seeded, fully deterministic set of images
+  (greyscale / grey+alpha / RGB / RGBA / palette-free PNG across all
+  five scanline filters; greyscale + RGB baseline JPEG across quality
+  levels, non-multiple-of-8 sizes, and restart intervals), encoded to
+  real container bytes by the package's own encoders.
+
+* ``expected_feature_micros(row)`` — the INDEPENDENT recomputation of
+  the operator's features, micro-quantized to exact integers so the
+  cross-engine compare is bitwise:
+
+  - PNG rows: computed from the ORIGINAL pre-encoding pixel array
+    (PNG is lossless, so this validates the decoder + the distributed
+    mapInPandas path end-to-end without ever calling ``decode_png``).
+  - JPEG rows: computed by a driver-side (Spark-free) decode of the
+    payload. JPEG is lossy so the original pixels cannot predict the
+    decoded statistics; this leg pins the DISTRIBUTED path (Arrow
+    round-trip, byte-bounded rebatching, schema) against the local
+    computation, plus full determinism of the codec. The codec itself
+    is validated against the encoder round-trip and pinned golden
+    vectors in tests/test_jpeg_codec.py.
+
+Quantization contract (see oracle-determinization memory/recipes): the
+operator emits float32; ``float(np.float32)`` widens exactly to the
+IEEE double Spark sees, and ``floor(x * 1e6 + 0.5)`` over doubles is
+deterministic across the JVM and CPython, so both faces agree bit-for-
+bit on the micro integers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+from ..functions.jpeg_codec import decode_jpeg, encode_jpeg
+from ..functions.png_codec import encode_png
+
+FIXTURE_SEED = 20250817
+
+# (channels, h, w, png filter_type) — channels 1/2/3/4 exercise the
+# grey / grey+alpha / RGB / RGBA normalization branches of decode_image;
+# filter types cover all five PNG scanline filters.
+_PNG_SPECS = [
+    (1, 17, 23, 0),
+    (2, 12, 12, 1),
+    (3, 24, 32, 2),
+    (4, 9, 31, 3),
+    (3, 16, 16, 4),
+    (1, 8, 40, 2),
+]
+
+# (grey?, h, w, quality, restart_interval) — odd sizes exercise the
+# encoder's edge-replication pad + decoder crop; restart intervals
+# exercise RSTn resync; the quality sweep exercises quant-table scaling.
+_JPEG_SPECS = [
+    (True, 24, 24, 85, 0),
+    (False, 24, 32, 90, 0),
+    (False, 19, 27, 75, 2),
+    (True, 33, 15, 95, 3),
+    (False, 40, 40, 60, 0),
+    (False, 8, 8, 100, 1),
+]
+
+
+def _normalize_rgb(img: np.ndarray) -> np.ndarray:
+    """Replicates decode_image's channel normalization: -> (h, w, 3)."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 2:  # grey + alpha: alpha dropped, grey replicated
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def _smooth_or_noise(rng: np.random.RandomState, shape: tuple, smooth: bool) -> np.ndarray:
+    """Half the corpus is smooth gradients (JPEG's favorable case), half
+    uniform noise (its adversarial case) — both deterministic."""
+    if not smooth:
+        return rng.randint(0, 256, size=shape).astype(np.uint8)
+    h, w = shape[:2]
+    base = (
+        np.linspace(0, 255, w, dtype=np.float64)[None, :]
+        + np.linspace(0, 64, h, dtype=np.float64)[:, None]
+    )
+    img = np.clip(base % 256, 0, 255)
+    if len(shape) == 3:
+        chans = [np.clip(img + 13.0 * c, 0, 255) for c in range(shape[2])]
+        img = np.stack(chans, axis=-1)
+    return np.round(img).astype(np.uint8)
+
+
+def fixture_corpus() -> list[dict]:
+    """-> rows of {media_id, codec, payload, expected_rgb|None}."""
+    rng = np.random.RandomState(FIXTURE_SEED)
+    rows: list[dict] = []
+    mid = 0
+    for i, (ch, h, w, ft) in enumerate(_PNG_SPECS):
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = _smooth_or_noise(rng, shape, smooth=i % 2 == 1)
+        rows.append(
+            {
+                "media_id": mid,
+                "codec": "png",
+                "payload": encode_png(img, filter_type=ft),
+                "expected_rgb": _normalize_rgb(img),
+            }
+        )
+        mid += 1
+    for i, (grey, h, w, q, ri) in enumerate(_JPEG_SPECS):
+        shape = (h, w) if grey else (h, w, 3)
+        img = _smooth_or_noise(rng, shape, smooth=i % 2 == 0)
+        rows.append(
+            {
+                "media_id": mid,
+                "codec": "jpeg",
+                "payload": encode_jpeg(img, quality=q, restart_interval=ri),
+                "expected_rgb": None,
+            }
+        )
+        mid += 1
+    return rows
+
+
+def _micro(v: float) -> int:
+    # exact double arithmetic; identical to the Spark face's
+    # floor(cast(x as double) * 1e6 + 0.5)
+    return math.floor(float(v) * 1e6 + 0.5)
+
+
+def expected_feature_micros(row: dict) -> tuple[list[int], list[int]]:
+    """-> (f0..f7 micros, tm0..tm2 micros) — the twin of
+    operators/multimodal._features_chunk's image branch, including the
+    float32 narrowing the operator's Arrow schema applies."""
+    if row["expected_rgb"] is not None:
+        img = row["expected_rgb"]
+    else:
+        img = decode_jpeg(bytes(row["payload"]))
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+    thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
+    feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+    feat = feat / max(1.0, feat.sum())
+    f32 = feat.astype(np.float32)
+    t32 = np.asarray(thumb, dtype=np.float32)
+    return [_micro(v) for v in f32], [_micro(v) for v in t32]
+
+
+def fixture_oracle_values_sql() -> str:
+    """The DuckDB face: one VALUES row per fixture image with the pinned
+    payload md5 (pins the ENCODER output bit-exactly), byte length, and
+    micro-quantized expected features."""
+    vals = []
+    for row in fixture_corpus():
+        payload = bytes(row["payload"])
+        f, tm = expected_feature_micros(row)
+        md5 = hashlib.md5(payload).hexdigest()
+        cells = [str(row["media_id"]), f"'{row['codec']}'", f"'{md5}'", str(len(payload))]
+        cells += [str(v) for v in f]
+        cells += [str(v) for v in tm]
+        vals.append("(" + ", ".join(cells) + ")")
+    cols = (
+        "media_id, codec, payload_md5, n_bytes, "
+        + ", ".join(f"f{i}" for i in range(8))
+        + ", tm0, tm1, tm2"
+    )
+    return (
+        "SELECT * FROM (VALUES\n    "
+        + ",\n    ".join(vals)
+        + f"\n  ) AS t({cols})"
+    )

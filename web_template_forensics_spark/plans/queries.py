@@ -1320,20 +1320,28 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 _IVF_ORACLE_CACHE: list[str | None] = []
+_MULTIMODAL_ORACLE_CACHE: list[str] = []
 
 
 def oracle_sql_all() -> dict[str, str]:
-    """ORACLE_SQL plus the ann_ivf_topk entry, built LAZILY on first
-    call and memoized (ADVICE r4: the r4 module-import-time build read
-    every testdata embeddings parquet and trained 16-means per corpus on
+    """ORACLE_SQL plus the two entries built LAZILY on first call and
+    memoized (ADVICE r4: the r4 module-import-time build read every
+    testdata embeddings parquet and trained 16-means per corpus on
     every ``import plans.queries`` — including imports that never touch
-    an oracle, e.g. bench.py). All other entries are cheap string
+    an oracle, e.g. bench.py): ann_ivf_topk's injected trained centroids
+    and multimodal_features' fixture VALUES (encoding + driver-side JPEG
+    decode of the fixture corpus). All other entries are cheap string
     constants and stay eagerly importable as ORACLE_SQL."""
     if not _IVF_ORACLE_CACHE:
         _IVF_ORACLE_CACHE.append(_q_ann_ivf_sql())
+    if not _MULTIMODAL_ORACLE_CACHE:
+        from .multimodal_fixture import fixture_oracle_values_sql
+
+        _MULTIMODAL_ORACLE_CACHE.append(fixture_oracle_values_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
+    out["multimodal_features"] = _MULTIMODAL_ORACLE_CACHE[0]
     return out
 
 
@@ -2011,3 +2019,71 @@ def q_latest_state_stream(spark, sf_dir):
 QUERIES["latest_state_stream"] = q_latest_state_stream
 # the MERGE-sink state answers to the SAME oracle as the as-of window
 ORACLE_SQL["latest_state_stream"] = _Q_LATEST_EVENT_SQL
+
+
+# ---------------------------------------------------------------------------
+# round-5: multimodal features under the oracle (real PNG + JPEG codecs)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal image features under the CORRECTNESS gate (round 5).
+
+    The deterministic fixture corpus (plans/multimodal_fixture.py: PNG
+    across channels/filters + baseline JPEG across quality/sampling/
+    restart specs, encoded by the package's own dependency-free codecs)
+    goes through the REAL distributed path — ``extract_media_features``
+    with ``fake_decode=False``, i.e. mapInPandas with byte-bounded
+    rebatching and genuine PNG/JPEG decode on executors — and the
+    features come out micro-quantized to exact integers. The DuckDB face
+    is a VALUES table computed by the Spark-free twin: PNG expectations
+    derive from the ORIGINAL pre-encoding pixels (lossless ⇒ validates
+    the decoder end-to-end), JPEG expectations from a driver-side decode
+    (pins the distributed plumbing + codec determinism). payload_md5
+    pins the encoder output bit-exactly. Self-contained like
+    ``pipeline_lineage``: the corpus is synthesized, so ``sf_dir`` is
+    unused. Reference parity: the reference repo has no binary-asset
+    path at all (SURVEY.md §2 multimodal graft)."""
+    from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
+    from .multimodal_fixture import fixture_corpus
+
+    corpus = fixture_corpus()
+    rows = [
+        (
+            r["media_id"],
+            "image",
+            bytearray(r["payload"]),
+            {
+                "width": None,
+                "height": None,
+                "sample_rate": None,
+                "duration_ms": None,
+                "codec": r["codec"],
+            },
+        )
+        for r in corpus
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(media, fake_decode=False)
+    src = media.select(
+        "media_id",
+        F.col("meta.codec").alias("codec"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+    def micro(c):
+        # exact double arithmetic, twin of multimodal_fixture._micro
+        return F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    cols = [
+        F.col("media_id"),
+        F.col("codec"),
+        F.col("payload_md5"),
+        F.col("n_bytes"),
+    ]
+    cols += [micro(F.col("feat")[i]).alias(f"f{i}") for i in range(8)]
+    cols += [micro(F.col("thumb_mean")[i]).alias(f"tm{i}") for i in range(3)]
+    return feats.join(F.broadcast(src), "media_id").select(*cols)
+
+
+QUERIES["multimodal_features"] = q_multimodal_features
