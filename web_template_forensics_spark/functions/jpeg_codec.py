@@ -388,6 +388,56 @@ def encode_jpeg(
 # ---------------------------------------------------------------- decoder
 
 
+def iter_jpeg_frames(payload: bytes):
+    """Yield each complete JFIF frame (bytes) of an MJPEG stream.
+
+    Motion JPEG in its simplest public form is exactly a concatenation
+    of baseline JFIF images (the payload format of multipart/x-mixed-
+    replace camera streams and AVI 'MJPG' chunks). Framing is STRUCTURAL
+    — each frame is walked segment-by-segment and its entropy-coded scan
+    is skipped with 0xFF00-unstuffing awareness — because raw
+    ``split(SOI)`` is wrong: segment bodies (DQT/DHT values) may contain
+    the 0xFF 0xD8 byte pair even though stuffed entropy data cannot.
+    """
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != JPEG_SOI:
+            raise JpegFormatError(f"expected SOI at offset {pos}")
+        start = pos
+        pos += 2
+        while True:
+            if pos + 1 >= n:
+                raise JpegFormatError("truncated MJPEG frame (no EOI)")
+            if payload[pos] != 0xFF:
+                raise JpegFormatError(f"expected marker at {pos}")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI — frame complete
+                yield payload[start:pos]
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > n:
+                raise JpegFormatError("truncated segment header")
+            (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+            pos += seglen
+            if marker == 0xDA:  # scan: skip entropy to the next true marker
+                while pos + 1 < n and not (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not (0xD0 <= payload[pos + 1] <= 0xD7)
+                ):
+                    pos += 1
+
+
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
+    """Concatenated-JFIF Motion JPEG from a list of (h, w)[,3] uint8."""
+    if not frames:
+        raise JpegFormatError("empty MJPEG frame list")
+    return b"".join(encode_jpeg(f, quality=quality) for f in frames)
+
+
 class _BitReader:
     """Entropy-segment reader: unstuffs 0xFF00, stops at markers."""
 

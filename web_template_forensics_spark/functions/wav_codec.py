@@ -1,0 +1,129 @@
+"""Dependency-free WAV (RIFF/WAVE PCM) codec — stdlib struct + numpy.
+
+Round 5 closes the multimodal AUDIO seam the same way png_codec/
+jpeg_codec closed the image seam: real container parsing with zero new
+dependencies. The reference repo has no audio path at all — this backs
+the multimodal graft surface (operators/multimodal.py), whose audio
+branch previously used a byte-histogram stand-in.
+
+Scope (asserted, not implied):
+  * encode: PCM, 8-bit unsigned or 16-bit signed little-endian, any
+    channel count, canonical 44-byte header + word-aligned data chunk.
+  * decode: RIFF/WAVE with arbitrary chunk order, unknown chunks
+    (LIST/fact/cue/...) skipped with odd-size pad bytes honored,
+    format 1 (PCM) and 0xFFFE (WAVE_FORMAT_EXTENSIBLE wrapping PCM),
+    8-bit unsigned and 16-bit signed samples. Compressed formats
+    (ADPCM, float, mp3-in-wav) raise — honestly out of scope.
+
+Decoded samples are always int16 (8-bit input is widened exactly via
+``(v - 128) << 8``), shaped (n_frames, n_channels).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+RIFF_MAGIC = b"RIFF"
+WAVE_MAGIC = b"WAVE"
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+class WavFormatError(ValueError):
+    pass
+
+
+def is_wav(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == RIFF_MAGIC and payload[8:12] == WAVE_MAGIC
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/WAVE PCM bytes.
+
+    ``bits=8`` narrows to unsigned 8-bit by the exact inverse of the
+    decoder's widening (top byte + 128), so an 8-bit round-trip is
+    lossless for any int16 input of the form ``(v - 128) << 8``."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise WavFormatError("encode_wav expects int16 (n,) or (n, ch)")
+    if bits not in (8, 16):
+        raise WavFormatError("encode_wav supports 8- or 16-bit PCM")
+    n, ch = samples.shape
+    if n == 0 or ch == 0:
+        raise WavFormatError("empty audio")
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    else:
+        data = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    block_align = ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        WAVE_FORMAT_PCM,
+        ch,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes -> (int16 samples (n_frames, n_channels), rate)."""
+    if not is_wav(payload):
+        raise WavFormatError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise WavFormatError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise WavFormatError("fmt chunk too short")
+            tag, ch, rate, _brate, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag == WAVE_FORMAT_EXTENSIBLE:
+                # cbSize(2) + validBits(2) + channelMask(4) + subformat GUID;
+                # the first 2 GUID bytes are the wrapped format tag
+                if size < 26:
+                    raise WavFormatError("extensible fmt chunk too short")
+                (tag,) = struct.unpack("<H", body[24:26])
+            if tag != WAVE_FORMAT_PCM:
+                raise WavFormatError(f"unsupported WAV format tag 0x{tag:04X}; PCM only")
+            fmt = (ch, rate, block_align, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise WavFormatError("missing fmt or data chunk")
+    ch, rate, block_align, bits = fmt
+    if ch < 1:
+        raise WavFormatError("zero channels")
+    if bits == 16:
+        if block_align != 2 * ch:
+            raise WavFormatError("block align inconsistent with 16-bit PCM")
+        n = len(data) // (2 * ch)
+        arr = np.frombuffer(data[: n * 2 * ch], dtype="<i2").reshape(n, ch)
+        return arr.astype(np.int16), rate
+    if bits == 8:
+        if block_align != ch:
+            raise WavFormatError("block align inconsistent with 8-bit PCM")
+        n = len(data) // ch
+        arr = np.frombuffer(data[: n * ch], dtype=np.uint8).reshape(n, ch)
+        return ((arr.astype(np.int16) - 128) << 8).astype(np.int16), rate
+    raise WavFormatError(f"unsupported bit depth {bits}; 8/16-bit PCM only")

@@ -1,20 +1,28 @@
 """Multimodal column operators: image/audio/video as opaque binary columns.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
-signatures) is real and tested. Codecs (round 5): PNG decodes FOR REAL
-via the dependency-free stdlib-zlib + numpy codec in
-functions/png_codec.py (all five scanline filters, grey/RGB/palette/
-alpha, CRC-verified), and baseline JPEG decodes FOR REAL via the pure
-numpy codec in functions/jpeg_codec.py (SOF0, 1/3 components, sampling
-factors to 2x2, restart markers); other formats (progressive JPEG,
-WebP, audio/video containers) still need libraries absent from this
-container:
+signatures) is real and tested. Codecs (round 5) are REAL and
+dependency-free across all three modalities:
 
-  * for non-PNG payloads ``decode_image`` raises ``NotImplementedError``
+  * image — PNG via functions/png_codec.py (stdlib zlib + numpy, all
+    five scanline filters, grey/RGB/palette/alpha, CRC-verified) and
+    baseline JPEG via functions/jpeg_codec.py (SOF0, 1/3 components,
+    sampling factors to 2x2, restart markers);
+  * audio — RIFF/WAVE PCM via functions/wav_codec.py (8/16-bit, any
+    channel count, chunk-order tolerant);
+  * video — Motion JPEG (concatenated JFIF frames, the payload format
+    of multipart camera streams and AVI 'MJPG') via structural framing
+    in functions/jpeg_codec.iter_jpeg_frames + per-frame JPEG decode.
+
+Remaining formats (progressive JPEG, WebP, compressed audio,
+MP4/H.264) still need libraries absent from this container:
+
+  * for such payloads ``decode_image`` raises ``NotImplementedError``
     unless ``fake=True``, in which case a deterministic fake decoder
     (seeded from the bytes) produces a (h, w, 3) uint8 array — same
     shapes and dtypes a real decoder would emit, so the downstream
-    operators are fully exercised.
+    operators are fully exercised; the feature path falls back to the
+    byte-histogram stand-in for codec-less audio/video payloads.
 
 At 100 TB the design rules are: binary payloads NEVER pass through a
 shuffle (feature-extract first, shuffle the small features); metadata is a
@@ -30,8 +38,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg
+from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frames
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
+from ..functions.wav_codec import decode_wav, is_wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -118,6 +127,38 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+VIDEO_FEATURE_FRAMES = 8  # aggregate features sample at most this many frames
+
+
+def audio_features(samples: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int16 (n, ch) -> (8-bin amplitude histogram, [rms, zcr, mean_abs]).
+
+    All three summary stats are normalized to [0, 1]: rms and mean
+    absolute amplitude by the int16 full scale, zero-crossing rate as the
+    fraction of adjacent first-channel sample pairs changing sign."""
+    flat = samples.astype(np.float64).reshape(-1)
+    feat = np.histogram(flat, bins=8, range=(-32768.0, 32768.0))[0].astype(np.float64)
+    feat = feat / max(1.0, feat.sum())
+    rms = float(np.sqrt(np.mean(flat * flat))) / 32768.0 if flat.size else 0.0
+    ch0 = samples[:, 0].astype(np.int32)
+    zcr = (
+        float(np.mean((ch0[1:] < 0) != (ch0[:-1] < 0))) if ch0.size > 1 else 0.0
+    )
+    mean_abs = float(np.mean(np.abs(flat))) / 32768.0 if flat.size else 0.0
+    return feat, np.array([rms, zcr, mean_abs])
+
+
+def mjpeg_sampled_frames(payload: bytes, max_frames: int) -> list[bytes]:
+    """Evenly-spaced frame subset of an MJPEG stream (framing is cheap —
+    structural walk, no decode — so only the SAMPLED frames pay the
+    codec cost)."""
+    frames = list(iter_jpeg_frames(payload))
+    if len(frames) <= max_frames:
+        return frames
+    idx = (np.arange(max_frames) * len(frames)) // max_frames
+    return [frames[int(i)] for i in idx]
+
+
 def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
     rows = []
     # itertuples, not iterrows: the loop is inherently per-item (codec
@@ -129,8 +170,24 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
             thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
             feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
             feat = feat / max(1.0, feat.sum())
+        elif r.kind == "audio" and is_wav(payload):
+            # REAL codec path (round 5): RIFF/WAVE PCM via wav_codec
+            samples, _rate = decode_wav(payload)
+            feat, thumb = audio_features(samples)
+        elif r.kind == "video" and payload[:2] == JPEG_SOI:
+            # REAL codec path (round 5): Motion JPEG — per-frame decode
+            # over an evenly-sampled frame subset, means across frames
+            feats = []
+            means = []
+            for fb in mjpeg_sampled_frames(payload, VIDEO_FEATURE_FRAMES):
+                img = decode_image(fb)
+                h = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+                feats.append(h / max(1.0, h.sum()))
+                means.append(img.reshape(-1, 3).mean(axis=0) / 255.0)
+            feat = np.mean(feats, axis=0)
+            thumb = np.mean(means, axis=0)
         else:
-            # audio/video: byte-level histogram stands in for the codec path
+            # codec-less formats: byte-level histogram stand-in
             arr = np.frombuffer(payload, dtype=np.uint8)
             feat = np.histogram(arr, bins=8, range=(0, 255))[0].astype(np.float64)
             feat = feat / max(1.0, feat.sum())
@@ -209,9 +266,13 @@ def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake_decode: bool = True
 ) -> DataFrame:
     """Frame sampling as an exploding map: each video row yields one
-    feature row per sampled position (frame_sample_indices). The frame
-    decode is the stubbed deterministic path (a real pipeline seeks the
-    container at position_ms); payload bytes stay map-side."""
+    feature row per sampled position (frame_sample_indices). MJPEG
+    payloads (round 5) seek FOR REAL: the structural framing walk maps
+    position_ms to a frame index (constant frame spacing over
+    duration_ms, the MJPEG convention) and only the sampled frames are
+    decoded. Other containers use the stubbed deterministic path (a
+    real pipeline seeks via the container index); payload bytes stay
+    map-side either way."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -221,11 +282,23 @@ def sample_video_frames(
                 payload = bytes(r.payload) if r.payload is not None else b""
                 meta = r.meta
                 duration = int(meta["duration_ms"]) if meta is not None else 0
+                mjpeg_frames = (
+                    list(iter_jpeg_frames(payload))
+                    if payload[:2] == JPEG_SOI
+                    else None
+                )
                 for fno, pos in enumerate(frame_sample_indices(duration, every_ms)):
-                    # deterministic per-position slice stands in for a seek
-                    lo = int(pos) % max(1, len(payload))
-                    chunk = payload[lo:] + payload[:lo]
-                    img = decode_image(chunk, fake=fake_decode)
+                    if mjpeg_frames:
+                        fidx = min(
+                            int(pos) * len(mjpeg_frames) // max(1, duration),
+                            len(mjpeg_frames) - 1,
+                        )
+                        img = decode_image(mjpeg_frames[fidx])
+                    else:
+                        # deterministic per-position slice stands in for a seek
+                        lo = int(pos) % max(1, len(payload))
+                        chunk = payload[lo:] + payload[:lo]
+                        img = decode_image(chunk, fake=fake_decode)
                     feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
                     feat = feat / max(1.0, feat.sum())
                     rows.append((int(r.media_id), fno, int(pos), feat.astype(np.float32).tolist()))

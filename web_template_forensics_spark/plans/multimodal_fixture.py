@@ -9,11 +9,14 @@ This module provides the fixture corpus and the Spark-free expected-value
 twin that put ``extract_media_features`` under the driver's DuckDB
 oracle gate:
 
-* ``fixture_corpus()`` — a seeded, fully deterministic set of images
-  (greyscale / grey+alpha / RGB / RGBA / palette-free PNG across all
-  five scanline filters; greyscale + RGB baseline JPEG across quality
-  levels, non-multiple-of-8 sizes, and restart intervals), encoded to
-  real container bytes by the package's own encoders.
+* ``fixture_corpus()`` — a seeded, fully deterministic set covering all
+  three modalities: images (greyscale / grey+alpha / RGB / RGBA PNG
+  across all five scanline filters; greyscale + RGB baseline JPEG
+  across quality levels, non-multiple-of-8 sizes, and restart
+  intervals), audio (RIFF/WAVE PCM, 8/16-bit, mono/stereo), and video
+  (Motion JPEG streams, including one longer than the operator's
+  frame-sampling cap), all encoded to real container bytes by the
+  package's own encoders.
 
 * ``expected_feature_micros(row)`` — the INDEPENDENT recomputation of
   the operator's features, micro-quantized to exact integers so the
@@ -22,13 +25,17 @@ oracle gate:
   - PNG rows: computed from the ORIGINAL pre-encoding pixel array
     (PNG is lossless, so this validates the decoder + the distributed
     mapInPandas path end-to-end without ever calling ``decode_png``).
-  - JPEG rows: computed by a driver-side (Spark-free) decode of the
-    payload. JPEG is lossy so the original pixels cannot predict the
-    decoded statistics; this leg pins the DISTRIBUTED path (Arrow
-    round-trip, byte-bounded rebatching, schema) against the local
-    computation, plus full determinism of the codec. The codec itself
-    is validated against the encoder round-trip and pinned golden
-    vectors in tests/test_jpeg_codec.py.
+  - WAV rows: computed from the ORIGINAL pre-encoding samples (PCM is
+    lossless — 8-bit specs generate on the 8-bit grid — so this
+    validates ``decode_wav`` end-to-end without calling it).
+  - JPEG and MJPEG rows: computed by a driver-side (Spark-free) decode
+    of the payload. JPEG is lossy so the original pixels cannot
+    predict the decoded statistics; this leg pins the DISTRIBUTED path
+    (Arrow round-trip, byte-bounded rebatching, schema) against the
+    local computation, plus full determinism of the codec. The codecs
+    themselves are validated against encoder round-trips and pinned
+    golden vectors in tests/test_jpeg_codec.py and
+    tests/test_wav_mjpeg.py.
 
 Quantization contract (see oracle-determinization memory/recipes): the
 operator emits float32; ``float(np.float32)`` widens exactly to the
@@ -44,8 +51,9 @@ import math
 
 import numpy as np
 
-from ..functions.jpeg_codec import decode_jpeg, encode_jpeg
+from ..functions.jpeg_codec import decode_jpeg, encode_jpeg, encode_mjpeg
 from ..functions.png_codec import encode_png
+from ..functions.wav_codec import encode_wav
 
 FIXTURE_SEED = 20250817
 
@@ -71,6 +79,22 @@ _JPEG_SPECS = [
     (True, 33, 15, 95, 3),
     (False, 40, 40, 60, 0),
     (False, 8, 8, 100, 1),
+]
+
+# (channels, n_samples, sample_rate, bits) — 8-bit specs generate on the
+# 8-bit grid so the narrow is lossless and expectations stay independent.
+_WAV_SPECS = [
+    (1, 800, 16000, 16),
+    (2, 500, 8000, 16),
+    (1, 333, 22050, 8),
+    (2, 256, 44100, 8),
+]
+
+# (n_frames, h, w, quality) — the 10-frame spec exceeds the operator's
+# VIDEO_FEATURE_FRAMES cap, exercising the evenly-spaced frame sampling.
+_MJPEG_SPECS = [
+    (4, 16, 16, 90),
+    (10, 12, 20, 80),
 ]
 
 
@@ -103,7 +127,9 @@ def _smooth_or_noise(rng: np.random.RandomState, shape: tuple, smooth: bool) -> 
 
 
 def fixture_corpus() -> list[dict]:
-    """-> rows of {media_id, codec, payload, expected_rgb|None}."""
+    """-> rows of {media_id, kind, codec, payload, expected_rgb|None,
+    expected_samples|None}; ``expected_*`` carry the pre-encoding truth
+    for the lossless codecs and are None for the lossy ones."""
     rng = np.random.RandomState(FIXTURE_SEED)
     rows: list[dict] = []
     mid = 0
@@ -113,9 +139,11 @@ def fixture_corpus() -> list[dict]:
         rows.append(
             {
                 "media_id": mid,
+                "kind": "image",
                 "codec": "png",
                 "payload": encode_png(img, filter_type=ft),
                 "expected_rgb": _normalize_rgb(img),
+                "expected_samples": None,
             }
         )
         mid += 1
@@ -125,9 +153,45 @@ def fixture_corpus() -> list[dict]:
         rows.append(
             {
                 "media_id": mid,
+                "kind": "image",
                 "codec": "jpeg",
                 "payload": encode_jpeg(img, quality=q, restart_interval=ri),
                 "expected_rgb": None,
+                "expected_samples": None,
+            }
+        )
+        mid += 1
+    for ch, n, rate, bits in _WAV_SPECS:
+        if bits == 16:
+            samples = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+        else:
+            samples = ((rng.randint(0, 256, size=(n, ch)) - 128) << 8).astype(
+                np.int16
+            )
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "audio",
+                "codec": "wav",
+                "payload": encode_wav(samples, rate, bits=bits),
+                "expected_rgb": None,
+                "expected_samples": samples,
+            }
+        )
+        mid += 1
+    for fi, (nf, h, w, q) in enumerate(_MJPEG_SPECS):
+        frames = [
+            _smooth_or_noise(rng, (h, w, 3), smooth=(fi + j) % 2 == 0)
+            for j in range(nf)
+        ]
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "video",
+                "codec": "mjpeg",
+                "payload": encode_mjpeg(frames, quality=q),
+                "expected_rgb": None,
+                "expected_samples": None,
             }
         )
         mid += 1
@@ -142,18 +206,43 @@ def _micro(v: float) -> int:
 
 def expected_feature_micros(row: dict) -> tuple[list[int], list[int]]:
     """-> (f0..f7 micros, tm0..tm2 micros) — the twin of
-    operators/multimodal._features_chunk's image branch, including the
-    float32 narrowing the operator's Arrow schema applies."""
-    if row["expected_rgb"] is not None:
-        img = row["expected_rgb"]
+    operators/multimodal._features_chunk, including the float32
+    narrowing the operator's Arrow schema applies. Image/audio rows of
+    the lossless codecs use the pre-encoding truth; JPEG/MJPEG rows use
+    the Spark-free driver-side decode (see module docstring)."""
+    if row["kind"] == "audio":
+        # lossless PCM: expectations from the ORIGINAL samples — the
+        # stats formulas are the operator's own pure function (the
+        # independence is in never calling decode_wav)
+        from ..operators.multimodal import audio_features
+
+        feat, thumb = audio_features(row["expected_samples"])
+    elif row["kind"] == "video":
+        # driver-side twin of the operator's MJPEG branch
+        from ..operators.multimodal import (
+            VIDEO_FEATURE_FRAMES,
+            decode_image,
+            mjpeg_sampled_frames,
+        )
+
+        feats, means = [], []
+        for fb in mjpeg_sampled_frames(bytes(row["payload"]), VIDEO_FEATURE_FRAMES):
+            img = decode_image(fb)
+            h = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+            feats.append(h / max(1.0, h.sum()))
+            means.append(img.reshape(-1, 3).mean(axis=0) / 255.0)
+        feat, thumb = np.mean(feats, axis=0), np.mean(means, axis=0)
     else:
-        img = decode_jpeg(bytes(row["payload"]))
-        if img.ndim == 2:
-            img = np.repeat(img[:, :, None], 3, axis=2)
-    thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
-    feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
-    feat = feat / max(1.0, feat.sum())
-    f32 = feat.astype(np.float32)
+        if row["expected_rgb"] is not None:
+            img = row["expected_rgb"]
+        else:
+            img = decode_jpeg(bytes(row["payload"]))
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+        thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
+        feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+        feat = feat / max(1.0, feat.sum())
+    f32 = np.asarray(feat).astype(np.float32)
     t32 = np.asarray(thumb, dtype=np.float32)
     return [_micro(v) for v in f32], [_micro(v) for v in t32]
 

@@ -2030,20 +2030,23 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal image features under the CORRECTNESS gate (round 5).
 
     The deterministic fixture corpus (plans/multimodal_fixture.py: PNG
-    across channels/filters + baseline JPEG across quality/sampling/
-    restart specs, encoded by the package's own dependency-free codecs)
-    goes through the REAL distributed path — ``extract_media_features``
-    with ``fake_decode=False``, i.e. mapInPandas with byte-bounded
-    rebatching and genuine PNG/JPEG decode on executors — and the
-    features come out micro-quantized to exact integers. The DuckDB face
-    is a VALUES table computed by the Spark-free twin: PNG expectations
-    derive from the ORIGINAL pre-encoding pixels (lossless ⇒ validates
-    the decoder end-to-end), JPEG expectations from a driver-side decode
-    (pins the distributed plumbing + codec determinism). payload_md5
-    pins the encoder output bit-exactly. Self-contained like
-    ``pipeline_lineage``: the corpus is synthesized, so ``sf_dir`` is
-    unused. Reference parity: the reference repo has no binary-asset
-    path at all (SURVEY.md §2 multimodal graft)."""
+    across channels/filters, baseline JPEG across quality/sampling/
+    restart specs, RIFF/WAVE PCM audio across bit depths/channels, and
+    MJPEG video incl. a frame-sampled stream — all encoded by the
+    package's own dependency-free codecs) goes through the REAL
+    distributed path — ``extract_media_features`` with
+    ``fake_decode=False``, i.e. mapInPandas with byte-bounded rebatching
+    and genuine decode on executors — and the features come out
+    micro-quantized to exact integers. The DuckDB face is a VALUES
+    table computed by the Spark-free twin: PNG and WAV expectations
+    derive from the ORIGINAL pre-encoding pixels/samples (lossless ⇒
+    validates the decoders end-to-end), JPEG/MJPEG expectations from a
+    driver-side decode (pins the distributed plumbing + codec
+    determinism). payload_md5 pins the encoder output bit-exactly.
+    Self-contained like ``pipeline_lineage``: the corpus is
+    synthesized, so ``sf_dir`` is unused. Reference parity: the
+    reference repo has no binary-asset path at all (SURVEY.md §2
+    multimodal graft)."""
     from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
     from .multimodal_fixture import fixture_corpus
 
@@ -2051,7 +2054,7 @@ def q_multimodal_features(spark, sf_dir):
     rows = [
         (
             r["media_id"],
-            "image",
+            r["kind"],
             bytearray(r["payload"]),
             {
                 "width": None,
