@@ -438,75 +438,67 @@ def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
     return b"".join(encode_jpeg(f, quality=quality) for f in frames)
 
 
-class _BitReader:
-    """Entropy-segment reader: unstuffs 0xFF00, stops at markers."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise JpegFormatError("read past restart/end marker")
-        if self.pos >= len(self.data):
-            raise JpegFormatError("truncated entropy data")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data):
-                raise JpegFormatError("truncated after 0xFF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                self.marker = nxt
-                self.pos += 1
-                raise _MarkerHit(nxt)
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align(self) -> None:
-        self.nbits = 0
-        self.acc = 0
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
 
-class _MarkerHit(Exception):
-    def __init__(self, marker: int) -> None:
-        self.marker = marker
-
-
-def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """-> {(length, code): symbol} for sequential canonical decode."""
-    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
-
-
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _fast_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """-> 65536-entry list: lut[next16bits] = (symbol << 5) | code_len,
+    or -1 for an invalid prefix. Cached by table content (MJPEG streams
+    repeat identical DHT segments every frame)."""
+    key = bytes(bits) + bytes(vals)
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.full(65536, -1, dtype=np.int32)
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegFormatError("invalid huffman code in entropy data")
+        if bits[length - 1] > (1 << length) - code:
+            raise JpegFormatError("huffman spec: over-full code space")
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (vals[k] << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()  # plain-list indexing beats numpy scalar indexing
+    _LUT_CACHE[key] = out
+    return out
 
 
-def _extend(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+def _unstuff(data: bytes) -> bytes:
+    """Remove 0x00 stuffing bytes after 0xFF, vectorized."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) < 2:
+        return data
+    stuffed = np.where((arr[:-1] == 0xFF) & (arr[1:] == 0x00))[0]
+    if len(stuffed) == 0:
+        return data
+    return np.delete(arr, stuffed + 1).tobytes()
+
+
+def _scan_spans(data: bytes, start: int) -> tuple[list[bytes], int, int]:
+    """Split a scan's entropy region into per-restart-interval chunks.
+
+    In stuffed entropy data every 0xFF is followed by 0x00, so any
+    0xFF + non-0x00 pair is a true marker: RSTn pairs delimit chunks,
+    the first non-RST marker terminates the scan. Returns (unstuffed
+    chunks, terminator offset, terminator marker)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    marks = np.where((arr[:-1] == 0xFF) & (arr[1:] != 0x00))[0]
+    marks = marks[marks >= start]
+    spans: list[bytes] = []
+    span_start = start
+    for p in marks:
+        p = int(p)
+        m = int(arr[p + 1])
+        if 0xD0 <= m <= 0xD7:
+            spans.append(_unstuff(data[span_start:p]))
+            span_start = p + 2
+            continue
+        spans.append(_unstuff(data[span_start:p]))
+        return spans, p, m
+    raise JpegFormatError("truncated entropy data (no terminating marker)")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -515,7 +507,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    hspecs: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None
     restart_interval = 0
     comps: list[dict] = []
@@ -559,7 +551,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 if len(vals) < n:
                     raise JpegFormatError("truncated DHT segment")
-                htabs[(cls, tid)] = _decode_tree(bits, vals)
+                hspecs[(cls, tid)] = (bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -598,81 +590,163 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegFormatError("sampling factors beyond 2x2 unsupported")
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
-            planes = []
-            for c in comps:
-                pw = mcux * 8 * c["h"]
-                ph = mcuy * 8 * c["v"]
-                planes.append(np.zeros((ph, pw), dtype=np.float64))
-            br = _BitReader(data, pos + seglen)
+            n_mcus = mcux * mcuy
+
+            # resolve tables + build the 16-bit-peek LUTs once per scan
+            luts = []
+            qts = []
+            for comp, dc_id, ac_id in scan:
+                dc_spec = hspecs.get((0, dc_id))
+                ac_spec = hspecs.get((1, ac_id))
+                qt = qtabs.get(comp["q"])
+                if dc_spec is None or ac_spec is None or qt is None:
+                    raise JpegFormatError("missing huffman/quant table")
+                luts.append((_fast_lut(*dc_spec), _fast_lut(*ac_spec)))
+                qts.append(qt)
+
+            spans, _term_pos, _term_marker = _scan_spans(data, pos + seglen)
+
+            # pass 1: entropy-decode every block's zigzag coefficients
+            # into per-component row lists (component-raster block
+            # order). The bit reader is INLINED as local-int arithmetic:
+            # at ~50-100 Huffman symbols per block, method-call overhead
+            # dominated the decode (profiled), and plain-list coefficient
+            # rows beat numpy scalar stores for the same reason.
+            grid_w = [mcux * c["h"] for c, _, _ in scan]
+            coefs: list[list] = [
+                [None] * (n_mcus * c["h"] * c["v"]) for c, _, _ in scan
+            ]
             pred = [0] * len(scan)
-            mcu_count = 0
-            try:
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        if (
-                            restart_interval
-                            and mcu_count
-                            and mcu_count % restart_interval == 0
-                        ):
-                            br.align()
-                            # consume the RSTn marker
-                            p = br.pos
-                            while p + 1 < len(data) and not (
-                                data[p] == 0xFF and data[p + 1] != 0x00
-                            ):
-                                p += 1
-                            if p + 1 >= len(data) or not (
-                                0xD0 <= data[p + 1] <= 0xD7
-                            ):
-                                raise JpegFormatError("expected RSTn marker")
-                            br = _BitReader(data, p + 2)
-                            pred = [0] * len(scan)
-                        for si, (comp, dc_id, ac_id) in enumerate(scan):
-                            dct = htabs.get((0, dc_id))
-                            act = htabs.get((1, ac_id))
-                            qt = qtabs.get(comp["q"])
-                            if dct is None or act is None or qt is None:
-                                raise JpegFormatError("missing huffman/quant table")
-                            for by in range(comp["v"]):
-                                for bx in range(comp["h"]):
-                                    zz = np.zeros(64, dtype=np.int64)
-                                    size = _read_symbol(br, dct)
-                                    diff = (
-                                        _extend(br.bits(size), size) if size else 0
+            span_idx = 0
+            buf = spans[0]
+            buf_n = len(buf)
+            bpos = 0
+            acc = 0
+            nbits = 0
+            _MASK = [(1 << i) - 1 for i in range(40)]
+            for mcu in range(n_mcus):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    if bpos > buf_n + 2:
+                        raise JpegFormatError("truncated entropy data")
+                    span_idx += 1
+                    if span_idx >= len(spans):
+                        raise JpegFormatError("expected RSTn marker")
+                    buf = spans[span_idx]
+                    buf_n = len(buf)
+                    bpos = 0
+                    acc = 0
+                    nbits = 0
+                    pred = [0] * len(scan)
+                my, mx = divmod(mcu, mcux)
+                for si, (comp, _dc_id, _ac_id) in enumerate(scan):
+                    dct, act = luts[si]
+                    p = pred[si]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            bi = (my * comp["v"] + by) * grid_w[si] + (
+                                mx * comp["h"] + bx
+                            )
+                            row = [0] * 64
+                            while nbits < 16:
+                                acc = (acc << 8) | (
+                                    buf[bpos] if bpos < buf_n else 0
+                                )
+                                bpos += 1
+                                nbits += 8
+                            v = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                            if v < 0:
+                                raise JpegFormatError(
+                                    "invalid huffman code in entropy data"
+                                )
+                            nbits -= v & 31
+                            size = v >> 5
+                            if size:
+                                while nbits < size:
+                                    acc = (acc << 8) | (
+                                        buf[bpos] if bpos < buf_n else 0
                                     )
-                                    pred[si] += diff
-                                    zz[0] = pred[si]
-                                    k = 1
-                                    while k < 64:
-                                        rs = _read_symbol(br, act)
-                                        if rs == 0x00:
-                                            break
-                                        if rs == 0xF0:
-                                            k += 16
-                                            continue
-                                        k += rs >> 4
-                                        size = rs & 0x0F
-                                        if k > 63:
-                                            raise JpegFormatError("AC index overflow")
-                                        zz[k] = _extend(br.bits(size), size)
-                                        k += 1
-                                    block = (zz[UNZIGZAG].reshape(8, 8) * qt).astype(
-                                        np.float64
+                                    bpos += 1
+                                    nbits += 8
+                                nbits -= size
+                                mag = (acc >> nbits) & _MASK[size]
+                                p += (
+                                    mag
+                                    if mag >= (1 << (size - 1))
+                                    else mag - (1 << size) + 1
+                                )
+                            acc &= _MASK[nbits]
+                            row[0] = p
+                            k = 1
+                            while k < 64:
+                                while nbits < 16:
+                                    acc = (acc << 8) | (
+                                        buf[bpos] if bpos < buf_n else 0
                                     )
-                                    pix = _C.T @ block @ _C + 128.0
-                                    y0 = (my * comp["v"] + by) * 8
-                                    x0 = (mx * comp["h"] + bx) * 8
-                                    planes[comps.index(comp)][
-                                        y0 : y0 + 8, x0 : x0 + 8
-                                    ] = pix
-                        mcu_count += 1
-            except _MarkerHit as mh:
-                raise JpegFormatError(
-                    f"unexpected marker 0xFF{mh.marker:02X} inside scan"
+                                    bpos += 1
+                                    nbits += 8
+                                v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                                if v < 0:
+                                    raise JpegFormatError(
+                                        "invalid huffman code in entropy data"
+                                    )
+                                nbits -= v & 31
+                                rs = v >> 5
+                                if rs == 0x00:
+                                    acc &= _MASK[nbits]
+                                    break
+                                if rs == 0xF0:
+                                    acc &= _MASK[nbits]
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                size = rs & 0x0F
+                                if k > 63:
+                                    raise JpegFormatError("AC index overflow")
+                                while nbits < size:
+                                    acc = (acc << 8) | (
+                                        buf[bpos] if bpos < buf_n else 0
+                                    )
+                                    bpos += 1
+                                    nbits += 8
+                                nbits -= size
+                                mag = (acc >> nbits) & _MASK[size]
+                                acc &= _MASK[nbits]
+                                row[k] = (
+                                    mag
+                                    if mag >= (1 << (size - 1))
+                                    else mag - (1 << size) + 1
+                                )
+                                k += 1
+                            coefs[si][bi] = row
+                    pred[si] = p
+                if bpos > buf_n + 2:
+                    raise JpegFormatError("truncated entropy data")
+
+            # pass 2: vectorized dequant + IDCT over ALL blocks at once,
+            # then stitch component planes (inverse of _blocks_of)
+            planes_by_comp: dict[int, np.ndarray] = {}
+            for si, (comp, _dc_id, _ac_id) in enumerate(scan):
+                deq = (
+                    np.array(coefs[si], dtype=np.int64)[:, UNZIGZAG]
+                    .reshape(-1, 8, 8)
+                    .astype(np.float64)
+                    * qts[si][None, :, :]
                 )
+                pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
+                bh, bw_ = mcuy * comp["v"], grid_w[si]
+                plane = (
+                    pix.reshape(bh, bw_, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh * 8, bw_ * 8)
+                )
+                planes_by_comp[comps.index(comp)] = plane
+
             # upsample to full resolution by replication, crop
             full = []
-            for c, p in zip(comps, planes):
+            for ci, c in enumerate(comps):
+                p = planes_by_comp.get(ci)
+                if p is None:  # component not covered by this scan
+                    p = np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
                 ry, rx = vmax // c["v"], hmax // c["h"]
                 if ry > 1 or rx > 1:
                     p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
