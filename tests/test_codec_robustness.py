@@ -1,0 +1,231 @@
+"""Hostile-input robustness for the real codecs + the multimodal
+fallback contract (round 5 close-out review findings).
+
+The 100 TB rule under test: ONE malformed payload in a scanned corpus
+must never fail the Spark task. Sniffing is magic-byte only, so the
+feature path must degrade per-row (byte-histogram stand-in) when a
+sniffed payload fails real decode; and the JPEG decoder must raise
+TYPED errors (JpegFormatError, a ValueError) on hostile structures
+rather than IndexError, and must DETECT truncated entropy data rather
+than silently decoding phantom zero bits into wrong pixels."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from web_template_forensics_spark.functions import jpeg_codec as jc
+from web_template_forensics_spark.functions.jpeg_codec import (
+    JpegFormatError,
+    decode_jpeg,
+    encode_jpeg,
+    encode_mjpeg,
+    iter_jpeg_frame_spans,
+    iter_jpeg_frames,
+)
+from web_template_forensics_spark.operators.multimodal import (
+    _byte_histogram_features,
+    _features_chunk,
+    mjpeg_sampled_frames,
+)
+
+
+def _img(seed, h=24, w=40):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+# --------------------------------------------------------- jpeg decoder
+
+
+@pytest.mark.parametrize("drop", [1, 2, 5])
+def test_truncated_entropy_detected(drop):
+    """Dropping entropy bytes before EOI must raise, not return wrong
+    pixels: the 16-bit peek may LOAD phantom zero bytes, but consuming
+    any bit beyond the real span is typed truncation."""
+    e = encode_jpeg(_img(3), quality=85)
+    bad = e[: -(2 + drop)] + e[-2:]  # keep EOI, drop entropy tail
+    with pytest.raises(JpegFormatError, match="truncated entropy"):
+        decode_jpeg(bad)
+
+
+def test_truncated_entropy_detected_with_restarts():
+    e = encode_jpeg(_img(4, 48, 48), quality=80, restart_interval=2)
+    bad = e[:-3] + e[-2:]
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bad)
+
+
+def test_intact_roundtrip_still_decodes():
+    """The tightened consumed-bit accounting must not reject valid
+    streams (final byte is 1-padded, so consumed <= available)."""
+    for q in (60, 85, 95):
+        for shape in [(8, 8), (24, 40), (33, 17)]:
+            img = _img(q + shape[0], *shape)
+            out = decode_jpeg(encode_jpeg(img, quality=q))
+            assert out.shape == img.shape
+
+
+def test_hostile_dc_huffman_value_is_typed_error():
+    """A DHT mapping a DC symbol to a value >= 16 must raise
+    JpegFormatError at parse, not IndexError deep in the entropy loop."""
+    e = encode_jpeg(_img(5), quality=85)
+    idx = e.find(b"\xff\xc4")
+    seglen = int.from_bytes(e[idx + 2 : idx + 4], "big")
+    body = bytearray(e[idx + 4 : idx + 2 + seglen])
+    body[17] = 200  # first val of the first (DC) table
+    bad = e[: idx + 4] + bytes(body) + e[idx + 2 + seglen :]
+    with pytest.raises(JpegFormatError, match="DC huffman value"):
+        decode_jpeg(bad)
+
+
+@pytest.mark.parametrize("field", ["w", "h"])
+def test_zero_dimension_sof_is_typed_error(field):
+    e = encode_jpeg(_img(6), quality=85)
+    idx = e.find(b"\xff\xc0")
+    sof = bytearray(e[idx + 4 : idx + 10])
+    off = 3 if field == "w" else 1
+    sof[off : off + 2] = (0).to_bytes(2, "big")
+    bad = e[: idx + 4] + bytes(sof) + e[idx + 10 :]
+    with pytest.raises(JpegFormatError, match="zero image dimension"):
+        decode_jpeg(bad)
+
+
+def test_lut_cache_is_bounded():
+    """Per-image optimized Huffman tables must not grow executor memory
+    monotonically: the LUT cache is a bounded LRU."""
+    base_bits = [0] * 16
+    base_bits[7] = 12  # 12 codes of length 8 — valid, cheap
+    for i in range(jc._LUT_CACHE_MAX + 20):
+        vals = [(i + j) % 12 for j in range(12)]
+        jc._fast_lut(list(base_bits), vals)
+    assert len(jc._LUT_CACHE) <= jc._LUT_CACHE_MAX
+
+
+def test_frame_spans_match_materialized_frames():
+    frames = [_img(i, 16, 16) for i in range(4)]
+    stream = encode_mjpeg(frames, quality=80)
+    spans = list(iter_jpeg_frame_spans(stream))
+    assert [stream[s:e] for s, e in spans] == list(iter_jpeg_frames(stream))
+    assert spans[0][0] == 0 and spans[-1][1] == len(stream)
+    sampled = mjpeg_sampled_frames(stream, 2)
+    assert len(sampled) == 2 and all(f[:2] == b"\xff\xd8" for f in sampled)
+
+
+# --------------------------------------- multimodal per-row degradation
+
+
+def _float_wav() -> bytes:
+    """RIFF/WAVE with format tag 0x0003 (IEEE float) — sniffs as WAV,
+    fails PCM decode."""
+    data = struct.pack("<4f", 0.1, -0.2, 0.3, -0.4)
+    fmt = struct.pack("<HHIIHH", 0x0003, 1, 8000, 32000, 4, 32)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _chunk(kind: str, payload: bytes) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"media_id": [0], "kind": [kind], "payload": [payload]}
+    )
+
+
+def test_features_chunk_falls_back_on_float_wav():
+    out = _features_chunk(_chunk("audio", _float_wav()), fake_decode=True)
+    assert len(out) == 1
+    feat, thumb = _byte_histogram_features(_float_wav())
+    assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
+    assert out["thumb_mean"][0] == pytest.approx(thumb.astype(np.float32).tolist())
+
+
+def test_features_chunk_falls_back_on_truncated_mjpeg():
+    bad = b"\xff\xd8" + b"\x00" * 64  # SOI prefix, garbage body
+    for fake in (True, False):
+        out = _features_chunk(_chunk("video", bad), fake_decode=fake)
+        assert len(out) == 1
+        feat, _ = _byte_histogram_features(bad)
+        assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
+
+
+def test_features_chunk_falls_back_on_truncated_jpeg_image():
+    """A sniffed-but-corrupt image payload degrades per-row in BOTH
+    decode modes (the NotImplementedError seam is for unrecognized
+    formats, not corrupt recognized ones)."""
+    e = encode_jpeg(_img(9))
+    bad = e[:-5] + e[-2:]
+    for fake in (True, False):
+        out = _features_chunk(_chunk("image", bad), fake_decode=fake)
+        feat, thumb = _byte_histogram_features(bad)
+        assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
+        assert out["thumb_mean"][0] == pytest.approx(thumb.tolist())
+
+
+def test_thumbnails_survive_corrupt_image(spark):
+    from web_template_forensics_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_thumbnails,
+    )
+
+    e = encode_jpeg(_img(10))
+    meta = {
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "codec": "jpeg",
+    }
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(e), meta),
+            (1, "image", bytearray(e[:-5] + e[-2:]), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = image_thumbnails(media, fake_decode=False).collect()
+    assert len(rows) == 2
+    by_id = {r.media_id: bytes(r.thumb) for r in rows}
+    assert any(b != 0 for b in by_id[0])  # real decode
+    assert all(b == 0 for b in by_id[1])  # corrupt -> zero thumb, row kept
+
+
+def test_features_chunk_real_paths_unaffected():
+    """Well-formed payloads still take the real-codec path (features
+    differ from the byte histogram)."""
+    from web_template_forensics_spark.functions.wav_codec import encode_wav
+
+    samples = (np.random.RandomState(0).randn(512, 1) * 8000).astype(np.int16)
+    wav = encode_wav(samples, 8000)
+    out = _features_chunk(_chunk("audio", wav), fake_decode=False)
+    hist, _ = _byte_histogram_features(wav)
+    assert out["feat"][0] != pytest.approx(hist.astype(np.float32).tolist())
+
+
+def test_sample_video_frames_survives_malformed_mjpeg(spark):
+    """An SOI-prefixed but broken payload must yield stub-path rows, not
+    a failed task."""
+    from web_template_forensics_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    bad = b"\xff\xd8" + bytes(range(256)) * 4
+    media = spark.createDataFrame(
+        [
+            (
+                0,
+                "video",
+                bytearray(bad),
+                {
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "duration_ms": 3000,
+                    "codec": "mjpeg",
+                },
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_video_frames(media, every_ms=1000, fake_decode=True).collect()
+    assert len(rows) == 3  # one per sampled position, all via stub path

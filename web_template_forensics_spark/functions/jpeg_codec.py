@@ -26,6 +26,7 @@ baseline AC symbols).
 from __future__ import annotations
 
 import struct
+from collections import OrderedDict
 
 import numpy as np
 
@@ -388,8 +389,11 @@ def encode_jpeg(
 # ---------------------------------------------------------------- decoder
 
 
-def iter_jpeg_frames(payload: bytes):
-    """Yield each complete JFIF frame (bytes) of an MJPEG stream.
+def iter_jpeg_frame_spans(payload: bytes):
+    """Yield (start, end) byte offsets of each complete JFIF frame of an
+    MJPEG stream — the zero-copy face of the structural walk, so callers
+    can sample frames without materializing byte copies of every frame
+    (the walk itself never slices the payload).
 
     Motion JPEG in its simplest public form is exactly a concatenation
     of baseline JFIF images (the payload format of multipart/x-mixed-
@@ -414,7 +418,7 @@ def iter_jpeg_frames(payload: bytes):
             marker = payload[pos + 1]
             pos += 2
             if marker == 0xD9:  # EOI — frame complete
-                yield payload[start:pos]
+                yield start, pos
                 break
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 continue
@@ -431,6 +435,14 @@ def iter_jpeg_frames(payload: bytes):
                     pos += 1
 
 
+def iter_jpeg_frames(payload: bytes):
+    """Yield each complete JFIF frame (bytes) of an MJPEG stream (see
+    iter_jpeg_frame_spans for the walk semantics and the zero-copy
+    variant)."""
+    for start, end in iter_jpeg_frame_spans(payload):
+        yield payload[start:end]
+
+
 def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
     """Concatenated-JFIF Motion JPEG from a list of (h, w)[,3] uint8."""
     if not frames:
@@ -438,7 +450,12 @@ def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
     return b"".join(encode_jpeg(f, quality=quality) for f in frames)
 
 
-_LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE: OrderedDict[bytes, list[int]] = OrderedDict()
+# bounded LRU: real-world corpora use per-image optimized tables, so an
+# unbounded cache grows monotonically on long-lived executors (~0.5 MB
+# per entry); 64 covers the Annex-K defaults plus any MJPEG stream's
+# per-frame repeats with room to spare
+_LUT_CACHE_MAX = 64
 
 
 def _fast_lut(bits: list[int], vals: list[int]) -> list[int]:
@@ -448,6 +465,7 @@ def _fast_lut(bits: list[int], vals: list[int]) -> list[int]:
     key = bytes(bits) + bytes(vals)
     cached = _LUT_CACHE.get(key)
     if cached is not None:
+        _LUT_CACHE.move_to_end(key)
         return cached
     lut = np.full(65536, -1, dtype=np.int32)
     code = 0
@@ -463,6 +481,8 @@ def _fast_lut(bits: list[int], vals: list[int]) -> list[int]:
         code <<= 1
     out = lut.tolist()  # plain-list indexing beats numpy scalar indexing
     _LUT_CACHE[key] = out
+    if len(_LUT_CACHE) > _LUT_CACHE_MAX:
+        _LUT_CACHE.popitem(last=False)
     return out
 
 
@@ -551,6 +571,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 if len(vals) < n:
                     raise JpegFormatError("truncated DHT segment")
+                if cls == 0 and any(v > 15 for v in vals):
+                    # DC vals are magnitude-category bit counts; baseline
+                    # allows 0..11 — a hostile byte here would otherwise
+                    # index past _MASK in the entropy loop
+                    raise JpegFormatError("DC huffman value out of range")
                 hspecs[(cls, tid)] = (bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
@@ -563,6 +588,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegFormatError("truncated SOF segment")
             if prec != 8:
                 raise JpegFormatError(f"unsupported sample precision {prec}")
+            if h < 1 or w < 1:
+                # h == 0 (DNL-deferred height) is legal JPEG but not
+                # baseline-decodable here; reject with a typed error
+                raise JpegFormatError("zero image dimension in SOF")
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
@@ -626,7 +655,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _MASK = [(1 << i) - 1 for i in range(40)]
             for mcu in range(n_mcus):
                 if restart_interval and mcu and mcu % restart_interval == 0:
-                    if bpos > buf_n + 2:
+                    if bpos * 8 - nbits > buf_n * 8:
                         raise JpegFormatError("truncated entropy data")
                     span_idx += 1
                     if span_idx >= len(spans):
@@ -719,7 +748,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 k += 1
                             coefs[si][bi] = row
                     pred[si] = p
-                if bpos > buf_n + 2:
+                # consumed-bit accounting: the 16-bit peek may LOAD up to
+                # 2 phantom zero bytes past the span, but CONSUMING any
+                # bit beyond the real data means the stream is truncated
+                # (the old +2-byte slack let 16 phantom bits decode as
+                # data, returning wrong pixels silently)
+                if bpos * 8 - nbits > buf_n * 8:
                     raise JpegFormatError("truncated entropy data")
 
             # pass 2: vectorized dequant + IDCT over ALL blocks at once,

@@ -22,7 +22,10 @@ MP4/H.264) still need libraries absent from this container:
     (seeded from the bytes) produces a (h, w, 3) uint8 array — same
     shapes and dtypes a real decoder would emit, so the downstream
     operators are fully exercised; the feature path falls back to the
-    byte-histogram stand-in for codec-less audio/video payloads.
+    byte-histogram stand-in for codec-less audio/video payloads AND for
+    sniffed-but-malformed ones (a RIFF header over a float-PCM or
+    truncated body, an SOI prefix over a broken MJPEG stream) — one bad
+    row degrades deterministically instead of failing the Spark task.
 
 At 100 TB the design rules are: binary payloads NEVER pass through a
 shuffle (feature-extract first, shuffle the small features); metadata is a
@@ -38,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frames
+from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frame_spans
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
 from ..functions.wav_codec import decode_wav, is_wav
 
@@ -150,13 +153,22 @@ def audio_features(samples: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def mjpeg_sampled_frames(payload: bytes, max_frames: int) -> list[bytes]:
     """Evenly-spaced frame subset of an MJPEG stream (framing is cheap —
-    structural walk, no decode — so only the SAMPLED frames pay the
-    codec cost)."""
-    frames = list(iter_jpeg_frames(payload))
-    if len(frames) <= max_frames:
-        return frames
-    idx = (np.arange(max_frames) * len(frames)) // max_frames
-    return [frames[int(i)] for i in idx]
+    structural walk, no decode, no byte copies — so only the SAMPLED
+    frames are sliced and pay the codec cost)."""
+    spans = list(iter_jpeg_frame_spans(payload))
+    if len(spans) > max_frames:
+        idx = (np.arange(max_frames) * len(spans)) // max_frames
+        spans = [spans[int(i)] for i in idx]
+    return [payload[s:e] for s, e in spans]
+
+
+def _byte_histogram_features(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Codec-less stand-in: normalized 8-bin byte histogram + zero thumb.
+    Also the deterministic fallback when a sniffed-but-malformed payload
+    fails real decode — ONE bad row must degrade, not kill the job."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    feat = np.histogram(arr, bins=8, range=(0, 255))[0].astype(np.float64)
+    return feat / max(1.0, feat.sum()), np.zeros(3)
 
 
 def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
@@ -166,32 +178,52 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
     for r in pdf[["payload", "kind", "media_id"]].itertuples(index=False):
         payload = bytes(r.payload) if r.payload is not None else b""
         if r.kind == "image":
-            img = decode_image(payload, fake=fake_decode)
-            thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
-            feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
-            feat = feat / max(1.0, feat.sum())
+            # Same per-row rule as audio/video: a sniffed-but-corrupt
+            # PNG/JPEG (truncated entropy, bad CRC) degrades to the byte
+            # histogram; NotImplementedError — the honest codec seam for
+            # UNRECOGNIZED formats with fake_decode=False — propagates.
+            try:
+                img = decode_image(payload, fake=fake_decode)
+                thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
+                feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(
+                    np.float64
+                )
+                feat = feat / max(1.0, feat.sum())
+            except ValueError:
+                feat, thumb = _byte_histogram_features(payload)
         elif r.kind == "audio" and is_wav(payload):
-            # REAL codec path (round 5): RIFF/WAVE PCM via wav_codec
-            samples, _rate = decode_wav(payload)
-            feat, thumb = audio_features(samples)
+            # REAL codec path (round 5): RIFF/WAVE PCM via wav_codec.
+            # Sniffing is magic-byte only, so a RIFF/WAVE header over an
+            # unsupported or corrupt body (IEEE-float tag, truncated
+            # data chunk) must fall back, not fail the Spark task.
+            try:
+                samples, _rate = decode_wav(payload)
+                feat, thumb = audio_features(samples)
+            except ValueError:
+                feat, thumb = _byte_histogram_features(payload)
         elif r.kind == "video" and payload[:2] == JPEG_SOI:
             # REAL codec path (round 5): Motion JPEG — per-frame decode
-            # over an evenly-sampled frame subset, means across frames
-            feats = []
-            means = []
-            for fb in mjpeg_sampled_frames(payload, VIDEO_FEATURE_FRAMES):
-                img = decode_image(fb)
-                h = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
-                feats.append(h / max(1.0, h.sum()))
-                means.append(img.reshape(-1, 3).mean(axis=0) / 255.0)
-            feat = np.mean(feats, axis=0)
-            thumb = np.mean(means, axis=0)
+            # over an evenly-sampled frame subset, means across frames.
+            # Same fallback rule: an SOI prefix over a non-MJPEG body
+            # (truncated capture, progressive frames) degrades to the
+            # byte histogram for THIS row only.
+            try:
+                feats = []
+                means = []
+                for fb in mjpeg_sampled_frames(payload, VIDEO_FEATURE_FRAMES):
+                    img = decode_image(fb)
+                    h = np.histogram(img, bins=8, range=(0, 255))[0].astype(
+                        np.float64
+                    )
+                    feats.append(h / max(1.0, h.sum()))
+                    means.append(img.reshape(-1, 3).mean(axis=0) / 255.0)
+                feat = np.mean(feats, axis=0)
+                thumb = np.mean(means, axis=0)
+            except (ValueError, NotImplementedError):
+                feat, thumb = _byte_histogram_features(payload)
         else:
             # codec-less formats: byte-level histogram stand-in
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            feat = np.histogram(arr, bins=8, range=(0, 255))[0].astype(np.float64)
-            feat = feat / max(1.0, feat.sum())
-            thumb = np.zeros(3)
+            feat, thumb = _byte_histogram_features(payload)
         rows.append(
             (
                 int(r.media_id),
@@ -251,9 +283,13 @@ def image_thumbnails(
             rows = []
             for r in pdf[["payload", "media_id"]].itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                img = decode_image(payload, fake=fake_decode)
-                thumb = resize_image(img, out_h, out_w)
-                rows.append((int(r.media_id), out_h, out_w, thumb.tobytes()))
+                try:
+                    img = decode_image(payload, fake=fake_decode)
+                    thumb = resize_image(img, out_h, out_w).tobytes()
+                except ValueError:
+                    # corrupt payload -> zero thumbnail, row preserved
+                    thumb = bytes(out_h * out_w * 3)
+                rows.append((int(r.media_id), out_h, out_w, thumb))
             yield pd.DataFrame(rows, columns=["media_id", "thumb_h", "thumb_w", "thumb"])
 
     return media.mapInPandas(op, schema=THUMB_SCHEMA)
@@ -282,25 +318,48 @@ def sample_video_frames(
                 payload = bytes(r.payload) if r.payload is not None else b""
                 meta = r.meta
                 duration = int(meta["duration_ms"]) if meta is not None else 0
-                mjpeg_frames = (
-                    list(iter_jpeg_frames(payload))
-                    if payload[:2] == JPEG_SOI
-                    else None
-                )
-                for fno, pos in enumerate(frame_sample_indices(duration, every_ms)):
-                    if mjpeg_frames:
+                positions = frame_sample_indices(duration, every_ms)
+                spans = None
+                if len(positions) and payload[:2] == JPEG_SOI:
+                    # structural walk yields OFFSETS — only the sampled
+                    # frames below are ever sliced; a malformed stream
+                    # (SOI prefix over a truncated capture) falls back to
+                    # the stub path instead of failing the task
+                    try:
+                        spans = list(iter_jpeg_frame_spans(payload))
+                    except ValueError:
+                        spans = None
+                for fno, pos in enumerate(positions):
+                    img = None
+                    if spans:
                         fidx = min(
-                            int(pos) * len(mjpeg_frames) // max(1, duration),
-                            len(mjpeg_frames) - 1,
+                            int(pos) * len(spans) // max(1, duration),
+                            len(spans) - 1,
                         )
-                        img = decode_image(mjpeg_frames[fidx])
-                    else:
+                        s, e = spans[fidx]
+                        try:
+                            img = decode_image(payload[s:e])
+                        except (ValueError, NotImplementedError):
+                            img = None  # bad frame -> stub for this position
+                    if img is None:
                         # deterministic per-position slice stands in for a seek
                         lo = int(pos) % max(1, len(payload))
                         chunk = payload[lo:] + payload[:lo]
-                        img = decode_image(chunk, fake=fake_decode)
-                    feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
-                    feat = feat / max(1.0, feat.sum())
+                        try:
+                            img = decode_image(chunk, fake=fake_decode)
+                        except ValueError:
+                            # the rotated chunk itself sniffed as PNG/JPEG
+                            # but is corrupt — histogram the raw bytes
+                            # (NotImplementedError, the honest codec seam
+                            # with fake_decode=False, still propagates)
+                            img = None
+                    if img is None:
+                        feat, _ = _byte_histogram_features(chunk)
+                    else:
+                        feat = np.histogram(img, bins=8, range=(0, 255))[
+                            0
+                        ].astype(np.float64)
+                        feat = feat / max(1.0, feat.sum())
                     rows.append((int(r.media_id), fno, int(pos), feat.astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "position_ms", "feat"])
 
