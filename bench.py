@@ -248,7 +248,10 @@ def main() -> None:
 
     cascade_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_CASCADE_PAIRS", "10000"))
     pairs_path = os.path.join(repo, ".bench_data", f"pairs_{cascade_pairs}")
-    if not os.path.isdir(pairs_path):
+    # _SUCCESS, not isdir: an interrupted prior generation leaves a
+    # partial directory that would silently benchmark a smaller corpus
+    # (cascade_pairs_per_sec computed against the intended count)
+    if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
         print(f"# generating {cascade_pairs} project pairs to {pairs_path}", file=sys.stderr)
         build_pair_files_df(spark, cascade_pairs, seed0=42).write.mode(
             "overwrite"
@@ -268,8 +271,10 @@ def main() -> None:
             f"{round(n_reports / wall, 1)} pairs/sec",
             file=sys.stderr,
         )
-    cascade_pairs_per_sec = round(cascade_pairs / cascade_wall, 1)
-    cascade_pairs_per_sec_cold = round(cascade_pairs / cascade_cold, 1)
+    # throughput from the MEASURED report count, not the requested pair
+    # count — they agree on a healthy corpus and diverge loudly otherwise
+    cascade_pairs_per_sec = round(n_reports / cascade_wall, 1)
+    cascade_pairs_per_sec_cold = round(n_reports / cascade_cold, 1)
 
     host_probe_post = _host_probe()
     total = round(sum(timings.values()), 3)

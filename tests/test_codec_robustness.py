@@ -229,3 +229,174 @@ def test_sample_video_frames_survives_malformed_mjpeg(spark):
     )
     rows = sample_video_frames(media, every_ms=1000, fake_decode=True).collect()
     assert len(rows) == 3  # one per sampled position, all via stub path
+
+
+# ------------------------------------- round-5 second review pass vectors
+
+
+def test_truncated_dri_is_typed_error():
+    """FFDD with a 1-byte body used to raise struct.error (not a
+    ValueError), escaping every per-row fallback."""
+    bad = b"\xff\xd8" + b"\xff\xdd\x00\x03\x01" + b"\xff\xd9"
+    with pytest.raises(JpegFormatError, match="truncated DRI"):
+        decode_jpeg(bad)
+
+
+def test_truncated_sos_is_typed_error():
+    """An SOS with an empty body used to raise IndexError on ns = body[0]."""
+    e = encode_jpeg(_img(11))
+    idx = e.find(b"\xff\xda")
+    bad = e[:idx] + b"\xff\xda\x00\x02"
+    with pytest.raises(JpegFormatError, match="truncated SOS"):
+        decode_jpeg(bad)
+
+
+def test_sos_unknown_component_is_typed_error():
+    """SOS referencing a component id absent from SOF used to raise
+    StopIteration out of next()."""
+    e = encode_jpeg(_img(12))
+    idx = e.find(b"\xff\xda")
+    bad = bytearray(e)
+    bad[idx + 5] = 0x77  # first scan component id
+    with pytest.raises(JpegFormatError, match="unknown component"):
+        decode_jpeg(bytes(bad))
+
+
+def test_multi_scan_jpeg_rejected_not_corrupted():
+    """A scan covering fewer components than the frame (legal
+    non-interleaved baseline) must raise, not silently decode luma only
+    and return a chroma-zeroed (green-shifted) image."""
+    e = encode_jpeg(_img(13))
+    idx = e.find(b"\xff\xda")
+    bad = bytearray(e)
+    bad[idx + 4] = 1  # ns: 3 -> 1, seglen untouched
+    with pytest.raises(JpegFormatError, match="multi-scan"):
+        decode_jpeg(bytes(bad))
+
+
+def test_hostile_ac_huffman_symbol_is_typed_error():
+    """An AC DHT defining a (run>0, size=0) symbol — undefined in
+    baseline — must be rejected at parse (it would otherwise reach
+    1 << (size - 1) with size=0 in the entropy loop)."""
+    e = encode_jpeg(_img(14))
+    pos = 0
+    while True:
+        idx = e.find(b"\xff\xc4", pos)
+        assert idx >= 0, "no AC DHT found"
+        seglen = int.from_bytes(e[idx + 2 : idx + 4], "big")
+        body = bytearray(e[idx + 4 : idx + 2 + seglen])
+        if body[0] >> 4 == 1:  # AC table
+            body[17] = 0x20  # first value: run=2, size=0 — undefined
+            bad = e[: idx + 4] + bytes(body) + e[idx + 2 + seglen :]
+            break
+        pos = idx + 2
+    with pytest.raises(JpegFormatError, match="run/size symbol"):
+        decode_jpeg(bad)
+
+
+def test_png_truncated_at_crc_is_typed_error():
+    from web_template_forensics_spark.functions.png_codec import (
+        PngFormatError,
+        decode_png,
+        encode_png,
+    )
+
+    e = encode_png(_img(15))
+    with pytest.raises(PngFormatError, match="truncated CRC"):
+        decode_png(e[:-2])  # cut inside the IEND CRC
+
+
+def test_png_decompression_bomb_bounded():
+    """A small IHDR with a deflate stream expanding to ~10 MB must raise
+    without materializing the stream (bounded decompressobj inflate)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from web_template_forensics_spark.functions.png_codec import (
+        PNG_SIGNATURE,
+        PngFormatError,
+        _chunk as png_chunk,
+        decode_png,
+    )
+
+    ihdr = _struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)  # 8x8 grey
+    bomb = PNG_SIGNATURE + png_chunk(b"IHDR", ihdr)
+    bomb += png_chunk(b"IDAT", _zlib.compress(b"\x00" * 10_000_000))
+    bomb += png_chunk(b"IEND", b"")
+    with pytest.raises(PngFormatError, match="exceeds expected"):
+        decode_png(bomb)
+
+
+def _interlaced_png() -> bytes:
+    import struct as _struct
+
+    from web_template_forensics_spark.functions.png_codec import (
+        PNG_SIGNATURE,
+        _chunk as png_chunk,
+    )
+    from web_template_forensics_spark.functions.png_codec import encode_png
+
+    e = encode_png(_img(16))
+    # rebuild IHDR with interlace=1 (valid CRC via the chunk helper)
+    ihdr = bytearray(e[16:29])
+    ihdr[12] = 1
+    rest = e[8 + 12 + 13 :]  # after the original IHDR chunk
+    return PNG_SIGNATURE + png_chunk(b"IHDR", bytes(ihdr)) + rest
+
+
+def test_interlaced_png_degrades_per_row_not_task_kill():
+    """A VALID Adam7 PNG (common real-world variant) sniffs as image;
+    the codec's NotImplementedError is surfaced as the ValueError-family
+    UnsupportedVariantError so the row degrades in BOTH decode modes."""
+    from web_template_forensics_spark.operators.multimodal import (
+        UnsupportedVariantError,
+        decode_image,
+    )
+
+    payload = _interlaced_png()
+    with pytest.raises(UnsupportedVariantError):
+        decode_image(payload, fake=True)
+    assert issubclass(UnsupportedVariantError, ValueError)
+    for fake in (True, False):
+        out = _features_chunk(_chunk("image", payload), fake_decode=fake)
+        feat, _ = _byte_histogram_features(payload)
+        assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
+
+
+def test_no_codec_seam_stays_loud():
+    """The fake=False unrecognized-format seam is a bare
+    NotImplementedError (NOT a ValueError): pipelines without codecs
+    must opt into fake=True explicitly, not silently degrade."""
+    from web_template_forensics_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a" + bytes(64), fake=False)
+
+
+def test_sample_video_frames_null_duration_meta(spark):
+    """meta struct present but duration_ms null (the exact row shape
+    q_multimodal_features builds for images) used to raise TypeError."""
+    from web_template_forensics_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (
+                0,
+                "video",
+                bytearray(b"\x00" * 64),
+                {
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                    "codec": "mjpeg",
+                },
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_video_frames(media, every_ms=1000, fake_decode=True).collect()
+    assert rows == []  # null duration -> 0 positions, no crash

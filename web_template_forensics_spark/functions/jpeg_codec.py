@@ -522,7 +522,25 @@ def _scan_spans(data: bytes, start: int) -> tuple[list[bytes], int, int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """baseline JFIF bytes -> (h, w) or (h, w, 3) uint8."""
+    """baseline JFIF bytes -> (h, w) or (h, w, 3) uint8.
+
+    All malformed-input failures surface as ``JpegFormatError`` (a
+    ``ValueError``): specific checks cover the common truncations, and a
+    blanket guard converts any residual parse-time ``struct.error`` /
+    ``IndexError`` / ``KeyError`` from hostile bytes so the per-row
+    fallback in operators/multimodal.py always catches them.
+    """
+    try:
+        return _decode_jpeg_impl(data)
+    except (JpegFormatError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, ValueError) as exc:
+        raise JpegFormatError(
+            f"malformed JPEG ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != JPEG_SOI:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2
@@ -576,9 +594,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # allows 0..11 — a hostile byte here would otherwise
                     # index past _MASK in the entropy loop
                     raise JpegFormatError("DC huffman value out of range")
+                if cls == 1 and any(
+                    (v & 0x0F) == 0 and v not in (0x00, 0xF0) for v in vals
+                ):
+                    # AC run/size symbols with size==0 are only defined for
+                    # EOB (0x00) and ZRL (0xF0); anything else would reach
+                    # `1 << (size - 1)` with size=0 in the entropy loop
+                    raise JpegFormatError("AC huffman run/size symbol undefined")
                 hspecs[(cls, tid)] = (bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegFormatError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             if len(body) < 6:
@@ -606,11 +633,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS -> entropy decode
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
+            if len(body) < 1:
+                raise JpegFormatError("truncated SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise JpegFormatError("truncated SOS segment")
+            if ns != len(comps):
+                # T.81 allows baseline images split into one scan per
+                # component (non-interleaved); this decoder only handles
+                # the single interleaved scan every common encoder (and
+                # ours) emits. Decoding just the first scan would silently
+                # return a chroma-zeroed image — reject loudly instead.
+                raise JpegFormatError(
+                    f"multi-scan baseline JPEG unsupported (scan covers "
+                    f"{ns} of {len(comps)} components)"
+                )
             scan = []
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise JpegFormatError(f"SOS references unknown component {cid}")
                 scan.append((comp, tids >> 4, tids & 0x0F))
             h, w, ncomp = frame
             hmax = max(c["h"] for c in comps)

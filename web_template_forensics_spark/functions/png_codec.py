@@ -53,7 +53,10 @@ def _chunks(data: bytes):
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise PngFormatError(f"truncated {ctype!r} chunk")
-        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise PngFormatError(f"truncated CRC for {ctype!r} chunk")
+        crc = struct.unpack(">I", crc_bytes)[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngFormatError(f"CRC mismatch in {ctype!r} chunk")
         yield ctype, body
@@ -103,9 +106,15 @@ def decode_png(data: bytes) -> np.ndarray:
     width = height = None
     colour = bitdepth = None
     palette = None
-    idat = bytearray()
+    expected = None
+    dobj = None
+    pieces: list[bytes] = []
+    got = 0
+    saw_idat = False
     for ctype, body in _chunks(bytes(data)):
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngFormatError(f"IHDR length {len(body)} != 13")
             width, height, bitdepth, colour, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -117,18 +126,39 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise NotImplementedError(f"bit depth {bitdepth} (only 8 supported)")
             if colour not in _CHANNELS:
                 raise PngFormatError(f"invalid colour type {colour}")
+            expected = (width * _CHANNELS[colour] + 1) * height
+            dobj = zlib.decompressobj()
         elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise PngFormatError(f"PLTE length {len(body)} not a multiple of 3")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
-            idat.extend(body)
+            if dobj is None:
+                raise PngFormatError("IDAT before IHDR")
+            saw_idat = True
+            # Bounded inflate: never materialize more than expected+1 bytes
+            # no matter what the deflate stream claims (hostile-input /
+            # decompression-bomb guard) — the +1 lets the size-mismatch
+            # check below still fire for oversized streams.
+            try:
+                piece = dobj.decompress(body, max(expected + 1 - got, 0))
+            except zlib.error as exc:
+                raise PngFormatError(f"IDAT inflate failed: {exc}") from exc
+            pieces.append(piece)
+            got += len(piece)
+            if got > expected:
+                raise PngFormatError(
+                    f"decompressed size exceeds expected {expected}"
+                )
     if width is None:
         raise PngFormatError("missing IHDR")
-    if not idat:
+    if not saw_idat:
         raise PngFormatError("missing IDAT")
     try:
-        raw = zlib.decompress(bytes(idat))
+        pieces.append(dobj.flush())
     except zlib.error as exc:
         raise PngFormatError(f"IDAT inflate failed: {exc}") from exc
+    raw = b"".join(pieces)
 
     ch = _CHANNELS[colour]
     stride = width * ch

@@ -50,6 +50,15 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
 )
 
+
+class UnsupportedVariantError(ValueError):
+    """A recognized image format in a variant the dependency-free codecs
+    don't cover (Adam7-interlaced PNG, 16-bit PNG, progressive JPEG).
+    ValueError-family ON PURPOSE: per-row fallbacks degrade these rows to
+    the byte-histogram stand-in, while the bare ``NotImplementedError``
+    from ``decode_image(fake=False)`` on an unrecognized format — the
+    honest "no codec at all" seam — keeps propagating loudly."""
+
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, feat array<float>, "
     "thumb_mean array<float>"
@@ -73,14 +82,25 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     for codec-less formats, not an override: a real PNG/JPEG payload
     decodes for real either way."""
     if payload[:8] == PNG_SIGNATURE:
-        img = decode_png(payload)
+        # Codec-level NotImplementedError (Adam7-interlaced, 16-bit) is a
+        # VALID payload in an unsupported variant — surface it as the
+        # ValueError-family UnsupportedVariantError so per-row fallbacks
+        # degrade it, distinct from the fake=False seam below which must
+        # stay loud (it means "you have no codec for this format at all").
+        try:
+            img = decode_png(payload)
+        except NotImplementedError as exc:
+            raise UnsupportedVariantError(f"PNG variant: {exc}") from exc
         if img.ndim == 2:  # greyscale
             return np.repeat(img[:, :, None], 3, axis=2)
         if img.shape[2] == 2:  # grey + alpha
             return np.repeat(img[:, :, :1], 3, axis=2)
         return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA
     if payload[:2] == JPEG_SOI:
-        img = decode_jpeg(payload)
+        try:
+            img = decode_jpeg(payload)
+        except NotImplementedError as exc:
+            raise UnsupportedVariantError(f"JPEG variant: {exc}") from exc
         if img.ndim == 2:  # single-component scan
             return np.repeat(img[:, :, None], 3, axis=2)
         return img
@@ -179,9 +199,11 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
         payload = bytes(r.payload) if r.payload is not None else b""
         if r.kind == "image":
             # Same per-row rule as audio/video: a sniffed-but-corrupt
-            # PNG/JPEG (truncated entropy, bad CRC) degrades to the byte
-            # histogram; NotImplementedError — the honest codec seam for
-            # UNRECOGNIZED formats with fake_decode=False — propagates.
+            # PNG/JPEG (truncated entropy, bad CRC) AND a valid-but-
+            # unsupported variant (interlaced/16-bit PNG, progressive
+            # JPEG — UnsupportedVariantError, a ValueError) degrade to
+            # the byte histogram; only the bare NotImplementedError from
+            # the fake=False no-codec-at-all seam propagates loudly.
             try:
                 img = decode_image(payload, fake=fake_decode)
                 thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
@@ -287,7 +309,8 @@ def image_thumbnails(
                     img = decode_image(payload, fake=fake_decode)
                     thumb = resize_image(img, out_h, out_w).tobytes()
                 except ValueError:
-                    # corrupt payload -> zero thumbnail, row preserved
+                    # corrupt OR valid-but-unsupported-variant payload
+                    # (UnsupportedVariantError) -> zero thumbnail, row kept
                     thumb = bytes(out_h * out_w * 3)
                 rows.append((int(r.media_id), out_h, out_w, thumb))
             yield pd.DataFrame(rows, columns=["media_id", "thumb_h", "thumb_w", "thumb"])
@@ -317,7 +340,11 @@ def sample_video_frames(
             for r in pdf[["payload", "meta", "media_id"]].itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
                 meta = r.meta
-                duration = int(meta["duration_ms"]) if meta is not None else 0
+                # meta struct present but duration_ms null is a legal row
+                # shape (q_multimodal_features builds exactly this for
+                # images) — treat missing/null duration as 0, don't crash
+                dur_val = (meta or {}).get("duration_ms")
+                duration = int(dur_val) if dur_val is not None else 0
                 positions = frame_sample_indices(duration, every_ms)
                 spans = None
                 if len(positions) and payload[:2] == JPEG_SOI:

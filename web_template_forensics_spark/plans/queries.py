@@ -1868,7 +1868,12 @@ def _run_two_phase_event_stream(spark, sf_dir: str, build_stream, prefix: str):
         )
         try:
             q.processAllAvailable()
-            sent = batch.limit(1).select(
+            # sentinel ts anchors to max(ts), not an arbitrary limit(1)
+            # row: limit(1) without ordering is plan-dependent, and a
+            # corpus spanning >365 days past that row would leave the
+            # watermark short of the last real events (sessions near the
+            # end never flushed -> nondeterministic gate failure)
+            sent = batch.groupBy().agg(F.max("ts").alias("ts")).select(
                 F.lit(-1).alias("event_id"),
                 (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
                 F.lit(-1).alias("user_id"),
