@@ -327,40 +327,44 @@ def test_png_decompression_bomb_bounded():
         decode_png(bomb)
 
 
-def _interlaced_png() -> bytes:
-    import struct as _struct
+def test_codec_variant_gap_degrades_per_row_not_task_kill(monkeypatch):
+    """The contract for any FUTURE codec-variant gap: a codec-level
+    NotImplementedError on a recognized format surfaces as the
+    ValueError-family UnsupportedVariantError, so the row degrades in
+    BOTH decode modes instead of killing the task. (All legal PNG
+    variants now decode for real — see test_png_codec — so the trigger
+    is injected.)"""
+    from web_template_forensics_spark.operators import multimodal as mm
 
-    from web_template_forensics_spark.functions.png_codec import (
-        PNG_SIGNATURE,
-        _chunk as png_chunk,
-    )
-    from web_template_forensics_spark.functions.png_codec import encode_png
+    def boom(_payload):
+        raise NotImplementedError("injected variant gap")
 
-    e = encode_png(_img(16))
-    # rebuild IHDR with interlace=1 (valid CRC via the chunk helper)
-    ihdr = bytearray(e[16:29])
-    ihdr[12] = 1
-    rest = e[8 + 12 + 13 :]  # after the original IHDR chunk
-    return PNG_SIGNATURE + png_chunk(b"IHDR", bytes(ihdr)) + rest
-
-
-def test_interlaced_png_degrades_per_row_not_task_kill():
-    """A VALID Adam7 PNG (common real-world variant) sniffs as image;
-    the codec's NotImplementedError is surfaced as the ValueError-family
-    UnsupportedVariantError so the row degrades in BOTH decode modes."""
-    from web_template_forensics_spark.operators.multimodal import (
-        UnsupportedVariantError,
-        decode_image,
-    )
-
-    payload = _interlaced_png()
-    with pytest.raises(UnsupportedVariantError):
-        decode_image(payload, fake=True)
-    assert issubclass(UnsupportedVariantError, ValueError)
+    monkeypatch.setattr(mm, "decode_png", boom)
+    payload = __import__(
+        "web_template_forensics_spark.functions.png_codec",
+        fromlist=["encode_png"],
+    ).encode_png(_img(16))
+    with pytest.raises(mm.UnsupportedVariantError):
+        mm.decode_image(payload, fake=True)
+    assert issubclass(mm.UnsupportedVariantError, ValueError)
     for fake in (True, False):
-        out = _features_chunk(_chunk("image", payload), fake_decode=fake)
+        out = mm._features_chunk(_chunk("image", payload), fake_decode=fake)
         feat, _ = _byte_histogram_features(payload)
         assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
+
+
+def test_adam7_png_decodes_for_real_in_feature_path():
+    """Interlaced PNG — the r4 verdict's canonical 'valid variant kills
+    the job' example — now decodes for real: features equal the
+    pixel histogram, NOT the byte-histogram fallback."""
+    from tests.test_png_codec import _interlaced_raw, _manual_png
+
+    img = _img(17, 16, 24)
+    payload = _manual_png(24, 16, 8, 2, _interlaced_raw(img), interlace=1)
+    out = _features_chunk(_chunk("image", payload), fake_decode=False)
+    want = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+    want = want / max(1.0, want.sum())
+    assert out["feat"][0] == pytest.approx(want.astype(np.float32).tolist())
 
 
 def test_no_codec_seam_stays_loud():

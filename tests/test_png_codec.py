@@ -107,20 +107,141 @@ def test_corruption_fails_loudly():
         decode_png(bytes(png[:-20]))
 
 
-def test_interlaced_and_16bit_raise_notimplemented():
-    def make(bitdepth, interlace):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, bitdepth, 2, 0, 0, interlace)
-        return (
-            PNG_SIGNATURE
-            + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
-            + _chunk(b"IEND", b"")
-        )
+# Adam7 pass grid, hardcoded from the PNG spec as an INDEPENDENT oracle
+# (not imported from the module under test)
+_ADAM7_SPEC = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(make(8, 1))
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(make(16, 0))
+
+def _manual_png(w, h, depth, colour, raw, palette=None, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colour, 0, 0, interlace)
+    png = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _chunk(b"PLTE", palette.tobytes())
+    return png + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def _row_bytes(sub: np.ndarray, depth: int) -> list[bytes]:
+    """(ph, pw[, ch]) sample array -> per-scanline raw bytes at depth."""
+    ph = sub.shape[0]
+    flat = sub.reshape(ph, -1)  # (ph, pw*ch) samples
+    if depth == 8:
+        return [flat[y].astype(np.uint8).tobytes() for y in range(ph)]
+    if depth == 16:
+        return [(flat[y].astype(np.uint16) * 257).astype(">u2").tobytes() for y in range(ph)]
+    # 1/2/4: pack MSB-first
+    out = []
+    per_byte = 8 // depth
+    for y in range(ph):
+        vals = flat[y]
+        pad = (-len(vals)) % per_byte
+        v = np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
+        byts = np.zeros(len(v) // per_byte, dtype=np.uint8)
+        for j in range(per_byte):
+            byts |= (v[j::per_byte].astype(np.uint8) << (8 - depth * (j + 1)))
+        out.append(byts.tobytes())
+    return out
+
+
+def _interlaced_raw(img: np.ndarray, depth: int = 8) -> bytes:
+    """Reference Adam7 interlacer (filter 0 rows) built from the spec grid."""
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7_SPEC:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for rb in _row_bytes(sub, depth):
+            raw += b"\x00" + rb
+    return raw
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (8, 8), (13, 7), (16, 17)])
+def test_adam7_interlaced_rgb_decodes_exactly(shape):
+    h, w = shape
+    img = _rand_img(h, w, 3, seed=h * 31 + w)
+    png = _manual_png(w, h, 8, 2, _interlaced_raw(img), interlace=1)
+    assert (decode_png(png) == img).all()
+
+
+def test_adam7_interlaced_grey_and_rgba():
+    grey = _rand_img(9, 11, 1, seed=21)
+    png = _manual_png(11, 9, 8, 0, _interlaced_raw(grey), interlace=1)
+    assert (decode_png(png) == grey).all()
+    rgba = _rand_img(10, 6, 4, seed=22)
+    png = _manual_png(6, 10, 8, 6, _interlaced_raw(rgba), interlace=1)
+    assert (decode_png(png) == rgba).all()
+
+
+@pytest.mark.parametrize("colour,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_16bit_decodes_high_byte(colour, ch):
+    img = _rand_img(7, 5, ch, seed=colour + 40)
+    raw = b"".join(b"\x00" + rb for rb in _row_bytes(img, 16))
+    png = _manual_png(5, 7, 16, colour, raw)
+    assert (decode_png(png) == img).all()  # v*257 >> 8 == v, exact
+
+
+def test_16bit_interlaced_roundtrip():
+    img = _rand_img(13, 9, 3, seed=50)
+    png = _manual_png(9, 13, 16, 2, _interlaced_raw(img, depth=16), interlace=1)
+    assert (decode_png(png) == img).all()
+
+
+def test_16bit_sub_filter_uses_2byte_lanes():
+    """Filter Sub at depth 16 predicts from bpp=6 bytes back (RGB) — a
+    gradient makes a wrong-bpp implementation visibly wrong."""
+    from web_template_forensics_spark.functions.png_codec import _filter_rows
+
+    y, x = np.mgrid[0:12, 0:10]
+    img = np.stack([(y * 7) % 256, (x * 11) % 256, (y * x) % 256], axis=2).astype(np.uint8)
+    u16 = (img.astype(np.uint16) * 257).astype(">u2")
+    img2d = np.frombuffer(u16.tobytes(), dtype=np.uint8).reshape(12, 10 * 3 * 2)
+    raw = _filter_rows(img2d, bpp=6, filter_type=1)
+    png = _manual_png(10, 12, 16, 2, raw)
+    assert (decode_png(png) == img).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_low_depth_grey_scales_to_full_range(depth):
+    maxv = (1 << depth) - 1
+    rng = np.random.RandomState(depth)
+    img = rng.randint(0, maxv + 1, size=(6, 11), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rb for rb in _row_bytes(img, depth))
+    png = _manual_png(11, 6, depth, 0, raw)
+    want = (img.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+    assert (decode_png(png) == want).all()
+
+
+def test_low_depth_palette_expands():
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2], [1, 1, 3, 0, 2]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + rb for rb in _row_bytes(idx, 2))
+    png = _manual_png(5, 3, 2, 3, raw, palette=palette)
+    assert (decode_png(png) == palette[idx]).all()
+
+
+def test_low_depth_interlaced_palette():
+    palette = np.array([[i, 255 - i, i // 2] for i in range(16)], dtype=np.uint8)
+    rng = np.random.RandomState(77)
+    idx = rng.randint(0, 16, size=(9, 10), dtype=np.uint8)
+    png = _manual_png(10, 9, 4, 3, _interlaced_raw(idx, depth=4), palette=palette, interlace=1)
+    assert (decode_png(png) == palette[idx]).all()
+
+
+def test_illegal_depth_colour_combo_is_typed_error():
+    # depth 4 with RGB (colour 2) is illegal per spec
+    with pytest.raises(PngFormatError, match="illegal bit depth"):
+        decode_png(_manual_png(2, 2, 4, 2, b"\x00\x00\x00" * 2))
+    with pytest.raises(PngFormatError, match="invalid interlace"):
+        decode_png(_manual_png(2, 2, 8, 2, b"\x00" * 14, interlace=2))
 
 
 def test_decode_image_real_png_path():

@@ -5,10 +5,11 @@ that "no Pillow/opencv offline" is a weak argument for PNG specifically —
 baseline (non-interlaced) PNG is zlib-deflated scanlines behind a 4-filter
 predictor, all decodable with the stdlib. This module implements:
 
-  * ``decode_png``: 8-bit greyscale / RGB / palette / grey+alpha / RGBA,
-    all five scanline filters (None/Sub/Up/Average/Paeth), multi-IDAT,
-    CRC-verified. Interlaced (Adam7) and 16-bit images raise
-    ``NotImplementedError`` — loud, not wrong.
+  * ``decode_png``: greyscale / RGB / palette / grey+alpha / RGBA at
+    every legal IHDR bit depth (1/2/4 for grey+palette, 8, 16 with
+    high-byte downsample to uint8), all five scanline filters
+    (None/Sub/Up/Average/Paeth), multi-IDAT with bomb-bounded inflate,
+    Adam7 interlacing, CRC-verified.
   * ``encode_png``: the matching writer (any of the five filters, applied
     uniformly) — used by tests to round-trip without any third-party
     image library and usable as a thumbnail sink.
@@ -99,12 +100,117 @@ def _avg_row(recon: np.ndarray, filt: np.ndarray, prior: np.ndarray, bpp: int) -
         left = val
 
 
+# legal (colour type -> bit depths) combinations per the PNG spec
+_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _stride_bytes(width: int, ch: int, depth: int) -> int:
+    return (width * ch * depth + 7) // 8
+
+
+def _pass_dims(width: int, height: int):
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        yield x0, y0, dx, dy, pw, ph
+
+
+def _expected_raw_size(width: int, height: int, ch: int, depth: int, interlace: int) -> int:
+    if not interlace:
+        return (_stride_bytes(width, ch, depth) + 1) * height
+    return sum(
+        (_stride_bytes(pw, ch, depth) + 1) * ph
+        for _x0, _y0, _dx, _dy, pw, ph in _pass_dims(width, height)
+        if pw and ph
+    )
+
+
+def _unfilter(rows2d: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """(h, stride+1) filter-type-prefixed scanline bytes -> (h, stride)
+    reconstructed bytes (the 5-filter predictor inversion)."""
+    height = rows2d.shape[0]
+    ftypes, rows = rows2d[:, 0], rows2d[:, 1:]
+    recon = np.empty((height, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        prior = recon[y - 1] if y else zero
+        ft = int(ftypes[y])
+        if ft == 0:  # None
+            recon[y] = rows[y]
+        elif ft == 1:  # Sub: per-lane uint8 prefix sum
+            lanes = rows[y].reshape(-1, bpp)
+            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=recon[y].reshape(-1, bpp))
+        elif ft == 2:  # Up: fully vectorized
+            recon[y] = rows[y] + prior
+        elif ft == 3:  # Average
+            _avg_row(recon[y], rows[y], prior, bpp)
+        elif ft == 4:  # Paeth
+            _paeth_row(recon[y], rows[y], prior, bpp)
+        else:
+            raise PngFormatError(f"invalid filter type {ft} on row {y}")
+    return recon
+
+
+def _samples(recon: np.ndarray, width: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed bytes -> (h, width*ch) uint8 samples.
+    16-bit takes the high byte (the standard 8-bit downsample — exact
+    inverse of the v*257 upsample); 1/2/4-bit unpacks MSB-first. Values
+    are RAW (palette indices unscaled; grey scaling is the caller's)."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : width * ch]
+    if depth == 16:
+        return recon.reshape(h, -1)[:, 0::2][:, : width * ch]
+    bits = np.unpackbits(recon, axis=1)
+    if depth == 1:
+        s = bits
+    elif depth == 2:
+        s = (bits[:, 0::2] << 1) | bits[:, 1::2]
+    else:  # 4
+        s = (
+            (bits[:, 0::4] << 3)
+            | (bits[:, 1::4] << 2)
+            | (bits[:, 2::4] << 1)
+            | bits[:, 3::4]
+        )
+    return s[:, : width * ch].astype(np.uint8)
+
+
+def _decode_subimage(
+    raw: bytes, offset: int, pw: int, ph: int, ch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """One (sub-)image's scanlines starting at ``offset`` in the inflated
+    stream -> ((ph, pw, ch) uint8 samples, next offset)."""
+    stride = _stride_bytes(pw, ch, depth)
+    n = (stride + 1) * ph
+    rows2d = np.frombuffer(raw[offset : offset + n], dtype=np.uint8).reshape(
+        ph, stride + 1
+    )
+    bpp = max(1, (ch * depth) // 8)
+    recon = _unfilter(rows2d, stride, bpp)
+    return _samples(recon, pw, ch, depth).reshape(ph, pw, ch), offset + n
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w) uint8 for greyscale or (h, w, c) uint8 for
     multi-channel images (c = 2 grey+alpha, 3 RGB, 4 RGBA; palette
-    images are expanded to RGB)."""
+    images are expanded to RGB). Covers every legal IHDR combination:
+    bit depths 1/2/4 (grey, palette), 8, and 16 (high-byte downsample
+    to uint8), non-interlaced and Adam7-interlaced."""
     width = height = None
     colour = bitdepth = None
+    interlace = 0
     palette = None
     expected = None
     dobj = None
@@ -120,13 +226,19 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if comp != 0 or filt != 0:
                 raise PngFormatError("unknown compression/filter method")
-            if interlace == 1:
-                raise NotImplementedError("Adam7-interlaced PNG is not supported")
-            if bitdepth != 8:
-                raise NotImplementedError(f"bit depth {bitdepth} (only 8 supported)")
+            if interlace not in (0, 1):
+                raise PngFormatError(f"invalid interlace method {interlace}")
             if colour not in _CHANNELS:
                 raise PngFormatError(f"invalid colour type {colour}")
-            expected = (width * _CHANNELS[colour] + 1) * height
+            if bitdepth not in _LEGAL_DEPTHS[colour]:
+                raise PngFormatError(
+                    f"illegal bit depth {bitdepth} for colour type {colour}"
+                )
+            if width < 1 or height < 1:
+                raise PngFormatError("zero image dimension in IHDR")
+            expected = _expected_raw_size(
+                width, height, _CHANNELS[colour], bitdepth, interlace
+            )
             dobj = zlib.decompressobj()
         elif ctype == b"PLTE":
             if len(body) % 3:
@@ -161,43 +273,38 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = b"".join(pieces)
 
     ch = _CHANNELS[colour]
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected:
         raise PngFormatError(
-            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
+            f"decompressed size {len(raw)} != expected {expected}"
         )
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    ftypes, rows = rows[:, 0], rows[:, 1:]
-    recon = np.empty((height, stride), dtype=np.uint8)
-    zero = np.zeros(stride, dtype=np.uint8)
-    bpp = ch  # bytes per pixel at depth 8
-    for y in range(height):
-        prior = recon[y - 1] if y else zero
-        ft = int(ftypes[y])
-        if ft == 0:  # None
-            recon[y] = rows[y]
-        elif ft == 1:  # Sub: per-lane uint8 prefix sum
-            lanes = rows[y].reshape(width, bpp)
-            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=recon[y].reshape(width, bpp))
-        elif ft == 2:  # Up: fully vectorized
-            recon[y] = rows[y] + prior
-        elif ft == 3:  # Average
-            _avg_row(recon[y], rows[y], prior, bpp)
-        elif ft == 4:  # Paeth
-            _paeth_row(recon[y], rows[y], prior, bpp)
-        else:
-            raise PngFormatError(f"invalid filter type {ft} on row {y}")
+    if interlace == 0:
+        samples, _ = _decode_subimage(raw, 0, width, height, ch, bitdepth)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered onto
+        # the output grid (empty passes contribute zero bytes, per spec)
+        samples = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _pass_dims(width, height):
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _decode_subimage(raw, off, pw, ph, ch, bitdepth)
+            samples[y0::dy, x0::dx] = sub
 
     if colour == 3:
         if palette is None:
             raise PngFormatError("palette image without PLTE chunk")
-        idx = recon.reshape(height, width)
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise PngFormatError("palette index out of range")
         return palette[idx]
+    if bitdepth < 8:
+        # grey at depth d: scale 0..2^d-1 to the full 0..255 range
+        samples = (
+            samples.astype(np.uint16) * 255 // ((1 << bitdepth) - 1)
+        ).astype(np.uint8)
     if ch == 1:
-        return recon.reshape(height, width)
-    return recon.reshape(height, width, ch)
+        return samples[:, :, 0]
+    return samples
 
 
 def _filter_rows(img2d: np.ndarray, bpp: int, filter_type: int) -> bytes:

@@ -52,12 +52,15 @@ MEDIA_SCHEMA = (
 
 
 class UnsupportedVariantError(ValueError):
-    """A recognized image format in a variant the dependency-free codecs
-    don't cover (Adam7-interlaced PNG, 16-bit PNG, progressive JPEG).
-    ValueError-family ON PURPOSE: per-row fallbacks degrade these rows to
-    the byte-histogram stand-in, while the bare ``NotImplementedError``
-    from ``decode_image(fake=False)`` on an unrecognized format — the
-    honest "no codec at all" seam — keeps propagating loudly."""
+    """A recognized image format in a variant a codec declines with
+    ``NotImplementedError``. ValueError-family ON PURPOSE: per-row
+    fallbacks degrade such rows to the byte-histogram stand-in, while
+    the bare ``NotImplementedError`` from ``decode_image(fake=False)``
+    on an unrecognized format — the honest "no codec at all" seam —
+    keeps propagating loudly. As of the full-coverage PNG decoder
+    (every legal depth + Adam7) no shipped codec path raises it;
+    progressive JPEG is rejected as JpegFormatError (also a
+    ValueError). The wrapper stays as the contract for future codecs."""
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, feat array<float>, "
@@ -82,11 +85,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     for codec-less formats, not an override: a real PNG/JPEG payload
     decodes for real either way."""
     if payload[:8] == PNG_SIGNATURE:
-        # Codec-level NotImplementedError (Adam7-interlaced, 16-bit) is a
-        # VALID payload in an unsupported variant — surface it as the
-        # ValueError-family UnsupportedVariantError so per-row fallbacks
-        # degrade it, distinct from the fake=False seam below which must
-        # stay loud (it means "you have no codec for this format at all").
+        # Codec-level NotImplementedError (none today — future variant
+        # gaps) is a VALID payload in an unsupported variant — surface it
+        # as the ValueError-family UnsupportedVariantError so per-row
+        # fallbacks degrade it, distinct from the fake=False seam below
+        # which must stay loud ("you have no codec for this format").
         try:
             img = decode_png(payload)
         except NotImplementedError as exc:
@@ -200,10 +203,10 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
         if r.kind == "image":
             # Same per-row rule as audio/video: a sniffed-but-corrupt
             # PNG/JPEG (truncated entropy, bad CRC) AND a valid-but-
-            # unsupported variant (interlaced/16-bit PNG, progressive
-            # JPEG — UnsupportedVariantError, a ValueError) degrade to
-            # the byte histogram; only the bare NotImplementedError from
-            # the fake=False no-codec-at-all seam propagates loudly.
+            # unsupported variant (progressive JPEG; any future
+            # UnsupportedVariantError — all ValueError-family) degrade
+            # to the byte histogram; only the bare NotImplementedError
+            # from the fake=False no-codec seam propagates loudly.
             try:
                 img = decode_image(payload, fake=fake_decode)
                 thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
