@@ -115,11 +115,9 @@ def test_frame_spans_match_materialized_frames():
 # --------------------------------------- multimodal per-row degradation
 
 
-def _float_wav() -> bytes:
-    """RIFF/WAVE with format tag 0x0003 (IEEE float) — sniffs as WAV,
-    fails PCM decode."""
-    data = struct.pack("<4f", 0.1, -0.2, 0.3, -0.4)
-    fmt = struct.pack("<HHIIHH", 0x0003, 1, 8000, 32000, 4, 32)
+def _wav(tag: int, bits: int, data: bytes, ch: int = 1, rate: int = 8000) -> bytes:
+    block = (bits // 8) * ch
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * block, block, bits)
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
@@ -131,10 +129,46 @@ def _chunk(kind: str, payload: bytes) -> pd.DataFrame:
     )
 
 
-def test_features_chunk_falls_back_on_float_wav():
-    out = _features_chunk(_chunk("audio", _float_wav()), fake_decode=True)
+def test_float_wav_now_decodes_for_real():
+    """IEEE-float WAV (format 3) decodes since the wav_codec extension:
+    features equal audio_features on the scaled samples, not the byte
+    histogram fallback."""
+    from web_template_forensics_spark.functions.wav_codec import decode_wav
+    from web_template_forensics_spark.operators.multimodal import audio_features
+
+    vals = [0.1, -0.2, 0.3, -0.4]
+    payload = _wav(0x0003, 32, struct.pack("<4f", *vals))
+    samples, rate = decode_wav(payload)
+    assert rate == 8000
+    want = np.round(np.clip(np.array(vals), -1, 1) * 32767.0).astype(np.int16)
+    assert (samples[:, 0] == want).all()
+    out = _features_chunk(_chunk("audio", payload), fake_decode=True)
+    feat, thumb = audio_features(samples)
+    assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
+    assert out["thumb_mean"][0] == pytest.approx(thumb.astype(np.float32).tolist())
+
+
+def test_wav_24_and_32bit_pcm_decode():
+    from web_template_forensics_spark.functions.wav_codec import decode_wav
+
+    want = np.array([-30000, -1, 0, 1, 30000], dtype=np.int16)
+    data24 = b"".join(
+        int(v << 8).to_bytes(3, "little", signed=True) for v in want.tolist()
+    )
+    s24, _ = decode_wav(_wav(0x0001, 24, data24))
+    assert (s24[:, 0] == want).all()
+    data32 = (want.astype(np.int32) << 16).astype("<i4").tobytes()
+    s32, _ = decode_wav(_wav(0x0001, 32, data32))
+    assert (s32[:, 0] == want).all()
+
+
+def test_features_chunk_falls_back_on_adpcm_wav():
+    """A genuinely unsupported compressed format (ADPCM, tag 0x0011)
+    still degrades per-row to the byte histogram."""
+    payload = _wav(0x0011, 4, b"\x12\x34\x56\x78")
+    out = _features_chunk(_chunk("audio", payload), fake_decode=True)
     assert len(out) == 1
-    feat, thumb = _byte_histogram_features(_float_wav())
+    feat, thumb = _byte_histogram_features(payload)
     assert out["feat"][0] == pytest.approx(feat.astype(np.float32).tolist())
     assert out["thumb_mean"][0] == pytest.approx(thumb.astype(np.float32).tolist())
 

@@ -11,9 +11,10 @@ Scope (asserted, not implied):
     channel count, canonical 44-byte header + word-aligned data chunk.
   * decode: RIFF/WAVE with arbitrary chunk order, unknown chunks
     (LIST/fact/cue/...) skipped with odd-size pad bytes honored,
-    format 1 (PCM) and 0xFFFE (WAVE_FORMAT_EXTENSIBLE wrapping PCM),
-    8-bit unsigned and 16-bit signed samples. Compressed formats
-    (ADPCM, float, mp3-in-wav) raise — honestly out of scope.
+    format 1 (PCM: 8-bit unsigned, 16/24/32-bit signed), format 3
+    (IEEE float, 32/64-bit, clipped to [-1,1] and scaled), and 0xFFFE
+    (WAVE_FORMAT_EXTENSIBLE wrapping either). Compressed formats
+    (ADPCM, mp3-in-wav) raise — honestly out of scope.
 
 Decoded samples are always int16 (8-bit input is widened exactly via
 ``(v - 128) << 8``), shaped (n_frames, n_channels).
@@ -29,6 +30,7 @@ RIFF_MAGIC = b"RIFF"
 WAVE_MAGIC = b"WAVE"
 
 WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -103,27 +105,50 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 if size < 26:
                     raise WavFormatError("extensible fmt chunk too short")
                 (tag,) = struct.unpack("<H", body[24:26])
-            if tag != WAVE_FORMAT_PCM:
-                raise WavFormatError(f"unsupported WAV format tag 0x{tag:04X}; PCM only")
-            fmt = (ch, rate, block_align, bits)
+            if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+                raise WavFormatError(
+                    f"unsupported WAV format tag 0x{tag:04X}; PCM/IEEE-float only"
+                )
+            fmt = (tag, ch, rate, block_align, bits)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise WavFormatError("missing fmt or data chunk")
-    ch, rate, block_align, bits = fmt
+    tag, ch, rate, block_align, bits = fmt
     if ch < 1:
         raise WavFormatError("zero channels")
+    if block_align != (bits // 8) * ch:
+        raise WavFormatError(
+            f"block align {block_align} inconsistent with {bits}-bit x{ch}"
+        )
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        if bits not in (32, 64):
+            raise WavFormatError(f"IEEE-float WAV must be 32/64-bit, got {bits}")
+        bw = bits // 8
+        n = len(data) // (bw * ch)
+        arr = np.frombuffer(data[: n * bw * ch], dtype=f"<f{bw}").reshape(n, ch)
+        # nan -> 0, clip to nominal [-1, 1], scale to full int16 range
+        clipped = np.clip(np.nan_to_num(arr.astype(np.float64)), -1.0, 1.0)
+        return np.round(clipped * 32767.0).astype(np.int16), rate
     if bits == 16:
-        if block_align != 2 * ch:
-            raise WavFormatError("block align inconsistent with 16-bit PCM")
         n = len(data) // (2 * ch)
         arr = np.frombuffer(data[: n * 2 * ch], dtype="<i2").reshape(n, ch)
         return arr.astype(np.int16), rate
     if bits == 8:
-        if block_align != ch:
-            raise WavFormatError("block align inconsistent with 8-bit PCM")
         n = len(data) // ch
         arr = np.frombuffer(data[: n * ch], dtype=np.uint8).reshape(n, ch)
         return ((arr.astype(np.int16) - 128) << 8).astype(np.int16), rate
-    raise WavFormatError(f"unsupported bit depth {bits}; 8/16-bit PCM only")
+    if bits == 24:
+        # 3-byte little-endian signed; int16 narrowing = top two bytes
+        n = len(data) // (3 * ch)
+        b = np.frombuffer(data[: n * 3 * ch], dtype=np.uint8).reshape(-1, 3)
+        top = (b[:, 1].astype(np.uint16) | (b[:, 2].astype(np.uint16) << 8)).astype(
+            np.int16
+        )
+        return top.reshape(n, ch), rate
+    if bits == 32:
+        n = len(data) // (4 * ch)
+        arr = np.frombuffer(data[: n * 4 * ch], dtype="<i4").reshape(n, ch)
+        return (arr >> 16).astype(np.int16), rate
+    raise WavFormatError(f"unsupported bit depth {bits}; 8/16/24/32-bit PCM only")

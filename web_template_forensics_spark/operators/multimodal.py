@@ -8,8 +8,8 @@ dependency-free across all three modalities:
     five scanline filters, grey/RGB/palette/alpha, CRC-verified) and
     baseline JPEG via functions/jpeg_codec.py (SOF0, 1/3 components,
     sampling factors to 2x2, restart markers);
-  * audio — RIFF/WAVE PCM via functions/wav_codec.py (8/16-bit, any
-    channel count, chunk-order tolerant);
+  * audio — RIFF/WAVE via functions/wav_codec.py (8/16/24/32-bit PCM
+    and 32/64-bit IEEE float, any channel count, chunk-order tolerant);
   * video — Motion JPEG (concatenated JFIF frames, the payload format
     of multipart camera streams and AVI 'MJPG') via structural framing
     in functions/jpeg_codec.iter_jpeg_frames + per-frame JPEG decode.
