@@ -296,15 +296,17 @@ def test_sos_unknown_component_is_typed_error():
         decode_jpeg(bytes(bad))
 
 
-def test_multi_scan_jpeg_rejected_not_corrupted():
-    """A scan covering fewer components than the frame (legal
-    non-interleaved baseline) must raise, not silently decode luma only
-    and return a chroma-zeroed (green-shifted) image."""
+def test_incomplete_multi_scan_jpeg_rejected_not_corrupted():
+    """Multi-scan baseline now DECODES (see test_jpeg_codec) — but a
+    stream whose scans don't cover every frame component must still
+    raise typed, not silently return a chroma-zeroed (green-shifted)
+    image. Here the interleaved SOS is rewritten to claim ns=1, so only
+    luma is ever coded."""
     e = encode_jpeg(_img(13))
     idx = e.find(b"\xff\xda")
     bad = bytearray(e)
     bad[idx + 4] = 1  # ns: 3 -> 1, seglen untouched
-    with pytest.raises(JpegFormatError, match="multi-scan"):
+    with pytest.raises(JpegFormatError):
         decode_jpeg(bytes(bad))
 
 

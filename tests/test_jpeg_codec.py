@@ -266,3 +266,93 @@ def test_decoder_handles_420_and_16bit_dqt():
     img = decode_jpeg(bytes(out))
     assert img.shape == (16, 16, 3)
     assert np.abs(img.astype(int) - level).max() <= 1
+
+
+def test_multi_scan_noninterleaved_roundtrip():
+    """encode_jpeg(interleave=False) emits one scan per component (legal
+    baseline multi-scan); decode must be bit-identical to the interleaved
+    encoding of the same image — with and without restart markers."""
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
+    for kw in ({}, {"restart_interval": 3}):
+        a = decode_jpeg(encode_jpeg(img, quality=85, **kw))
+        b = decode_jpeg(encode_jpeg(img, quality=85, interleave=False, **kw))
+        assert (a == b).all()
+    # the stream really has three SOS markers
+    multi = encode_jpeg(img, quality=85, interleave=False)
+    assert multi.count(b"\xff\xda") >= 3
+
+
+def test_decoder_handles_420_multi_scan_noninterleaved():
+    """Hand-built 4:2:0 stream with ONE SCAN PER COMPONENT: the luma
+    scan walks its own ceil(cw/8) x ceil(ch/8) grid (3x2 here), NOT the
+    MCU-padded frame grid (4x2) — the padding block column is never
+    coded and must stay zero outside the crop. Constant image -> exact
+    expected output."""
+    from web_template_forensics_spark.functions import jpeg_codec as J
+
+    h, w = 16, 24  # mcux=2, mcuy=1; luma sub-grid 3x2, frame grid 4x2
+    level = 90
+    qt = np.ones((8, 8), dtype=np.int64)
+
+    dc = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac = J._canonical_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+
+    def scan_bytes(dc_vals):
+        bw = J._BitWriter()
+        pred = 0
+        for v in dc_vals:
+            diff = v - pred
+            pred = v
+            size = J._category(diff)
+            code, length = dc[size]
+            bw.write(code, length)
+            if size:
+                bw.write(J._mag_bits(diff, size), size)
+            code, length = ac[0x00]  # EOB
+            bw.write(code, length)
+        bw.flush()
+        return bytes(bw.out)
+
+    y_dc = int(round((level - 128.0) * 8.0))
+    out = bytearray(J.JPEG_SOI)
+    out += J._seg(
+        0xDB,
+        bytes([0x00]) + bytes(qt.reshape(-1)[J.ZIGZAG].astype(np.uint8)),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2
+    sof += bytes([2, 0x11, 0])
+    sof += bytes([3, 0x11, 0])
+    out += J._seg(0xC0, sof)
+    out += J._seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS))
+    out += J._seg(0xC4, bytes([0x10]) + bytes(J.AC_LUMA_BITS) + bytes(J.AC_LUMA_VALS))
+    # luma scan: 6 data units (3x2 sub-grid); chroma scans: 2 units each
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + scan_bytes([y_dc] * 6)
+    out += J._seg(0xDA, bytes([1, 2, 0x00, 0, 63, 0])) + scan_bytes([0, 0])
+    out += J._seg(0xDA, bytes([1, 3, 0x00, 0, 63, 0])) + scan_bytes([0, 0])
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 24, 3)
+    assert np.abs(img.astype(int) - level).max() <= 1
+
+
+def test_duplicate_component_scan_rejected():
+    img = np.random.RandomState(5).randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    e = encode_jpeg(img, quality=85, interleave=False)
+    # duplicate the first single-component scan's SOS: component 1 twice
+    idx = e.find(b"\xff\xda")
+    with pytest.raises(JpegFormatError, match="scanned twice"):
+        decode_jpeg(e[:idx] + e[idx : e.find(b"\xff\xda", idx + 2)] * 2 + e[e.find(b"\xff\xda", idx + 2) :])
+
+
+def test_missing_component_scan_rejected():
+    """A stream ending after only the luma scan must raise (previously
+    this shape silently produced a chroma-zeroed image)."""
+    img = np.random.RandomState(6).randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    e = encode_jpeg(img, quality=85, interleave=False)
+    first = e.find(b"\xff\xda")
+    second = e.find(b"\xff\xda", first + 2)
+    with pytest.raises(JpegFormatError, match="missing scans"):
+        decode_jpeg(e[:second] + b"\xff\xd9")

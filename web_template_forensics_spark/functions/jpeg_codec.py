@@ -270,9 +270,15 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
-    """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4)."""
+    """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4).
+
+    ``interleave=False`` emits one scan per component (legal baseline
+    multi-scan layout) instead of the usual single interleaved scan."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise JpegFormatError("encode_jpeg expects (h,w)[,3] uint8")
     if img.ndim == 3 and img.shape[2] != 3:
@@ -305,51 +311,57 @@ def encode_jpeg(
         dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
 
-    bw = _BitWriter()
-    pred = [0] * len(planes)
-    entropy = bytearray()
-    rst = 0
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
-            bw.flush()
-            entropy += bw.out
-            entropy += bytes([0xFF, 0xD0 + (rst % 8)])
-            rst += 1
-            bw = _BitWriter()
-            pred = [0] * len(planes)
-        for ci in range(len(planes)):
-            tid = 0 if ci == 0 else 1
-            zz = coef[ci][b]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[tid][size]
-            bw.write(code, length)
-            if size:
-                bw.write(_mag_bits(diff, size), size)
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = int(nz[-1]) + 1 if len(nz) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[tid][0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = ac_codes[tid][(run << 4) | size]
+    def _emit_entropy(comp_indices: list[int]) -> bytes:
+        """Entropy-coded bytes for one scan: MCUs walk the block grid,
+        each MCU holding one data unit per component in comp_indices
+        (4:4:4 sampling makes the interleaved and per-component grids
+        identical, so this serves both scan layouts)."""
+        bw = _BitWriter()
+        pred = {ci: 0 for ci in comp_indices}
+        entropy = bytearray()
+        rst = 0
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                bw.flush()
+                entropy += bw.out
+                entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = _BitWriter()
+                pred = {ci: 0 for ci in comp_indices}
+            for ci in comp_indices:
+                tid = 0 if ci == 0 else 1
+                zz = coef[ci][b]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = _category(diff)
+                code, length = dc_codes[tid][size]
                 bw.write(code, length)
-                bw.write(_mag_bits(v, size), size)
+                if size:
+                    bw.write(_mag_bits(diff, size), size)
                 run = 0
-            if last_nz < 63:
-                code, length = ac_codes[tid][0x00]  # EOB
-                bw.write(code, length)
-    bw.flush()
-    entropy += bw.out
+                last_nz = 0
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[tid][0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    size = _category(v)
+                    code, length = ac_codes[tid][(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(_mag_bits(v, size), size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[tid][0x00]  # EOB
+                    bw.write(code, length)
+        bw.flush()
+        entropy += bw.out
+        return bytes(entropy)
 
     out = bytearray(JPEG_SOI)
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -375,13 +387,22 @@ def encode_jpeg(
         out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
-    out += entropy
+    if interleave or grey:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, sos)
+        out += _emit_entropy(list(range(ncomp)))
+    else:
+        # non-interleaved: one scan per component (legal baseline T.81
+        # layout some encoders emit) — the decoder's multi-scan oracle
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0])
+            out += _seg(0xDA, sos)
+            out += _emit_entropy([ci])
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -549,6 +570,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     comps: list[dict] = []
+    # multi-scan state: coefficients accumulate per FRAME component
+    # across scans (T.81 allows baseline images split into several
+    # scans, e.g. one per component); assembly happens at EOI
+    geo = None  # (hmax, vmax, mcux, mcuy), fixed at first scan
+    coefs_by_comp: list[list] | None = None
+    qts_by_comp: list | None = None
+    scanned: set[int] = set()
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
@@ -630,65 +658,75 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             raise JpegFormatError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); baseline only"
             )
-        elif marker == 0xDA:  # SOS -> entropy decode
+        elif marker == 0xDA:  # SOS -> entropy decode (one of possibly many)
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
             if len(body) < 1:
                 raise JpegFormatError("truncated SOS segment")
             ns = body[0]
-            if len(body) < 1 + 2 * ns:
+            if ns < 1 or len(body) < 1 + 2 * ns:
                 raise JpegFormatError("truncated SOS segment")
-            if ns != len(comps):
-                # T.81 allows baseline images split into one scan per
-                # component (non-interleaved); this decoder only handles
-                # the single interleaved scan every common encoder (and
-                # ours) emits. Decoding just the first scan would silently
-                # return a chroma-zeroed image — reject loudly instead.
-                raise JpegFormatError(
-                    f"multi-scan baseline JPEG unsupported (scan covers "
-                    f"{ns} of {len(comps)} components)"
-                )
             scan = []
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next((c for c in comps if c["id"] == cid), None)
                 if comp is None:
                     raise JpegFormatError(f"SOS references unknown component {cid}")
-                scan.append((comp, tids >> 4, tids & 0x0F))
+                ci = comps.index(comp)
+                if ci in scanned:
+                    raise JpegFormatError(f"component {cid} scanned twice")
+                scanned.add(ci)
+                scan.append((comp, ci, tids >> 4, tids & 0x0F))
             h, w, ncomp = frame
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
-            if hmax > 2 or vmax > 2 or any(c["h"] < 1 or c["v"] < 1 for c in comps):
-                raise JpegFormatError("sampling factors beyond 2x2 unsupported")
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            n_mcus = mcux * mcuy
+            if geo is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if hmax > 2 or vmax > 2 or any(
+                    c["h"] < 1 or c["v"] < 1 for c in comps
+                ):
+                    raise JpegFormatError("sampling factors beyond 2x2 unsupported")
+                geo = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
+                coefs_by_comp = [
+                    [None] * (geo[2] * c["h"] * geo[3] * c["v"]) for c in comps
+                ]
+                qts_by_comp = [None] * ncomp
+            hmax, vmax, mcux, mcuy = geo
 
             # resolve tables + build the 16-bit-peek LUTs once per scan
             luts = []
-            qts = []
-            for comp, dc_id, ac_id in scan:
+            for comp, ci, dc_id, ac_id in scan:
                 dc_spec = hspecs.get((0, dc_id))
                 ac_spec = hspecs.get((1, ac_id))
                 qt = qtabs.get(comp["q"])
                 if dc_spec is None or ac_spec is None or qt is None:
                     raise JpegFormatError("missing huffman/quant table")
                 luts.append((_fast_lut(*dc_spec), _fast_lut(*ac_spec)))
-                qts.append(qt)
+                qts_by_comp[ci] = qt
 
-            spans, _term_pos, _term_marker = _scan_spans(data, pos + seglen)
+            spans, term_pos, _term_marker = _scan_spans(data, pos + seglen)
 
-            # pass 1: entropy-decode every block's zigzag coefficients
-            # into per-component row lists (component-raster block
-            # order). The bit reader is INLINED as local-int arithmetic:
-            # at ~50-100 Huffman symbols per block, method-call overhead
+            # per-scan geometry (T.81 A.2): an interleaved scan (ns > 1)
+            # walks the frame MCU grid; a single-component scan walks the
+            # component's own ceil(cw/8) x ceil(ch/8) data-unit grid —
+            # units land in the same frame-level block grid, the MCU
+            # padding blocks just stay zero (cropped away at assembly)
+            grid_w = [mcux * comp["h"] for comp, _ci, _d, _a in scan]
+            if ns > 1:
+                n_mcus = mcux * mcuy
+                sub_w = None
+            else:
+                comp0 = scan[0][0]
+                cw = -(-w * comp0["h"] // hmax)
+                chh = -(-h * comp0["v"] // vmax)
+                sub_w = -(-cw // 8)
+                n_mcus = sub_w * -(-chh // 8)
+
+            # pass 1: entropy-decode every block's zigzag coefficients.
+            # The bit reader is INLINED as local-int arithmetic: at
+            # ~50-100 Huffman symbols per block, method-call overhead
             # dominated the decode (profiled), and plain-list coefficient
             # rows beat numpy scalar stores for the same reason.
-            grid_w = [mcux * c["h"] for c, _, _ in scan]
-            coefs: list[list] = [
-                [None] * (n_mcus * c["h"] * c["v"]) for c, _, _ in scan
-            ]
-            pred = [0] * len(scan)
+            pred = [0] * ns
             span_idx = 0
             buf = spans[0]
             buf_n = len(buf)
@@ -708,130 +746,141 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     bpos = 0
                     acc = 0
                     nbits = 0
-                    pred = [0] * len(scan)
-                my, mx = divmod(mcu, mcux)
-                for si, (comp, _dc_id, _ac_id) in enumerate(scan):
+                    pred = [0] * ns
+                # data-unit slots of this MCU: (scan index, block index)
+                if sub_w is None:
+                    my, mx = divmod(mcu, mcux)
+                    slots = []
+                    for si in range(ns):
+                        comp = scan[si][0]
+                        gw = grid_w[si]
+                        for by in range(comp["v"]):
+                            base = (my * comp["v"] + by) * gw + mx * comp["h"]
+                            for bx in range(comp["h"]):
+                                slots.append((si, base + bx))
+                else:
+                    sy, sx = divmod(mcu, sub_w)
+                    slots = ((0, sy * grid_w[0] + sx),)
+                for si, bi in slots:
                     dct, act = luts[si]
                     p = pred[si]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            bi = (my * comp["v"] + by) * grid_w[si] + (
-                                mx * comp["h"] + bx
+                    row = [0] * 64
+                    while nbits < 16:
+                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                        bpos += 1
+                        nbits += 8
+                    v = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                    if v < 0:
+                        raise JpegFormatError(
+                            "invalid huffman code in entropy data"
+                        )
+                    nbits -= v & 31
+                    size = v >> 5
+                    if size:
+                        while nbits < size:
+                            acc = (acc << 8) | (
+                                buf[bpos] if bpos < buf_n else 0
                             )
-                            row = [0] * 64
-                            while nbits < 16:
-                                acc = (acc << 8) | (
-                                    buf[bpos] if bpos < buf_n else 0
-                                )
-                                bpos += 1
-                                nbits += 8
-                            v = dct[(acc >> (nbits - 16)) & 0xFFFF]
-                            if v < 0:
-                                raise JpegFormatError(
-                                    "invalid huffman code in entropy data"
-                                )
-                            nbits -= v & 31
-                            size = v >> 5
-                            if size:
-                                while nbits < size:
-                                    acc = (acc << 8) | (
-                                        buf[bpos] if bpos < buf_n else 0
-                                    )
-                                    bpos += 1
-                                    nbits += 8
-                                nbits -= size
-                                mag = (acc >> nbits) & _MASK[size]
-                                p += (
-                                    mag
-                                    if mag >= (1 << (size - 1))
-                                    else mag - (1 << size) + 1
-                                )
+                            bpos += 1
+                            nbits += 8
+                        nbits -= size
+                        mag = (acc >> nbits) & _MASK[size]
+                        p += (
+                            mag
+                            if mag >= (1 << (size - 1))
+                            else mag - (1 << size) + 1
+                        )
+                    acc &= _MASK[nbits]
+                    row[0] = p
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:
+                            acc = (acc << 8) | (
+                                buf[bpos] if bpos < buf_n else 0
+                            )
+                            bpos += 1
+                            nbits += 8
+                        v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        if v < 0:
+                            raise JpegFormatError(
+                                "invalid huffman code in entropy data"
+                            )
+                        nbits -= v & 31
+                        rs = v >> 5
+                        if rs == 0x00:
                             acc &= _MASK[nbits]
-                            row[0] = p
-                            k = 1
-                            while k < 64:
-                                while nbits < 16:
-                                    acc = (acc << 8) | (
-                                        buf[bpos] if bpos < buf_n else 0
-                                    )
-                                    bpos += 1
-                                    nbits += 8
-                                v = act[(acc >> (nbits - 16)) & 0xFFFF]
-                                if v < 0:
-                                    raise JpegFormatError(
-                                        "invalid huffman code in entropy data"
-                                    )
-                                nbits -= v & 31
-                                rs = v >> 5
-                                if rs == 0x00:
-                                    acc &= _MASK[nbits]
-                                    break
-                                if rs == 0xF0:
-                                    acc &= _MASK[nbits]
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                size = rs & 0x0F
-                                if k > 63:
-                                    raise JpegFormatError("AC index overflow")
-                                while nbits < size:
-                                    acc = (acc << 8) | (
-                                        buf[bpos] if bpos < buf_n else 0
-                                    )
-                                    bpos += 1
-                                    nbits += 8
-                                nbits -= size
-                                mag = (acc >> nbits) & _MASK[size]
-                                acc &= _MASK[nbits]
-                                row[k] = (
-                                    mag
-                                    if mag >= (1 << (size - 1))
-                                    else mag - (1 << size) + 1
-                                )
-                                k += 1
-                            coefs[si][bi] = row
+                            break
+                        if rs == 0xF0:
+                            acc &= _MASK[nbits]
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 0x0F
+                        if k > 63:
+                            raise JpegFormatError("AC index overflow")
+                        while nbits < size:
+                            acc = (acc << 8) | (
+                                buf[bpos] if bpos < buf_n else 0
+                            )
+                            bpos += 1
+                            nbits += 8
+                        nbits -= size
+                        mag = (acc >> nbits) & _MASK[size]
+                        acc &= _MASK[nbits]
+                        row[k] = (
+                            mag
+                            if mag >= (1 << (size - 1))
+                            else mag - (1 << size) + 1
+                        )
+                        k += 1
+                    coefs_by_comp[scan[si][1]][bi] = row
                     pred[si] = p
                 # consumed-bit accounting: the 16-bit peek may LOAD up to
                 # 2 phantom zero bytes past the span, but CONSUMING any
                 # bit beyond the real data means the stream is truncated
-                # (the old +2-byte slack let 16 phantom bits decode as
-                # data, returning wrong pixels silently)
                 if bpos * 8 - nbits > buf_n * 8:
                     raise JpegFormatError("truncated entropy data")
 
-            # pass 2: vectorized dequant + IDCT over ALL blocks at once,
-            # then stitch component planes (inverse of _blocks_of)
-            planes_by_comp: dict[int, np.ndarray] = {}
-            for si, (comp, _dc_id, _ac_id) in enumerate(scan):
-                deq = (
-                    np.array(coefs[si], dtype=np.int64)[:, UNZIGZAG]
-                    .reshape(-1, 8, 8)
-                    .astype(np.float64)
-                    * qts[si][None, :, :]
-                )
-                pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
-                bh, bw_ = mcuy * comp["v"], grid_w[si]
-                plane = (
-                    pix.reshape(bh, bw_, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(bh * 8, bw_ * 8)
-                )
-                planes_by_comp[comps.index(comp)] = plane
-
-            # upsample to full resolution by replication, crop
-            full = []
-            for ci, c in enumerate(comps):
-                p = planes_by_comp.get(ci)
-                if p is None:  # component not covered by this scan
-                    p = np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
-                ry, rx = vmax // c["v"], hmax // c["h"]
-                if ry > 1 or rx > 1:
-                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-                full.append(p[:h, :w])
-            if ncomp == 1:
-                return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-            if ncomp == 3:
-                return _ycbcr_to_rgb(np.stack(full, axis=-1))
-            raise JpegFormatError(f"unsupported component count {ncomp}")
+            pos = term_pos  # continue at the marker that ended the scan
+            continue
         pos += seglen
-    raise JpegFormatError("no SOS scan found")
+
+    # assembly (pass 2): all scans decoded — vectorized dequant + IDCT
+    # over every block of every component, stitch planes, upsample, crop
+    if coefs_by_comp is None:
+        raise JpegFormatError("no SOS scan found")
+    if len(scanned) != len(comps):
+        raise JpegFormatError(
+            f"missing scans: {len(scanned)} of {len(comps)} components coded"
+        )
+    h, w, ncomp = frame
+    hmax, vmax, mcux, mcuy = geo
+    zero_row = [0] * 64
+    full = []
+    for ci, c in enumerate(comps):
+        rows = [
+            r if r is not None else zero_row for r in coefs_by_comp[ci]
+        ]
+        deq = (
+            np.array(rows, dtype=np.int64)[:, UNZIGZAG]
+            .reshape(-1, 8, 8)
+            .astype(np.float64)
+            * qts_by_comp[ci][None, :, :]
+        )
+        pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
+        bh, bw_ = mcuy * c["v"], mcux * c["h"]
+        plane = (
+            pix.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        # upsample to full resolution by replication, crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if ncomp == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if ncomp == 3:
+        return _ycbcr_to_rgb(np.stack(full, axis=-1))
+    raise JpegFormatError(f"unsupported component count {ncomp}")

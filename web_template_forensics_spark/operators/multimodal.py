@@ -7,7 +7,8 @@ dependency-free across all three modalities:
   * image — PNG via functions/png_codec.py (stdlib zlib + numpy, all
     five scanline filters, grey/RGB/palette/alpha, CRC-verified) and
     baseline JPEG via functions/jpeg_codec.py (SOF0, 1/3 components,
-    sampling factors to 2x2, restart markers);
+    sampling factors to 2x2, restart markers, interleaved or
+    one-scan-per-component multi-scan layouts);
   * audio — RIFF/WAVE via functions/wav_codec.py (8/16/24/32-bit PCM
     and 32/64-bit IEEE float, any channel count, chunk-order tolerant);
   * video — Motion JPEG (concatenated JFIF frames, the payload format
@@ -23,7 +24,7 @@ MP4/H.264) still need libraries absent from this container:
     shapes and dtypes a real decoder would emit, so the downstream
     operators are fully exercised; the feature path falls back to the
     byte-histogram stand-in for codec-less audio/video payloads AND for
-    sniffed-but-malformed ones (a RIFF header over a float-PCM or
+    sniffed-but-malformed ones (a RIFF header over an ADPCM or
     truncated body, an SOI prefix over a broken MJPEG stream) — one bad
     row degrades deterministically instead of failing the Spark task.
 
