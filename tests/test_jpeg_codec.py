@@ -103,10 +103,15 @@ def test_error_paths():
     data = encode_jpeg(img)
     with pytest.raises(JpegFormatError):
         decode_jpeg(data[:40])  # truncated before scan
-    # flip SOF0 -> SOF2 (progressive): explicit unsupported error
+    # flip SOF0 -> SOF2: the stream is now CLAIMED progressive but keeps
+    # its baseline interleaved scan header (ss=0, se=63) — a typed scan-
+    # header error, since real progressive decodes for real now
     i = data.index(b"\xff\xc0")
-    with pytest.raises(JpegFormatError, match="baseline only"):
+    with pytest.raises(JpegFormatError, match="se=0"):
         decode_jpeg(data[:i] + b"\xff\xc2" + data[i + 2 :])
+    # SOF3 (lossless) stays an explicit unsupported process
+    with pytest.raises(JpegFormatError, match="unsupported JPEG process"):
+        decode_jpeg(data[:i] + b"\xff\xc3" + data[i + 2 :])
     with pytest.raises(JpegFormatError):
         encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
     with pytest.raises(JpegFormatError):
@@ -356,3 +361,160 @@ def test_missing_component_scan_rejected():
     second = e.find(b"\xff\xda", first + 2)
     with pytest.raises(JpegFormatError, match="missing scans"):
         decode_jpeg(e[:second] + b"\xff\xd9")
+
+
+# -------------------------------------------------------- progressive JPEG
+
+
+@pytest.mark.parametrize("quality", [60, 85, 95])
+@pytest.mark.parametrize("shape", [(8, 8, 3), (24, 33, 3), (64, 48, 3), (16, 20)])
+def test_progressive_roundtrip_bit_identical(quality, shape):
+    """The progressive script codes exactly the same quantized
+    coefficients as the sequential scan, so decode output must be
+    BIT-IDENTICAL to the baseline encoding — across every DC/AC
+    first/refine path the libjpeg-style script exercises."""
+    rng = np.random.RandomState(quality + sum(shape))
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=quality))
+    b = decode_jpeg(encode_jpeg(img, quality=quality, progressive=True))
+    assert (a == b).all()
+
+
+def test_progressive_stream_shape():
+    img = np.random.RandomState(1).randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    e = encode_jpeg(img, quality=85, progressive=True)
+    assert b"\xff\xc2" in e and b"\xff\xc0" not in e
+    assert e.count(b"\xff\xda") == 10  # the 10-scan color script
+
+
+def test_progressive_ac_first_eobn_run():
+    """Hand-crafted AC-first scan using an EOBn (r=3) end-of-band run —
+    our encoder emits only EOB0, so this decoder path needs a bespoke
+    stream. 8 grey blocks, only block 0 has an AC coefficient; EOB3+0
+    ends block 0 AND skips the remaining 7."""
+    from web_template_forensics_spark.functions import jpeg_codec as J
+
+    h, w = 8, 64  # 8 blocks in one row, grey
+    out = bytearray(J.JPEG_SOI)
+    qt = np.ones((8, 8), dtype=np.int64)
+    out += J._seg(0xDB, bytes([0x00]) + bytes(qt.reshape(-1)[J.ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += J._seg(0xC2, sof)
+    out += J._seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS))
+    # custom AC table: 0x03 (r=0,s=3), 0x30 (EOB3) as 2-bit codes 00, 01
+    ac_bits = [0] * 16
+    ac_bits[1] = 2
+    out += J._seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x03, 0x30]))
+    # scan 1: DC first (al=0), all DC = 0 -> 8x category-0 symbols
+    dc = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    bw = J._BitWriter()
+    for _ in range(8):
+        code, length = dc[0]
+        bw.write(code, length)
+    bw.flush()
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(bw.out)
+    # scan 2: AC first ss=1 se=63 al=0: block0 k=1 value 5, then EOB3(+0)
+    bw = J._BitWriter()
+    bw.write(0b00, 2)  # symbol 0x03
+    bw.write(J._mag_bits(5, 3), 3)
+    bw.write(0b01, 2)  # EOB3
+    bw.write(0, 3)  # extension bits -> eobrun covers this + 7 more blocks
+    bw.flush()
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes(bw.out)
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 64)
+    # expected: block 0 is IDCT of zigzag [0, 5, 0, ...], others flat 128
+    row = np.zeros(64, dtype=np.int64)
+    row[1] = 5
+    deq = row[J.UNZIGZAG].reshape(8, 8).astype(np.float64)
+    want0 = np.clip(np.round(J._C.T @ deq @ J._C + 128.0), 0, 255).astype(np.uint8)
+    assert (img[:, :8] == want0).all()
+    assert (img[:, 8:] == 128).all()
+
+
+def test_progressive_ac_refine_eobn_with_correction_bits():
+    """Refinement EOBn run (r=1) carrying a correction bit for an
+    already-nonzero coefficient INSIDE the run: block0 k=1 is 2
+    (bit 0 at Al=0), block1 k=1 is 3 (bit 1). Exercises the
+    refine-EOBn + rest-of-band correction path the EOB0-only encoder
+    never produces."""
+    from web_template_forensics_spark.functions import jpeg_codec as J
+
+    h, w = 8, 16  # two grey blocks
+    out = bytearray(J.JPEG_SOI)
+    qt = np.ones((8, 8), dtype=np.int64)
+    out += J._seg(0xDB, bytes([0x00]) + bytes(qt.reshape(-1)[J.ZIGZAG].astype(np.uint8)))
+    out += J._seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += J._seg(0xC4, bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS))
+    # custom AC table: 0x01 (r=0,s=1), 0x00 (EOB0), 0x10 (EOB1): 2-bit codes
+    ac_bits = [0] * 16
+    ac_bits[1] = 3
+    out += J._seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x01, 0x00, 0x10]))
+    dc = J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    bw = J._BitWriter()
+    for _ in range(2):
+        code, length = dc[0]
+        bw.write(code, length)
+    bw.flush()
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(bw.out)
+    # AC first at Al=1: both blocks code k=1 as +1 (2>>1, 3>>1)
+    bw = J._BitWriter()
+    for _ in range(2):
+        bw.write(0b00, 2)  # 0x01: r=0, s=1
+        bw.write(1, 1)  # magnitude bits of +1
+        bw.write(0b01, 2)  # EOB0
+    bw.flush()
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bytes(bw.out)
+    # AC refine ah=1 al=0: EOB1 + ext bit 0 -> eobrun=2 covers both blocks;
+    # correction bits: block0 k=1 -> 0 (2&1), block1 k=1 -> 1 (3&1)
+    bw = J._BitWriter()
+    bw.write(0b10, 2)  # EOB1
+    bw.write(0, 1)  # extension bit
+    bw.write(0, 1)  # correction bit block0 k=1
+    bw.write(1, 1)  # correction bit block1 k=1
+    bw.flush()
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bytes(bw.out)
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16)
+    for b, val in ((0, 2), (1, 3)):
+        row = np.zeros(64, dtype=np.int64)
+        row[1] = val
+        deq = row[J.UNZIGZAG].reshape(8, 8).astype(np.float64)
+        want = np.clip(np.round(J._C.T @ deq @ J._C + 128.0), 0, 255).astype(np.uint8)
+        assert (img[:, b * 8 : (b + 1) * 8] == want).all(), b
+
+
+def test_progressive_error_paths():
+    img = np.random.RandomState(2).randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    e = encode_jpeg(img, quality=85, progressive=True)
+    # truncating away the DC-refine + later scans leaves a DECODABLE
+    # coarse image (progressive property) as long as DC-first ran;
+    # cutting before ANY scan of a component -> typed missing-scans
+    first_sos = e.find(b"\xff\xda")
+    with pytest.raises(JpegFormatError, match="missing scans|no SOS"):
+        decode_jpeg(e[:first_sos] + b"\xff\xd9")
+    with pytest.raises(JpegFormatError):
+        encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_progressive_truncated_script_still_decodes_coarse():
+    """A progressive stream cut after the first few scans (plus EOI) is
+    a legal coarse rendering — decode must succeed and be close to the
+    full image, exactly the behavior browsers rely on."""
+    y, x = np.mgrid[0:24, 0:24]
+    img = np.stack([(x * 6) % 256, (y * 4) % 256, (x + y) % 256], axis=-1).astype(
+        np.uint8
+    )
+    e = encode_jpeg(img, quality=85, progressive=True)
+    # keep scans 1..4 (DC first + Y 1-5 + Cb + Cr), drop the rest
+    idx = [i for i in range(len(e) - 1) if e[i] == 0xFF and e[i + 1] == 0xDA]
+    coarse = decode_jpeg(e[: idx[4]] + b"\xff\xd9")
+    full = decode_jpeg(e)
+    assert coarse.shape == full.shape
+    # the first passes carry DC + low-frequency AC: on smooth content the
+    # coarse rendering is already close to the final image
+    assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 16

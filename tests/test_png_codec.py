@@ -264,7 +264,7 @@ def test_decode_image_real_png_path():
 
     with pytest.raises(JpegFormatError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
-    with pytest.raises(NotImplementedError, match="beyond PNG/baseline-JPEG"):
+    with pytest.raises(NotImplementedError, match="beyond PNG/JPEG"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")
 
 

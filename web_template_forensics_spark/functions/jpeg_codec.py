@@ -1,19 +1,24 @@
-"""Dependency-free baseline JPEG codec (pure numpy + stdlib).
+"""Dependency-free JPEG codec (pure numpy + stdlib).
 
 Like functions/png_codec.py (round 5), this closes an honestly-stubbed
-codec seam without new dependencies: baseline sequential DCT JPEG
-(ITU-T T.81 / JFIF) encode AND decode in numpy. The reference repo has
-no image path at all — this backs the multimodal graft surface
+codec seam without new dependencies: DCT JPEG (ITU-T T.81 / JFIF)
+encode AND decode in numpy. The reference repo has no image path at
+all — this backs the multimodal graft surface
 (operators/multimodal.py decode_image), whose 100 TB plumbing was
 already real; now JPEG payloads decode for real too.
 
 Scope (asserted, not implied):
   * encode: 8-bit greyscale or RGB, 4:4:4 (no subsampling), standard
     Annex-K quantization tables scaled by the IJG quality formula,
-    standard Annex-K Huffman tables, optional restart intervals.
-  * decode: baseline SOF0 only (SOF2 progressive raises), 8-bit, 1- or
-    3-component, arbitrary sampling factors up to 2x2 (replication
-    upsample), multi-table DQT/DHT segments, 16-bit quant precision,
+    standard Annex-K Huffman tables, optional restart intervals;
+    interleaved, one-scan-per-component, or PROGRESSIVE (SOF2,
+    libjpeg-style DC/AC spectral-selection + successive-approximation
+    scan script) layouts.
+  * decode: baseline SOF0/SOF1 and progressive SOF2 (all four scan
+    kinds: DC/AC first/refinement with EOBn end-of-band runs), 8-bit,
+    1- or 3-component, arbitrary sampling factors up to 2x2
+    (replication upsample), interleaved and non-interleaved multi-scan
+    layouts, multi-table DQT/DHT segments, 16-bit quant precision,
     DRI/RSTn restart markers, 0xFF00 byte unstuffing.
 
 The tables are written into DQT/DHT segments, so encoder and decoder
@@ -274,11 +279,18 @@ def encode_jpeg(
     quality: int = 85,
     restart_interval: int = 0,
     interleave: bool = True,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4).
 
     ``interleave=False`` emits one scan per component (legal baseline
-    multi-scan layout) instead of the usual single interleaved scan."""
+    multi-scan layout) instead of the usual single interleaved scan.
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script
+    (DC first at Al=1, spectral-selection AC first scans, successive-
+    approximation AC+DC refinement passes) — end-of-band runs are
+    emitted as EOB0 only, so the standard Huffman tables suffice. The
+    quantized coefficients are identical to the sequential encoding,
+    so decode output is bit-identical across all three layouts."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise JpegFormatError("encode_jpeg expects (h,w)[,3] uint8")
     if img.ndim == 3 and img.shape[2] != 3:
@@ -387,7 +399,140 @@ def encode_jpeg(
         out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    if interleave or grey:
+    if progressive:
+        if restart_interval:
+            raise JpegFormatError(
+                "progressive encoder does not support restart markers"
+            )
+        # rewrite the SOF marker emitted above from SOF0 to SOF2
+        sof_at = bytes(out).rindex(b"\xff\xc0")
+        out[sof_at + 1] = 0xC2
+
+        def _emit_dc_first(comp_indices, al):
+            bw = _BitWriter()
+            pred = {ci: 0 for ci in comp_indices}
+            for b in range(n_blocks):
+                for ci in comp_indices:
+                    t = 0 if ci == 0 else 1
+                    v = int(coef[ci][b][0]) >> al  # arithmetic shift (T.81 DC)
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    size = _category(diff)
+                    code, length = dc_codes[t][size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(_mag_bits(diff, size), size)
+            bw.flush()
+            return bytes(bw.out)
+
+        def _emit_dc_refine(comp_indices, al):
+            bw = _BitWriter()
+            for b in range(n_blocks):
+                for ci in comp_indices:
+                    bw.write((int(coef[ci][b][0]) >> al) & 1, 1)
+            bw.flush()
+            return bytes(bw.out)
+
+        def _emit_ac_first(ci, ss, se, al):
+            t = 0 if ci == 0 else 1
+            bw = _BitWriter()
+            for b in range(n_blocks):
+                row = coef[ci][b]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(row[k])
+                    # AC point transform shifts the MAGNITUDE (libjpeg)
+                    v = -((-v) >> al) if v < 0 else v >> al
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = ac_codes[t][0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    size = _category(v)
+                    code, length = ac_codes[t][(r << 4) | size]
+                    bw.write(code, length)
+                    bw.write(_mag_bits(v, size), size)
+                    r = 0
+                if r:  # EOB0 per block — no EOBn symbols needed
+                    code, length = ac_codes[t][0x00]
+                    bw.write(code, length)
+            bw.flush()
+            return bytes(bw.out)
+
+        def _emit_ac_refine(ci, ss, se, al):
+            t = 0 if ci == 0 else 1
+            bw = _BitWriter()
+            for b in range(n_blocks):
+                row = coef[ci][b]
+                ab = [
+                    ((-int(row[k])) >> al if row[k] < 0 else int(row[k]) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                eob = ss - 1
+                for k in range(ss, se + 1):
+                    if ab[k - ss] == 1:
+                        eob = k
+                r = 0
+                br = []
+                for k in range(ss, se + 1):
+                    temp = ab[k - ss]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        code, length = ac_codes[t][0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br = []
+                    if temp > 1:
+                        # correction bit for an already-nonzero coefficient
+                        br.append(temp & 1)
+                        continue
+                    # newly nonzero at this approximation level
+                    code, length = ac_codes[t][(r << 4) | 1]
+                    bw.write(code, length)
+                    r = 0
+                    bw.write(1 if int(row[k]) >= 0 else 0, 1)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                if r > 0 or br:
+                    code, length = ac_codes[t][0x00]  # EOB0
+                    bw.write(code, length)
+                    for bit in br:
+                        bw.write(bit, 1)
+            bw.flush()
+            return bytes(bw.out)
+
+        def _sos(comp_specs, ss, se, ah, al):
+            hdr = bytes([len(comp_specs)])
+            for ci in comp_specs:
+                t = 0 if ci == 0 else 1
+                hdr += bytes([ci + 1, (t << 4) | t])
+            hdr += bytes([ss, se, (ah << 4) | al])
+            return _seg(0xDA, hdr)
+
+        every = list(range(ncomp))
+        out += _sos(every, 0, 0, 0, 1) + _emit_dc_first(every, 1)
+        if grey:
+            out += _sos([0], 1, 63, 0, 1) + _emit_ac_first(0, 1, 63, 1)
+            out += _sos(every, 0, 0, 1, 0) + _emit_dc_refine(every, 0)
+            out += _sos([0], 1, 63, 1, 0) + _emit_ac_refine(0, 1, 63, 0)
+        else:
+            out += _sos([0], 1, 5, 0, 2) + _emit_ac_first(0, 1, 5, 2)
+            out += _sos([1], 1, 63, 0, 1) + _emit_ac_first(1, 1, 63, 1)
+            out += _sos([2], 1, 63, 0, 1) + _emit_ac_first(2, 1, 63, 1)
+            out += _sos([0], 6, 63, 0, 2) + _emit_ac_first(0, 6, 63, 2)
+            out += _sos([0], 1, 63, 2, 1) + _emit_ac_refine(0, 1, 63, 1)
+            out += _sos(every, 0, 0, 1, 0) + _emit_dc_refine(every, 0)
+            out += _sos([1], 1, 63, 1, 0) + _emit_ac_refine(1, 1, 63, 0)
+            out += _sos([2], 1, 63, 1, 0) + _emit_ac_refine(2, 1, 63, 0)
+            out += _sos([0], 1, 63, 1, 0) + _emit_ac_refine(0, 1, 63, 0)
+    elif interleave or grey:
         sos = bytes([ncomp])
         for ci in range(ncomp):
             tid = 0 if ci == 0 else 1
@@ -542,6 +687,243 @@ def _scan_spans(data: bytes, start: int) -> tuple[list[bytes], int, int]:
     raise JpegFormatError("truncated entropy data (no terminating marker)")
 
 
+def _decode_prog_scan(
+    spans: list[bytes],
+    scan: list,
+    coefs: list[list],
+    grid_w: list[int],
+    n_mcus: int,
+    sub_w: int | None,
+    mcux: int,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    luts: list,
+) -> None:
+    """Entropy-decode ONE progressive scan (T.81 G.1.2) in place.
+
+    Four scan kinds, selected by (ss, ah): DC first (ss==0, ah==0 —
+    diff-coded, point-transformed by ``<< al``), DC refinement (ss==0,
+    ah>0 — one raw bit per data unit), AC first (ss>0, ah==0 — run/size
+    coding with EOBn end-of-band runs), AC refinement (ss>0, ah>0 —
+    newly-nonzero ±1 symbols interleaved with correction bits for
+    coefficients already nonzero at a coarser level; the libjpeg
+    jdphuff semantics). ``coefs[si]`` is the si-th scan component's
+    block-row list, shared with other scans of the same component —
+    values accumulate across the whole scan script.
+    """
+    ns = len(scan)
+    pred = [0] * ns
+    eobrun = 0
+    span_idx = 0
+    buf = spans[0]
+    buf_n = len(buf)
+    bpos = 0
+    acc = 0
+    nbits = 0
+    _MASK = [(1 << i) - 1 for i in range(40)]
+    p1 = 1 << al
+    m1 = -p1
+    dc_first = ss == 0 and ah == 0
+    dc_refine = ss == 0 and ah != 0
+    ac_first = ss != 0 and ah == 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if bpos * 8 - nbits > buf_n * 8:
+                raise JpegFormatError("truncated entropy data")
+            span_idx += 1
+            if span_idx >= len(spans):
+                raise JpegFormatError("expected RSTn marker")
+            buf = spans[span_idx]
+            buf_n = len(buf)
+            bpos = 0
+            acc = 0
+            nbits = 0
+            pred = [0] * ns
+            eobrun = 0
+        if sub_w is None:
+            my, mx = divmod(mcu, mcux)
+            slots = []
+            for si in range(ns):
+                comp = scan[si][0]
+                gw = grid_w[si]
+                for by in range(comp["v"]):
+                    base = (my * comp["v"] + by) * gw + mx * comp["h"]
+                    for bx in range(comp["h"]):
+                        slots.append((si, base + bx))
+        else:
+            sy, sx = divmod(mcu, sub_w)
+            slots = ((0, sy * grid_w[0] + sx),)
+        for si, bi in slots:
+            row = coefs[si][bi]
+            if dc_first:
+                dct = luts[si]
+                while nbits < 16:
+                    acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                    bpos += 1
+                    nbits += 8
+                v = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                if v < 0:
+                    raise JpegFormatError("invalid huffman code in entropy data")
+                nbits -= v & 31
+                size = v >> 5
+                if size:
+                    while nbits < size:
+                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                        bpos += 1
+                        nbits += 8
+                    nbits -= size
+                    mag = (acc >> nbits) & _MASK[size]
+                    pred[si] += (
+                        mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                    )
+                acc &= _MASK[nbits]
+                row[0] = pred[si] << al
+            elif dc_refine:
+                if nbits < 1:
+                    acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                    bpos += 1
+                    nbits += 8
+                nbits -= 1
+                if (acc >> nbits) & 1:
+                    row[0] |= p1
+                acc &= _MASK[nbits]
+            elif ac_first:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                act = luts[si]
+                k = ss
+                while k <= se:
+                    while nbits < 16:
+                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                        bpos += 1
+                        nbits += 8
+                    v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                    if v < 0:
+                        raise JpegFormatError("invalid huffman code in entropy data")
+                    nbits -= v & 31
+                    rs = v >> 5
+                    r = rs >> 4
+                    sz = rs & 0x0F
+                    if sz == 0:
+                        if r == 15:  # ZRL
+                            acc &= _MASK[nbits]
+                            k += 16
+                            continue
+                        if r:  # EOBn: run of 2^r + ext-bits blocks (incl. this)
+                            while nbits < r:
+                                acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                                bpos += 1
+                                nbits += 8
+                            nbits -= r
+                            eobrun = (1 << r) - 1 + ((acc >> nbits) & _MASK[r])
+                        acc &= _MASK[nbits]
+                        break
+                    k += r
+                    if k > se:
+                        raise JpegFormatError("AC index overflow")
+                    while nbits < sz:
+                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                        bpos += 1
+                        nbits += 8
+                    nbits -= sz
+                    mag = (acc >> nbits) & _MASK[sz]
+                    acc &= _MASK[nbits]
+                    val = mag if mag >= (1 << (sz - 1)) else mag - (1 << sz) + 1
+                    row[k] = val << al
+                    k += 1
+            else:  # AC refinement
+                act = luts[si]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        while nbits < 16:
+                            acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                            bpos += 1
+                            nbits += 8
+                        v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        if v < 0:
+                            raise JpegFormatError(
+                                "invalid huffman code in entropy data"
+                            )
+                        nbits -= v & 31
+                        rs = v >> 5
+                        r = rs >> 4
+                        sz = rs & 0x0F
+                        acc &= _MASK[nbits]
+                        if sz == 0:
+                            if r < 15:  # EOBn (no decrement yet)
+                                if r:
+                                    while nbits < r:
+                                        acc = (acc << 8) | (
+                                            buf[bpos] if bpos < buf_n else 0
+                                        )
+                                        bpos += 1
+                                        nbits += 8
+                                    nbits -= r
+                                    eobrun = (1 << r) + ((acc >> nbits) & _MASK[r])
+                                    acc &= _MASK[nbits]
+                                else:
+                                    eobrun = 1
+                                break
+                            val = 0  # ZRL: 16 zero-history positions
+                        else:
+                            if sz != 1:
+                                raise JpegFormatError(
+                                    "invalid refinement run/size symbol"
+                                )
+                            if nbits < 1:
+                                acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                                bpos += 1
+                                nbits += 8
+                            nbits -= 1
+                            val = p1 if (acc >> nbits) & 1 else m1
+                            acc &= _MASK[nbits]
+                        # advance over r zero-HISTORY positions, reading a
+                        # correction bit for every nonzero coefficient passed
+                        while k <= se:
+                            cur = row[k]
+                            if cur != 0:
+                                if nbits < 1:
+                                    acc = (acc << 8) | (
+                                        buf[bpos] if bpos < buf_n else 0
+                                    )
+                                    bpos += 1
+                                    nbits += 8
+                                nbits -= 1
+                                if (acc >> nbits) & 1 and not (cur & p1):
+                                    row[k] = cur + (p1 if cur >= 0 else m1)
+                                acc &= _MASK[nbits]
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            row[k] = val
+                        k += 1
+                if eobrun:
+                    # rest of the band: correction bits only, then count down
+                    while k <= se:
+                        cur = row[k]
+                        if cur != 0:
+                            if nbits < 1:
+                                acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
+                                bpos += 1
+                                nbits += 8
+                            nbits -= 1
+                            if (acc >> nbits) & 1 and not (cur & p1):
+                                row[k] = cur + (p1 if cur >= 0 else m1)
+                            acc &= _MASK[nbits]
+                        k += 1
+                    eobrun -= 1
+        if bpos * 8 - nbits > buf_n * 8:
+            raise JpegFormatError("truncated entropy data")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """baseline JFIF bytes -> (h, w) or (h, w, 3) uint8.
 
@@ -577,6 +959,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     coefs_by_comp: list[list] | None = None
     qts_by_comp: list | None = None
     scanned: set[int] = set()
+    progressive = False
+    dc_done: set[int] = set()
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
@@ -622,20 +1006,22 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     # allows 0..11 — a hostile byte here would otherwise
                     # index past _MASK in the entropy loop
                     raise JpegFormatError("DC huffman value out of range")
-                if cls == 1 and any(
+                # AC run/size symbols with size==0 beyond EOB (0x00) and
+                # ZRL (0xF0) are EOBn end-of-band runs — meaningful ONLY in
+                # progressive scans; a baseline scan using such a table is
+                # rejected at table-resolution time (it would reach
+                # `1 << (size - 1)` with size=0 in the sequential loop)
+                eobn = cls == 1 and any(
                     (v & 0x0F) == 0 and v not in (0x00, 0xF0) for v in vals
-                ):
-                    # AC run/size symbols with size==0 are only defined for
-                    # EOB (0x00) and ZRL (0xF0); anything else would reach
-                    # `1 << (size - 1)` with size=0 in the entropy loop
-                    raise JpegFormatError("AC huffman run/size symbol undefined")
-                hspecs[(cls, tid)] = (bits, vals)
+                )
+                hspecs[(cls, tid)] = (bits, vals, eobn)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise JpegFormatError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise JpegFormatError("truncated SOF segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -654,9 +1040,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid}
                 )
             frame = (h, w, ncomp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"unsupported JPEG process (marker 0xFF{marker:02X}); baseline only"
+                f"unsupported JPEG process (marker 0xFF{marker:02X}); "
+                "baseline/progressive only"
             )
         elif marker == 0xDA:  # SOS -> entropy decode (one of possibly many)
             if frame is None:
@@ -664,8 +1051,24 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             if len(body) < 1:
                 raise JpegFormatError("truncated SOS segment")
             ns = body[0]
-            if ns < 1 or len(body) < 1 + 2 * ns:
+            if ns < 1 or len(body) < 1 + 2 * ns + 3:
                 raise JpegFormatError("truncated SOS segment")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if progressive:
+                # validate the spectral-selection / approximation header
+                if ss == 0:
+                    if se != 0:
+                        raise JpegFormatError("DC progressive scan must have se=0")
+                else:
+                    if ns != 1:
+                        raise JpegFormatError(
+                            "progressive AC scan must cover one component"
+                        )
+                    if not (ss <= se <= 63):
+                        raise JpegFormatError("bad spectral selection range")
+                if al > 13:
+                    raise JpegFormatError("bad successive approximation Al")
             scan = []
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
@@ -673,9 +1076,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 if comp is None:
                     raise JpegFormatError(f"SOS references unknown component {cid}")
                 ci = comps.index(comp)
-                if ci in scanned:
-                    raise JpegFormatError(f"component {cid} scanned twice")
-                scanned.add(ci)
+                if not progressive:
+                    if ci in scanned:
+                        raise JpegFormatError(f"component {cid} scanned twice")
+                    scanned.add(ci)
+                elif ss == 0 and ah == 0:
+                    dc_done.add(ci)
                 scan.append((comp, ci, tids >> 4, tids & 0x0F))
             h, w, ncomp = frame
             if geo is None:
@@ -686,21 +1092,50 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 ):
                     raise JpegFormatError("sampling factors beyond 2x2 unsupported")
                 geo = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
-                coefs_by_comp = [
-                    [None] * (geo[2] * c["h"] * geo[3] * c["v"]) for c in comps
-                ]
+                if progressive:
+                    # rows allocated eagerly: progressive scans REFINE
+                    # coefficients in place across the whole scan script
+                    coefs_by_comp = [
+                        [
+                            [0] * 64
+                            for _ in range(geo[2] * c["h"] * geo[3] * c["v"])
+                        ]
+                        for c in comps
+                    ]
+                else:
+                    coefs_by_comp = [
+                        [None] * (geo[2] * c["h"] * geo[3] * c["v"])
+                        for c in comps
+                    ]
                 qts_by_comp = [None] * ncomp
             hmax, vmax, mcux, mcuy = geo
 
-            # resolve tables + build the 16-bit-peek LUTs once per scan
+            # resolve tables + build the 16-bit-peek LUTs once per scan.
+            # Baseline needs DC+AC per component; progressive DC-first
+            # needs only DC, DC-refine none, AC scans only AC.
+            need_dc = (not progressive) or (ss == 0 and ah == 0)
+            need_ac = (not progressive) or ss != 0
             luts = []
             for comp, ci, dc_id, ac_id in scan:
-                dc_spec = hspecs.get((0, dc_id))
-                ac_spec = hspecs.get((1, ac_id))
                 qt = qtabs.get(comp["q"])
-                if dc_spec is None or ac_spec is None or qt is None:
+                if qt is None:
                     raise JpegFormatError("missing huffman/quant table")
-                luts.append((_fast_lut(*dc_spec), _fast_lut(*ac_spec)))
+                dc_lut = ac_lut = None
+                if need_dc:
+                    dc_spec = hspecs.get((0, dc_id))
+                    if dc_spec is None:
+                        raise JpegFormatError("missing huffman/quant table")
+                    dc_lut = _fast_lut(dc_spec[0], dc_spec[1])
+                if need_ac:
+                    ac_spec = hspecs.get((1, ac_id))
+                    if ac_spec is None:
+                        raise JpegFormatError("missing huffman/quant table")
+                    if ac_spec[2] and not progressive:
+                        raise JpegFormatError(
+                            "AC huffman run/size symbol undefined in baseline"
+                        )
+                    ac_lut = _fast_lut(ac_spec[0], ac_spec[1])
+                luts.append((dc_lut, ac_lut))
                 qts_by_comp[ci] = qt
 
             spans, term_pos, _term_marker = _scan_spans(data, pos + seglen)
@@ -720,6 +1155,25 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 chh = -(-h * comp0["v"] // vmax)
                 sub_w = -(-cw // 8)
                 n_mcus = sub_w * -(-chh // 8)
+
+            if progressive:
+                _decode_prog_scan(
+                    spans,
+                    scan,
+                    [coefs_by_comp[ci] for _c, ci, _d, _a in scan],
+                    grid_w,
+                    n_mcus,
+                    sub_w,
+                    mcux,
+                    restart_interval,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    [dc if ss == 0 else ac for dc, ac in luts],
+                )
+                pos = term_pos
+                continue
 
             # pass 1: entropy-decode every block's zigzag coefficients.
             # The bit reader is INLINED as local-int arithmetic: at
@@ -849,9 +1303,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     # over every block of every component, stitch planes, upsample, crop
     if coefs_by_comp is None:
         raise JpegFormatError("no SOS scan found")
-    if len(scanned) != len(comps):
+    covered = dc_done if progressive else scanned
+    if len(covered) != len(comps):
         raise JpegFormatError(
-            f"missing scans: {len(scanned)} of {len(comps)} components coded"
+            f"missing scans: {len(covered)} of {len(comps)} components coded"
         )
     h, w, ncomp = frame
     hmax, vmax, mcux, mcuy = geo

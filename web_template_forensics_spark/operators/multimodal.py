@@ -6,8 +6,9 @@ dependency-free across all three modalities:
 
   * image — PNG via functions/png_codec.py (stdlib zlib + numpy, all
     five scanline filters, grey/RGB/palette/alpha, CRC-verified) and
-    baseline JPEG via functions/jpeg_codec.py (SOF0, 1/3 components,
-    sampling factors to 2x2, restart markers, interleaved or
+    JPEG via functions/jpeg_codec.py (baseline SOF0 AND progressive
+    SOF2 incl. successive approximation, 1/3 components, sampling
+    factors to 2x2, restart markers, interleaved or
     one-scan-per-component multi-scan layouts);
   * audio — RIFF/WAVE via functions/wav_codec.py (8/16/24/32-bit PCM
     and 32/64-bit IEEE float, any channel count, chunk-order tolerant);
@@ -15,8 +16,8 @@ dependency-free across all three modalities:
     of multipart camera streams and AVI 'MJPG') via structural framing
     in functions/jpeg_codec.iter_jpeg_frames + per-frame JPEG decode.
 
-Remaining formats (progressive JPEG, WebP, compressed audio,
-MP4/H.264) still need libraries absent from this container:
+Remaining formats (WebP, compressed audio, MP4/H.264) still need
+libraries absent from this container:
 
   * for such payloads ``decode_image`` raises ``NotImplementedError``
     unless ``fake=True``, in which case a deterministic fake decoder
@@ -59,9 +60,9 @@ class UnsupportedVariantError(ValueError):
     the bare ``NotImplementedError`` from ``decode_image(fake=False)``
     on an unrecognized format — the honest "no codec at all" seam —
     keeps propagating loudly. As of the full-coverage PNG decoder
-    (every legal depth + Adam7) no shipped codec path raises it;
-    progressive JPEG is rejected as JpegFormatError (also a
-    ValueError). The wrapper stays as the contract for future codecs."""
+    (every legal depth + Adam7) and the baseline+progressive JPEG
+    decoder no shipped codec path raises it; the wrapper stays as the
+    contract for future codecs."""
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, feat array<float>, "
@@ -78,8 +79,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     palette/alpha) and functions/jpeg_codec.py (numpy huffman + IDCT,
     SOF0 baseline, sampling to 2x2, restart markers) — then normalized
     to 3 channels (grey replicated, alpha dropped: the downstream
-    features are RGB statistics). Remaining formats (progressive JPEG,
-    WebP, …) still need Pillow/opencv, absent in this container, and
+    features are RGB statistics). Remaining formats (WebP, …) still
+    need Pillow/opencv, absent in this container, and
     raise ``NotImplementedError`` unless ``fake=True`` selects the
     deterministic stub decoder (seeded from the bytes — same shapes and
     dtypes a real decoder would emit). ``fake`` is a fallback permission
@@ -110,7 +111,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return img
     if not fake:
         raise NotImplementedError(
-            "image codecs beyond PNG/baseline-JPEG (Pillow/opencv) are not "
+            "image codecs beyond PNG/JPEG (Pillow/opencv) are not "
             "available in this environment; pass fake=True for the "
             "deterministic stub decoder"
         )
@@ -203,9 +204,9 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
         payload = bytes(r.payload) if r.payload is not None else b""
         if r.kind == "image":
             # Same per-row rule as audio/video: a sniffed-but-corrupt
-            # PNG/JPEG (truncated entropy, bad CRC) AND a valid-but-
-            # unsupported variant (progressive JPEG; any future
-            # UnsupportedVariantError — all ValueError-family) degrade
+            # PNG/JPEG (truncated entropy, bad CRC) AND any future
+            # valid-but-unsupported variant (UnsupportedVariantError,
+            # ValueError-family) degrade
             # to the byte histogram; only the bare NotImplementedError
             # from the fake=False no-codec seam propagates loudly.
             try:
