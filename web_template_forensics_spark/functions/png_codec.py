@@ -347,11 +347,14 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, level: int = 6, interlace: bool = False
+) -> bytes:
     """(h, w) or (h, w, c) uint8 -> PNG bytes (c in {1, 2, 3, 4});
     ``filter_type`` (0-4) is applied to every scanline — the encoder's
     round-trip through ``decode_png`` is exact for any choice, which is
-    what the filter-coverage tests exploit."""
+    what the filter-coverage tests exploit. ``interlace=True`` writes
+    Adam7: each pass is an independently-filtered sub-image."""
     img = np.ascontiguousarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_png expects uint8")
@@ -362,8 +365,22 @@ def encode_png(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     colour = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colour, 0, 0, 0)
-    raw = _filter_rows(img.reshape(h, w * ch), ch, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colour, 0, 0, int(interlace))
+    img3 = img.reshape(h, w, ch)
+    if interlace:
+        raw = b"".join(
+            _filter_rows(
+                np.ascontiguousarray(img3[y0::dy, x0::dx]).reshape(
+                    -(-(h - y0) // dy), -(-(w - x0) // dx) * ch
+                ),
+                ch,
+                filter_type,
+            )
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx and (h - y0 + dy - 1) // dy
+        )
+    else:
+        raw = _filter_rows(img3.reshape(h, w * ch), ch, filter_type)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -11,12 +11,15 @@ oracle gate:
 
 * ``fixture_corpus()`` — a seeded, fully deterministic set covering all
   three modalities: images (greyscale / grey+alpha / RGB / RGBA PNG
-  across all five scanline filters; greyscale + RGB baseline JPEG
-  across quality levels, non-multiple-of-8 sizes, and restart
-  intervals), audio (RIFF/WAVE PCM, 8/16-bit, mono/stereo), and video
+  across all five scanline filters, plus Adam7-interlaced, 16-bit and
+  1/2/4-bit-depth grey/palette variants; greyscale + RGB JPEG across
+  quality levels, non-multiple-of-8 sizes, restart intervals, and the
+  progressive + non-interleaved multi-scan layouts), audio (RIFF/WAVE
+  PCM 8/16/24/32-bit and IEEE-float 32/64-bit, mono/stereo), and video
   (Motion JPEG streams, including one longer than the operator's
-  frame-sampling cap), all encoded to real container bytes by the
-  package's own encoders.
+  frame-sampling cap and one of progressive frames), all encoded to
+  real container bytes by the package's own encoders or minimal
+  in-module writers for the decode-only formats.
 
 * ``expected_feature_micros(row)`` — the INDEPENDENT recomputation of
   the operator's features, micro-quantized to exact integers so the
@@ -48,11 +51,14 @@ from __future__ import annotations
 
 import hashlib
 import math
+import zlib
 
 import numpy as np
 
+import struct
+
 from ..functions.jpeg_codec import decode_jpeg, encode_jpeg, encode_mjpeg
-from ..functions.png_codec import encode_png
+from ..functions.png_codec import PNG_SIGNATURE, _chunk as _png_chunk, encode_png
 from ..functions.wav_codec import encode_wav
 
 FIXTURE_SEED = 20250817
@@ -96,6 +102,61 @@ _MJPEG_SPECS = [
     (4, 16, 16, 90),
     (10, 12, 20, 80),
 ]
+
+
+def _png_16bit(img: np.ndarray) -> bytes:
+    """8-bit truth upsampled to a 16-bit PNG via v*257 (the exact inverse
+    of the decoder's high-byte downsample), filter 0."""
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    colour = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    u16 = (img.reshape(h, w * ch).astype(np.uint16) * 257).astype(">u2")
+    raw = b"".join(b"\x00" + u16[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, colour, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_low_depth(vals: np.ndarray, depth: int, palette: np.ndarray | None) -> bytes:
+    """1/2/4-bit grey (palette=None) or palette PNG, filter 0, MSB-first
+    bit packing."""
+    h, w = vals.shape
+    per_byte = 8 // depth
+    raw = b""
+    for y in range(h):
+        v = vals[y]
+        pad = (-len(v)) % per_byte
+        v = np.concatenate([v, np.zeros(pad, dtype=v.dtype)])
+        byts = np.zeros(len(v) // per_byte, dtype=np.uint8)
+        for j in range(per_byte):
+            byts |= v[j::per_byte].astype(np.uint8) << (8 - depth * (j + 1))
+        raw += b"\x00" + byts.tobytes()
+    colour = 0 if palette is None else 3
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colour, 0, 0, 0)
+    png = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", palette.tobytes())
+    return (
+        png
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _wav_raw(tag: int, bits: int, data: bytes, ch: int, rate: int) -> bytes:
+    """Manual RIFF/WAVE writer for the decode-only formats (float,
+    24/32-bit PCM) the package encoder doesn't emit."""
+    block = (bits // 8) * ch
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def _normalize_rgb(img: np.ndarray) -> np.ndarray:
@@ -195,6 +256,115 @@ def fixture_corpus() -> list[dict]:
             }
         )
         mid += 1
+
+    # ---- variant coverage (late round 5): every decode path the codecs
+    # gained after the base corpus — PNG Adam7/16-bit/low-depth, JPEG
+    # progressive + non-interleaved multi-scan, WAV float/24/32-bit PCM,
+    # and an MJPEG stream of progressive frames.
+    def _img_row(codec: str, payload: bytes, truth: np.ndarray | None):
+        nonlocal mid
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": "image",
+                "codec": codec,
+                "payload": payload,
+                "expected_rgb": None if truth is None else _normalize_rgb(truth),
+                "expected_samples": None,
+            }
+        )
+        mid += 1
+
+    adam7 = _smooth_or_noise(rng, (13, 21, 3), smooth=False)
+    _img_row("png", encode_png(adam7, filter_type=3, interlace=True), adam7)
+    deep = _smooth_or_noise(rng, (11, 14, 3), smooth=True)
+    _img_row("png", _png_16bit(deep), deep)  # high-byte downsample == truth
+    g4 = rng.randint(0, 16, size=(10, 13)).astype(np.uint8)
+    # decoder scales depth-4 grey to full range: v * 255 // 15 == v * 17
+    _img_row("png", _png_low_depth(g4, 4, None), (g4 * 17).astype(np.uint8))
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    idx2 = rng.randint(0, 4, size=(9, 8)).astype(np.uint8)
+    _img_row("png", _png_low_depth(idx2, 2, pal), pal[idx2])
+    prog = _smooth_or_noise(rng, (26, 35, 3), smooth=False)
+    _img_row("jpeg", encode_jpeg(prog, quality=85, progressive=True), None)
+    pg = _smooth_or_noise(rng, (21, 18), smooth=True)
+    _img_row("jpeg", encode_jpeg(pg, quality=90, progressive=True), None)
+    msc = _smooth_or_noise(rng, (17, 25, 3), smooth=False)
+    _img_row("jpeg", encode_jpeg(msc, quality=80, interleave=False), None)
+
+    # WAV decode-only formats, all generated on lossless grids so the
+    # pre-encoding int16 truth predicts the decode exactly
+    i16 = rng.randint(-32768, 32768, size=(400, 2)).astype(np.int16)
+    f32 = (i16.astype(np.float64) / 32767.0).astype("<f4")
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "audio",
+            "codec": "wav",
+            "payload": _wav_raw(0x0003, 32, f32.tobytes(), 2, 16000),
+            "expected_rgb": None,
+            "expected_samples": i16,
+        }
+    )
+    mid += 1
+    i16b = rng.randint(-32768, 32768, size=(300, 1)).astype(np.int16)
+    f64 = i16b.astype(np.float64) / 32767.0
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "audio",
+            "codec": "wav",
+            "payload": _wav_raw(0x0003, 64, f64.astype("<f8").tobytes(), 1, 8000),
+            "expected_rgb": None,
+            "expected_samples": i16b,
+        }
+    )
+    mid += 1
+    i16c = rng.randint(-32768, 32768, size=(256, 1)).astype(np.int16)
+    d24 = b"".join(
+        int(v << 8).to_bytes(3, "little", signed=True) for v in i16c[:, 0].tolist()
+    )
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "audio",
+            "codec": "wav",
+            "payload": _wav_raw(0x0001, 24, d24, 1, 22050),
+            "expected_rgb": None,
+            "expected_samples": i16c,
+        }
+    )
+    mid += 1
+    i16d = rng.randint(-32768, 32768, size=(200, 2)).astype(np.int16)
+    d32 = (i16d.astype(np.int32) << 16).astype("<i4").tobytes()
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "audio",
+            "codec": "wav",
+            "payload": _wav_raw(0x0001, 32, d32, 2, 44100),
+            "expected_rgb": None,
+            "expected_samples": i16d,
+        }
+    )
+    mid += 1
+
+    pframes = [
+        _smooth_or_noise(rng, (16, 16, 3), smooth=j % 2 == 0) for j in range(5)
+    ]
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "video",
+            "codec": "mjpeg",
+            "payload": b"".join(
+                encode_jpeg(f, quality=85, progressive=True) for f in pframes
+            ),
+            "expected_rgb": None,
+            "expected_samples": None,
+        }
+    )
+    mid += 1
     return rows
 
 
