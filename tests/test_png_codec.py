@@ -318,6 +318,50 @@ def test_media_features_real_png_on_cluster(spark):
 
 
 # ---------------------------------------------------------------------------
+# Adam7 ENCODER (encode_png(interlace=True)) — the decoder tests above
+# construct interlaced bytes independently; these pin the encoder's own
+# pass ordering / empty-pass skip against both faces.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (1, 8), (8, 1), (2, 2), (3, 5), (7, 7), (13, 21), (16, 17)]
+)
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_encode_interlaced_roundtrips(shape, ch):
+    """Every pass subset (several are EMPTY at the small sizes) encodes
+    and decodes back to the exact pixels, for every channel count."""
+    h, w = shape
+    img = _rand_img(h, w, ch, seed=h * 131 + w * 7 + ch)
+    out = decode_png(encode_png(img, filter_type=4, interlace=True))
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_encode_interlaced_matches_spec_interlacer():
+    """At filter 0 the encoder's IDAT must equal the INDEPENDENT
+    spec-grid interlacer byte-for-byte — pins pass order and the
+    skip-empty-pass rule, not just round-trip consistency."""
+    for h, w, ch, colour in [(13, 21, 3, 2), (1, 5, 1, 0), (6, 1, 4, 6), (3, 3, 2, 4)]:
+        img = _rand_img(h, w, ch, seed=h + w + ch)
+        got = encode_png(img, filter_type=0, interlace=True)
+        want = _manual_png(w, h, 8, colour, _interlaced_raw(img), interlace=1)
+        assert zlib.decompress(_idat_body(got)) == zlib.decompress(_idat_body(want))
+        assert (decode_png(got) == img).all()
+
+
+def _idat_body(png: bytes) -> bytes:
+    """Concatenated IDAT chunk payloads of a PNG byte string."""
+    pos, out = len(PNG_SIGNATURE), b""
+    while pos + 8 <= len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            out += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    return out
+
+
+# ---------------------------------------------------------------------------
 # hypothesis properties
 # ---------------------------------------------------------------------------
 
@@ -331,11 +375,12 @@ from hypothesis import strategies as st
     w=st.integers(1, 13),
     c=st.sampled_from([1, 2, 3, 4]),
     ft=st.integers(0, 4),
+    inter=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_png_roundtrip_property(h, w, c, ft, seed):
+def test_png_roundtrip_property(h, w, c, ft, inter, seed):
     img = _rand_img(h, w, c, seed)
-    out = decode_png(encode_png(img, filter_type=ft))
+    out = decode_png(encode_png(img, filter_type=ft, interlace=inter))
     assert out.shape == img.shape and (out == img).all()
 
 
