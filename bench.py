@@ -276,6 +276,52 @@ def main() -> None:
     cascade_pairs_per_sec = round(n_reports / cascade_wall, 1)
     cascade_pairs_per_sec_cold = round(n_reports / cascade_cold, 1)
 
+    # media-decode throughput (round 5: the codecs are real now, so the
+    # multimodal path gets a perf number like everything else): N rows of
+    # genuinely encoded PNG/JPEG/WAV/MJPEG generated distributed once to
+    # a parquet cache (excluded from the measured window); the measured
+    # job is read -> mapInPandas decode + features -> count. JPEG decode
+    # dominates (~10 ms per 48x64 image, MJPEG = several per row).
+    from pyspark.sql import functions as F
+
+    from web_template_forensics_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from web_template_forensics_spark.sources.media import build_media_df
+
+    media_rows = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA", "6000"))
+    media_path = os.path.join(repo, ".bench_data", f"media_{media_rows}")
+    if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
+        print(f"# generating {media_rows} media rows to {media_path}", file=sys.stderr)
+        build_media_df(spark, media_rows, seed=42).write.mode("overwrite").parquet(
+            media_path
+        )
+    media_mb = round(
+        spark.read.parquet(media_path)
+        .agg(F.sum(F.length("payload")))
+        .first()[0]
+        / 1e6,
+        1,
+    )
+    media_wall = float("inf")
+    media_cold = None
+    for rep in range(repeats):
+        media = spark.read.parquet(media_path)
+        t0 = time.perf_counter()
+        n_media = extract_media_features(media, fake_decode=False).count()
+        wall = time.perf_counter() - t0
+        media_wall = min(media_wall, wall)
+        if rep == 0:
+            media_cold = wall
+        print(
+            f"# media_decode[{rep}]: {n_media} rows ({media_mb} MB) in {wall:.1f}s -> "
+            f"{round(n_media / wall, 1)} items/sec, {round(media_mb / wall, 1)} MB/sec",
+            file=sys.stderr,
+        )
+    media_items_per_sec = round(n_media / media_wall, 1)
+    media_items_per_sec_cold = round(n_media / media_cold, 1)
+    media_mb_per_sec = round(media_mb / media_wall, 1)
+
     host_probe_post = _host_probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -296,6 +342,11 @@ def main() -> None:
             "cascade_pairs_per_sec": cascade_pairs_per_sec,
             "cascade_pairs_per_sec_cold": cascade_pairs_per_sec_cold,
             "cascade_pairs": cascade_pairs,
+            "media_items_per_sec": media_items_per_sec,
+            "media_items_per_sec_cold": media_items_per_sec_cold,
+            "media_mb_per_sec": media_mb_per_sec,
+            "media_rows": media_rows,
+            "media_mb": media_mb,
             "cpus": cpus,
             "cpus_requested": cpus_requested,
             "jvm_thread_pathology": jvm_pathology,

@@ -112,6 +112,41 @@ def test_multimodal_feature_extraction(spark):
     assert all(np.array_equal(x, y) for x, y in zip(a.feat, b.feat))
 
 
+def test_build_media_df_real_corpus(spark):
+    """The bench's real-media corpus builder: deterministic across
+    partitionings, every payload decodes for REAL (feature extraction
+    with fake_decode=False produces zero byte-histogram fallbacks:
+    every image row's thumb_mean must equal the per-channel pixel mean
+    of a driver-side decode of the same payload, which a fallback row
+    cannot)."""
+    from web_template_forensics_spark.operators.multimodal import (
+        decode_image,
+        extract_media_features,
+    )
+    from web_template_forensics_spark.sources.media import build_media_df
+
+    df = build_media_df(spark, 36, seed=11, partitions=3)
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == 36
+    # partitioning-independence: same ids -> same bytes at another layout
+    for r in build_media_df(spark, 36, seed=11, partitions=5).collect():
+        assert bytes(r["payload"]) == bytes(rows[r["media_id"]]["payload"])
+    # image metas match a real driver-side decode
+    for r in rows.values():
+        if r["kind"] == "image":
+            img = decode_image(bytes(r["payload"]))
+            assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+    feats = extract_media_features(df, fake_decode=False).collect()
+    assert len(feats) == 36
+    by_id = {f["media_id"]: f for f in feats}
+    for r in rows.values():
+        if r["kind"] == "image":
+            img = decode_image(bytes(r["payload"]))
+            want = img.reshape(-1, 3).mean(axis=0) / 255.0
+            got = np.array(by_id[r["media_id"]]["thumb_mean"], dtype=np.float64)
+            assert np.allclose(got, want, atol=1e-5)  # float32 narrowing only
+
+
 def test_decode_stub_raises_without_fake():
     from web_template_forensics_spark.operators.multimodal import decode_image
 
