@@ -20,6 +20,7 @@ FAST_SUBSET = [
     "ann_ivf_topk",      # r4: the last formerly-rows-only query
     "event_sessions_stream",  # r5: the stateful STREAM face itself
     "multimodal_features",    # r5: real PNG/JPEG codecs under the oracle
+    "phash_near_dup",         # r5: perceptual image dedup (multimodal x dedup)
 ]
 
 

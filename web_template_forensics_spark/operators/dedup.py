@@ -135,6 +135,21 @@ def simhash_near_dup_pairs(
     standard 64-bit simhash operating point, Manku et al. WWW'07);
     larger radii are supported but priced accordingly.
     """
+    sh = df.select(F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("_sh"))
+    return hamming_band_pairs(sh, max_hamming, n_bands)
+
+
+def hamming_band_pairs(
+    hashed: DataFrame, max_hamming: int, n_bands: int | None = None
+) -> DataFrame:
+    """(_id long, _sh long) -> (id_a, id_b, hamming) for every pair
+    within ``max_hamming`` of the 64-bit hash — the banding machinery
+    shared by SimHash (text) and pHash (image) near-dup.
+
+    Pigeonhole-sound: with ``n_bands >= max_hamming + 1`` a pair within
+    the radius must agree on at least one band key, so the band
+    equi-join has exact recall. Verification is JVM-side
+    bit_count(a XOR b). Shuffle carries (id, hash, band) only."""
     if n_bands is None:
         n_bands = max_hamming + 1
     if n_bands < max_hamming + 1:
@@ -157,8 +172,7 @@ def simhash_near_dup_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band_no"), band_val.alias("band_val"))
         )
-    sh = df.select(F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("_sh"))
-    banded = sh.select(
+    banded = hashed.select(
         "_id", "_sh", F.explode(F.array(*band_structs)).alias("band")
     ).select("_id", "_sh", "band.band_no", "band.band_val")
     left = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_no", "band_val")
@@ -173,6 +187,53 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs -> (id_a, id_b, hamming).
+
+    Stage 1 decodes each payload ON EXECUTORS (Arrow-batched
+    ``mapInPandas`` — the expensive, embarrassingly-parallel part) and
+    emits only (id, 64-bit pHash): payload bytes never shuffle, the
+    pairing stage moves 16 bytes/row no matter how large the images
+    are. Stage 2 is the shared pigeonhole banding (exact recall at the
+    radius). Rows whose payload fails to decode are DROPPED from
+    pairing — a corrupt image has no perceptual identity to match on
+    (callers wanting an audit trail join the output back against the
+    input ids). Default radius 6 is comfortably inside the measured
+    operating point: same image re-encoded across JPEG quality
+    70-92/progressive/PNG lands at hamming <= 2 on this package's own
+    codecs, while distinct textures sit >= 20."""
+    import pandas as pd
+
+    from ..functions.image_hash import phash64, phash_to_signed
+    from .multimodal import decode_image
+
+    def op(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for r in pdf[[id_col, payload_col]].itertuples(index=False):
+                try:
+                    img = decode_image(bytes(r[1]))
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(int(r[0]))
+                hs.append(phash_to_signed(phash64(img)))
+            yield pd.DataFrame(
+                {"_id": pd.array(ids, dtype="int64"), "_sh": pd.array(hs, dtype="int64")}
+            )
+
+    hashed = media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(op, "_id long, _sh long")
+    return hamming_band_pairs(hashed, max_hamming, n_bands)
 
 
 def _toks(text_col: str):

@@ -440,3 +440,124 @@ def fixture_oracle_values_sql() -> str:
         + ",\n    ".join(vals)
         + f"\n  ) AS t({cols})"
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup fixture (round 5): the multimodal x dedup graft corpus
+# ---------------------------------------------------------------------------
+
+_PHASH_BASES = 16
+
+
+def textured_image(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
+    """A base-distinctive, JPEG-robust test image: a random full 8x8
+    low-frequency DCT spectrum (so every coefficient the pHash block
+    thresholds carries real signal — none sit at the flip-prone zero
+    median), inverse-transformed and scaled to full range. Same-base
+    re-encodes land at hamming <= 2 while distinct bases sit >= 20 on
+    this package's codecs (measured; pinned in test_image_hash.py)."""
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    basis[0] /= np.sqrt(2.0)
+    spec = np.zeros((n, n))
+    spec[:8, :8] = rng.normal(0.0, 1.0, (8, 8))
+    spec[0, 0] = 0.0
+    img32 = basis.T @ spec @ basis
+    yi = (np.arange(h) * n // h).clip(0, n - 1)
+    xi = (np.arange(w) * n // w).clip(0, n - 1)
+    im = img32[yi[:, None], xi[None, :]]
+    im = (im - im.min()) / max(im.ptp(), 1e-9) * 255.0
+    return np.round(
+        np.stack([np.clip(im + 7.0 * c, 0, 255) for c in range(3)], axis=-1)
+    ).astype(np.uint8)
+
+
+def phash_corpus() -> list[dict]:
+    """Deterministic pHash gate corpus: 16 textured bases x 3 real
+    encodings (PNG across filters, sequential JPEG q85, progressive
+    JPEG q88) + 2 corrupt payloads that the operator must DROP (a
+    truncated PNG and a bare JPEG SOI over junk). Expected pairing:
+    exactly the 3 within-base pairs per base at hamming <= 6, nothing
+    across bases, nothing involving the corrupt rows."""
+    rng = np.random.RandomState(FIXTURE_SEED + 4)
+    rows: list[dict] = []
+    mid = 0
+    for b in range(_PHASH_BASES):
+        img = textured_image(rng, 48 + (b % 3) * 8, 64 - (b % 2) * 8)
+        for payload in (
+            encode_png(img, filter_type=b % 5, interlace=b % 4 == 3),
+            encode_jpeg(img, quality=85),
+            encode_jpeg(img, quality=88, progressive=True),
+        ):
+            rows.append({"media_id": mid, "payload": payload, "base": b})
+            mid += 1
+    rows.append(
+        {"media_id": mid, "payload": b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "base": -1}
+    )
+    mid += 1
+    rows.append({"media_id": mid, "payload": b"\xff\xd8\xffjunkjunk", "base": -1})
+    return rows
+
+
+def phash_corpus_hashes() -> list[tuple[int, int]]:
+    """The Spark-free twin: (media_id, unsigned 64-bit pHash) for every
+    DECODABLE corpus row, by driver-side decode + the same pure-numpy
+    hash (bit-identical to the executor face by image_hash's
+    determinism contract — the same cross-face discipline as
+    fixture_oracle_values_sql). Corrupt rows are absent, which is the
+    drop-policy pin."""
+    from ..functions.image_hash import phash64
+    from ..operators.multimodal import decode_image
+
+    out = []
+    for row in phash_corpus():
+        try:
+            img = decode_image(bytes(row["payload"]))
+        except (ValueError, NotImplementedError):
+            continue
+        out.append((row["media_id"], phash64(img)))
+    return out
+
+
+def phash_oracle_sql(max_hamming: int = 6, n_bands: int | None = None) -> str:
+    """DuckDB face of image_phash_pairs over the fixture corpus: the
+    hashes are injected VALUES from the Spark-free twin; the banding
+    (same lo/width formula as operators.dedup.hamming_band_pairs, in
+    exact HUGEINT div/mod arithmetic), candidate equi-join, per-band
+    Hamming sum and the radius filter are genuinely recomputed in SQL."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    ph_vals = ",\n    ".join(
+        f"({mid}, CAST('{h}' AS HUGEINT))" for mid, h in phash_corpus_hashes()
+    )
+    band_rows = []
+    for b in range(n_bands):
+        lo = 64 * b // n_bands
+        width = 64 * (b + 1) // n_bands - lo
+        band_rows.append(f"({b}, CAST('{1 << lo}' AS HUGEINT), CAST('{1 << width}' AS HUGEINT))")
+    grid = ",\n    ".join(band_rows)
+    return f"""
+WITH ph(media_id, h) AS (VALUES
+    {ph_vals}
+), grid(band_no, lo_pow, width_pow) AS (VALUES
+    {grid}
+), bands AS (
+  SELECT media_id, band_no,
+         CAST((h // lo_pow) % width_pow AS BIGINT) AS band_val
+  FROM ph CROSS JOIN grid
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(SUM(bit_count(xor(x.band_val, y.band_val))) AS INTEGER) AS hamming
+FROM cand c
+JOIN bands x ON x.media_id = c.id_a
+JOIN bands y ON y.media_id = c.id_b AND y.band_no = x.band_no
+GROUP BY c.id_a, c.id_b
+HAVING SUM(bit_count(xor(x.band_val, y.band_val))) <= {max_hamming}
+"""

@@ -1321,6 +1321,7 @@ ORACLE_SQL: dict[str, str] = {
 
 _IVF_ORACLE_CACHE: list[str | None] = []
 _MULTIMODAL_ORACLE_CACHE: list[str] = []
+_PHASH_ORACLE_CACHE: list[str] = []
 
 
 def oracle_sql_all() -> dict[str, str]:
@@ -1338,10 +1339,15 @@ def oracle_sql_all() -> dict[str, str]:
         from .multimodal_fixture import fixture_oracle_values_sql
 
         _MULTIMODAL_ORACLE_CACHE.append(fixture_oracle_values_sql())
+    if not _PHASH_ORACLE_CACHE:
+        from .multimodal_fixture import phash_oracle_sql
+
+        _PHASH_ORACLE_CACHE.append(phash_oracle_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
     out["multimodal_features"] = _MULTIMODAL_ORACLE_CACHE[0]
+    out["phash_near_dup"] = _PHASH_ORACLE_CACHE[0]
     return out
 
 
@@ -2095,3 +2101,34 @@ def q_multimodal_features(spark, sf_dir):
 
 
 QUERIES["multimodal_features"] = q_multimodal_features
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual image near-dup under the CORRECTNESS gate (round 5):
+    the multimodal x dedup graft — collapse the same image re-encoded
+    across codecs/qualities, the image analogue of minhash/simhash for
+    a training-data pipeline.
+
+    Spark face: ``operators.dedup.image_phash_pairs`` over the
+    deterministic fixture corpus (plans/multimodal_fixture.phash_corpus:
+    16 textured bases x {PNG across filters + Adam7, JPEG q85,
+    progressive JPEG q88} + 2 corrupt payloads) — REAL distributed
+    decode + pHash in mapInPandas, then the shared pigeonhole banding
+    at radius 6 (7 bands). DuckDB face (phash_oracle_sql): the hashes
+    are injected VALUES from the Spark-free driver twin (pins decode +
+    hash determinism cross-face); banding, candidate equi-join, Hamming
+    and the radius filter are genuinely recomputed in SQL. The corrupt
+    rows pin the drop policy: they appear in the input and in no pair.
+    Self-contained like ``multimodal_features``; ``sf_dir`` unused.
+    Reference parity: the reference's visual path is an empty stub
+    (``visual/compare_images.py`` — SURVEY.md §0), so this is graft
+    surface."""
+    from ..operators.dedup import image_phash_pairs
+    from .multimodal_fixture import phash_corpus
+
+    rows = [(r["media_id"], bytearray(r["payload"])) for r in phash_corpus()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return image_phash_pairs(media, max_hamming=6)
+
+
+QUERIES["phash_near_dup"] = q_phash_near_dup
