@@ -113,6 +113,25 @@ def test_image_phash_pairs_on_cluster(spark):
     assert all(base[a] == base[b] >= 0 for a, b in got)
 
 
+def test_band_self_join_reuses_hash_stage(spark):
+    """The banded self-join must execute the upstream hash stage ONCE
+    (AQE ReusedQueryStage): for pHash the stage is a full image decode,
+    so losing exchange reuse silently doubles the dominant cost. Pinned
+    on the executed adaptive plan, not the static one — reuse only
+    materializes at runtime."""
+    from web_template_forensics_spark.operators.dedup import image_phash_pairs
+
+    media = spark.createDataFrame(
+        [(r["media_id"], bytearray(r["payload"])) for r in phash_corpus()],
+        "media_id long, payload binary",
+    )
+    df = image_phash_pairs(media, max_hamming=6)
+    assert len(df.collect()) == 48
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedQueryStage" in plan or "ReusedExchange" in plan
+
+
 def test_banding_rejects_unsound_parameters(spark):
     from web_template_forensics_spark.operators.dedup import hamming_band_pairs
 

@@ -175,11 +175,26 @@ def hamming_band_pairs(
     banded = hashed.select(
         "_id", "_sh", F.explode(F.array(*band_structs)).alias("band")
     ).select("_id", "_sh", "band.band_no", "band.band_val")
-    left = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_no", "band_val")
-    right = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_no", "band_val")
+    # Self-join via ALIASES of one plan, renaming only AFTER the join:
+    # both sides then shuffle through byte-identical Exchanges, and AQE
+    # replaces the second with a ReusedExchange — the upstream hash
+    # computation (cheap for simhash, a full image decode for pHash)
+    # runs ONCE instead of once per side. Renaming before the join (the
+    # r1-r4 shape) broke that reuse.
+    a, b = banded.alias("_a"), banded.alias("_b")
     cand = (
-        left.join(right, ["band_no", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("_a.band_no") == F.col("_b.band_no"))
+            & (F.col("_a.band_val") == F.col("_b.band_val"))
+            & (F.col("_a._id") < F.col("_b._id")),
+        )
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_a._sh").alias("sh_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_b._sh").alias("sh_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
