@@ -132,6 +132,22 @@ def test_band_self_join_reuses_hash_stage(spark):
     assert "ReusedQueryStage" in plan or "ReusedExchange" in plan
 
 
+def test_text_dedup_joins_reuse_stages(spark):
+    """The whole dedup family's self-joins must keep exchange reuse:
+    minhash (signature UDF + shingle arrays), ngram (gram explode +
+    sizes agg), embedding (scan+cast). Counts pinned at the measured
+    floor — losing one means some expensive stage silently runs twice."""
+    from web_template_forensics_spark.plans.queries import QUERIES
+
+    floors = {"minhash_pairs": 3, "ngram_jaccard_pairs": 2, "embedding_near_dup": 1}
+    for name, floor in floors.items():
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        reused = plan.count("ReusedQueryStage") + plan.count("ReusedExchange")
+        assert reused >= floor, (name, reused, floor)
+
+
 def test_banding_rejects_unsound_parameters(spark):
     from web_template_forensics_spark.operators.dedup import hamming_band_pairs
 

@@ -88,20 +88,35 @@ def minhash_lsh_pairs(
         "_id",
         F.explode(F.array(*_band_cols("_sig", bands, rows_per_band))).alias("band_key"),
     )
-    left = banded.select(F.col("_id").alias("id_a"), "band_key")
-    right = banded.select(F.col("_id").alias("id_b"), "band_key")
+    # aliases of ONE plan, rename after the join (same exchange-reuse
+    # move as hamming_band_pairs): the 64-perm signature UDF runs once,
+    # not once per join side
+    ba, bb = banded.alias("_ba"), banded.alias("_bb")
     cand = (
-        left.join(right, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        ba.join(
+            bb,
+            (F.col("_ba.band_key") == F.col("_bb.band_key"))
+            & (F.col("_ba._id") < F.col("_bb._id")),
+        )
+        .select(F.col("_ba._id").alias("id_a"), F.col("_bb._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = df.select(
         F.col(id_col).alias("_id"), shingle_hashes_udf(F.col(text_col)).alias("_sh")
     )
-    paired = cand.join(
-        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    # same treatment for the verification arrays: both probes shuffle
+    # the ONE shingle-hash plan on _id, so the second is a ReusedQueryStage
+    sa, sb = sh.alias("_sa"), sh.alias("_sb")
+    paired = (
+        cand.join(sa, F.col("id_a") == F.col("_sa._id"))
+        .join(sb, F.col("id_b") == F.col("_sb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_sa._sh").alias("sh_a"),
+            F.col("_sb._sh").alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     # union > 0 is guaranteed by the zero-shingle filter above
@@ -314,19 +329,27 @@ def ngram_jaccard_pairs(
         )
         join_grams = grams.join(hot, ["_blk", "gram"], "left_anti")
     sizes = join_grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = join_grams.select(F.col("_id").alias("id_a"), F.col("_blk").alias("blk"), "gram")
-    b = join_grams.select(F.col("_id").alias("id_b"), F.col("_blk").alias("blk"), "gram")
+    # aliases of one plan, rename after the join (exchange-reuse move,
+    # see hamming_band_pairs): gram extraction and the sizes aggregate
+    # each execute once, not once per join side
+    ga, gb = join_grams.alias("_ga"), join_grams.alias("_gb")
     inter = (
-        a.join(b, ["blk", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        ga.join(
+            gb,
+            (F.col("_ga._blk") == F.col("_gb._blk"))
+            & (F.col("_ga.gram") == F.col("_gb.gram"))
+            & (F.col("_ga._id") < F.col("_gb._id")),
+        )
+        .select(F.col("_ga._id").alias("id_a"), F.col("_gb._id").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    za, zb = sizes.alias("_za"), sizes.alias("_zb")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(za, F.col("id_a") == F.col("_za._id"))
+        .join(zb, F.col("id_b") == F.col("_zb._id"))
+        .withColumn("na", F.col("_za.n_grams"))
+        .withColumn("nb", F.col("_zb.n_grams"))
         .withColumn(
             "_raw", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
         )

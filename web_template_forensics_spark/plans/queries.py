@@ -1382,9 +1382,20 @@ def q_embedding_near_dup(spark, sf_dir):
         "vec_id", "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("blk"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("blk"), F.col("v").alias("vb"))
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    # aliases of one plan, rename after the join — at broadcast sizes
+    # this is cosmetic, but at SMJ scale the second side becomes a
+    # ReusedQueryStage instead of a second scan+shuffle
+    ea, eb = e.alias("_ea"), e.alias("_eb")
+    pairs = ea.join(
+        eb,
+        (F.col("_ea.label") == F.col("_eb.label"))
+        & (F.col("_ea.vec_id") < F.col("_eb.vec_id")),
+    ).select(
+        F.col("_ea.vec_id").alias("id_a"),
+        F.col("_eb.vec_id").alias("id_b"),
+        F.col("_ea.v").alias("va"),
+        F.col("_eb.v").alias("vb"),
+    )
     return (
         with_cosine(pairs, "va", "vb")
         .filter(F.round("cosine", 6) >= EMB_NEAR_DUP_THRESHOLD)
