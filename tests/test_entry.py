@@ -21,6 +21,7 @@ FAST_SUBSET = [
     "event_sessions_stream",  # r5: the stateful STREAM face itself
     "multimodal_features",    # r5: real PNG/JPEG codecs under the oracle
     "phash_near_dup",         # r5: perceptual image dedup (multimodal x dedup)
+    "audio_fp_near_dup",      # r5: perceptual audio dedup (audio x dedup)
 ]
 
 

@@ -527,10 +527,19 @@ def phash_oracle_sql(max_hamming: int = 6, n_bands: int | None = None) -> str:
     (same lo/width formula as operators.dedup.hamming_band_pairs, in
     exact HUGEINT div/mod arithmetic), candidate equi-join, per-band
     Hamming sum and the radius filter are genuinely recomputed in SQL."""
+    return _hamming_pairs_oracle_sql(phash_corpus_hashes(), max_hamming, n_bands)
+
+
+def _hamming_pairs_oracle_sql(
+    hashes: list[tuple[int, int]], max_hamming: int, n_bands: int | None
+) -> str:
+    """Generic SQL recomputation of hamming_band_pairs over injected
+    (id, unsigned-64-bit-hash) VALUES — shared by the pHash (image) and
+    audio-fingerprint oracles."""
     if n_bands is None:
         n_bands = max_hamming + 1
     ph_vals = ",\n    ".join(
-        f"({mid}, CAST('{h}' AS HUGEINT))" for mid, h in phash_corpus_hashes()
+        f"({mid}, CAST('{h}' AS HUGEINT))" for mid, h in hashes
     )
     band_rows = []
     for b in range(n_bands):
@@ -561,3 +570,89 @@ JOIN bands y ON y.media_id = c.id_b AND y.band_no = x.band_no
 GROUP BY c.id_a, c.id_b
 HAVING SUM(bit_count(xor(x.band_val, y.band_val))) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# audio-fingerprint near-dup fixture (round 5): the audio x dedup graft
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_BASES = 12
+
+
+def _base_clip(rng: np.random.RandomState, n: int, band_limited: bool) -> np.ndarray:
+    """A base-distinctive clip as float64 at int16 scale: random complex
+    spectrum (narrow [2, 48) for the band-limited half, full-band for the
+    rest) inverse-rfft'd and normalized to 0.4 full scale — loud enough
+    that dither and re-quantization stay far below the fingerprint's
+    -30 dB band floor."""
+    hi = 48 if band_limited else n // 2 - 10
+    spec = np.zeros(n // 2 + 1, dtype=complex)
+    spec[2:hi] = rng.normal(0, 1, hi - 2) + 1j * rng.normal(0, 1, hi - 2)
+    x = np.fft.irfft(spec, n)
+    return x / np.max(np.abs(x)) * 0.4 * 32767.0
+
+
+def audio_fp_corpus() -> list[dict]:
+    """Deterministic audio-fingerprint gate corpus: 12 base clips (half
+    band-limited, half wideband) x 4 variants a pipeline must collapse —
+    original 16-bit PCM, gain 0.6 (16-bit), gain 1.2 re-encoded as
+    IEEE-float32, low-level dither re-encoded as 24-bit PCM — plus one
+    corrupt RIFF payload the operator must DROP. Expected pairing: the
+    6 within-base pairs per base at hamming <= 8, nothing across bases."""
+    rng = np.random.RandomState(FIXTURE_SEED + 5)
+    rows: list[dict] = []
+    mid = 0
+    for b in range(_AUDIO_FP_BASES):
+        n = 4096 + (b % 3) * 512
+        x = _base_clip(rng, n, band_limited=b % 2 == 0)
+        orig = np.round(x).astype(np.int16)
+        g06 = np.round(x * 0.6).astype(np.int16)
+        g12 = np.round(x * 1.2).astype(np.int16)
+        dith = np.round(x + rng.uniform(-60.0, 60.0, n)).astype(np.int16)
+        variants = [
+            encode_wav(orig, 16000),
+            encode_wav(g06, 16000),
+            _wav_raw(
+                0x0003, 32, (g12.astype(np.float64) / 32767.0).astype("<f4").tobytes(), 1, 16000
+            ),
+            _wav_raw(
+                0x0001,
+                24,
+                b"".join(
+                    int(v << 8).to_bytes(3, "little", signed=True) for v in dith.tolist()
+                ),
+                1,
+                16000,
+            ),
+        ]
+        for payload in variants:
+            rows.append({"media_id": mid, "payload": payload, "base": b})
+            mid += 1
+    rows.append({"media_id": mid, "payload": b"RIFF\x10\x00\x00\x00WAVEjunk", "base": -1})
+    return rows
+
+
+def audio_fp_corpus_hashes() -> list[tuple[int, int]]:
+    """Spark-free twin: (media_id, unsigned fingerprint) for every
+    decodable corpus row — driver-side decode_wav + the same pure-numpy
+    hash; the corrupt row is absent (the drop-policy pin)."""
+    from ..functions.audio_hash import audio_hash64
+    from ..functions.wav_codec import decode_wav, is_wav
+
+    out = []
+    for row in audio_fp_corpus():
+        payload = bytes(row["payload"])
+        if not is_wav(payload):
+            continue
+        try:
+            samples, _rate = decode_wav(payload)
+        except ValueError:
+            continue
+        out.append((row["media_id"], audio_hash64(samples)))
+    return out
+
+
+def audio_fp_oracle_sql(max_hamming: int = 8, n_bands: int | None = None) -> str:
+    """DuckDB face of audio_fingerprint_pairs over the fixture corpus —
+    same structure as phash_oracle_sql via the shared generic builder."""
+    return _hamming_pairs_oracle_sql(audio_fp_corpus_hashes(), max_hamming, n_bands)

@@ -1322,6 +1322,7 @@ ORACLE_SQL: dict[str, str] = {
 _IVF_ORACLE_CACHE: list[str | None] = []
 _MULTIMODAL_ORACLE_CACHE: list[str] = []
 _PHASH_ORACLE_CACHE: list[str] = []
+_AUDIO_FP_ORACLE_CACHE: list[str] = []
 
 
 def oracle_sql_all() -> dict[str, str]:
@@ -1343,11 +1344,16 @@ def oracle_sql_all() -> dict[str, str]:
         from .multimodal_fixture import phash_oracle_sql
 
         _PHASH_ORACLE_CACHE.append(phash_oracle_sql())
+    if not _AUDIO_FP_ORACLE_CACHE:
+        from .multimodal_fixture import audio_fp_oracle_sql
+
+        _AUDIO_FP_ORACLE_CACHE.append(audio_fp_oracle_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
     out["multimodal_features"] = _MULTIMODAL_ORACLE_CACHE[0]
     out["phash_near_dup"] = _PHASH_ORACLE_CACHE[0]
+    out["audio_fp_near_dup"] = _AUDIO_FP_ORACLE_CACHE[0]
     return out
 
 
@@ -2143,3 +2149,30 @@ def q_phash_near_dup(spark, sf_dir):
 
 
 QUERIES["phash_near_dup"] = q_phash_near_dup
+
+
+def q_audio_fp_near_dup(spark, sf_dir):
+    """Perceptual audio near-dup under the CORRECTNESS gate (round 5):
+    the audio sibling of ``phash_near_dup`` — collapse the same clip
+    across gain changes, dither, and PCM-depth / IEEE-float re-encodes.
+
+    Spark face: ``operators.dedup.audio_fingerprint_pairs`` over the
+    deterministic fixture corpus (multimodal_fixture.audio_fp_corpus:
+    12 base clips, half band-limited, x {16-bit PCM, gain-0.6 16-bit,
+    gain-1.2 float32, dithered 24-bit} + 1 corrupt RIFF payload) — real
+    distributed WAV decode + gain-invariant time-frequency fingerprint
+    in mapInPandas, then the shared pigeonhole banding at radius 8
+    (9 bands). DuckDB face (audio_fp_oracle_sql): twin-computed
+    fingerprint VALUES; banding, candidate equi-join, Hamming and the
+    radius filter genuinely recomputed in SQL. The corrupt row pins the
+    drop policy. Self-contained; ``sf_dir`` unused. Reference parity:
+    no audio surface exists in the reference (SURVEY.md §2 graft)."""
+    from ..operators.dedup import audio_fingerprint_pairs
+    from .multimodal_fixture import audio_fp_corpus
+
+    rows = [(r["media_id"], bytearray(r["payload"])) for r in audio_fp_corpus()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return audio_fingerprint_pairs(media, max_hamming=8)
+
+
+QUERIES["audio_fp_near_dup"] = q_audio_fp_near_dup
