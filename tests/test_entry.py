@@ -22,6 +22,7 @@ FAST_SUBSET = [
     "multimodal_features",    # r5: real PNG/JPEG codecs under the oracle
     "phash_near_dup",         # r5: perceptual image dedup (multimodal x dedup)
     "audio_fp_near_dup",      # r5: perceptual audio dedup (audio x dedup)
+    "video_fp_near_dup",      # r5: perceptual video dedup — triad complete
 ]
 
 

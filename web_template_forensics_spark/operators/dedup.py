@@ -313,6 +313,53 @@ def audio_fingerprint_pairs(
     return hamming_band_pairs(hashed, max_hamming, n_bands)
 
 
+def video_phash_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_frames: int = 8,
+    max_hamming: int = 6,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate VIDEO pairs -> (id_a, id_b, hamming).
+
+    Completes the multimodal x dedup triad (image ``image_phash_pairs``,
+    audio ``audio_fingerprint_pairs``): structural MJPEG framing + real
+    JPEG decode of <= ``max_frames`` evenly-sampled frames ON EXECUTORS,
+    per-frame pHash, per-bit majority vote into one 64-bit fingerprint
+    (functions/video_hash.py), then the shared pigeonhole banding —
+    payload bytes never shuffle, recall is exact at the radius. Rows
+    with no decodable frame are dropped (no perceptual identity).
+    Default radius 6 sits inside the measured gap: the same clip across
+    MJPEG quality 78-85 / progressive re-encode / trim / reversal lands
+    at hamming <= 4 while distinct clips sit >= 18."""
+    import pandas as pd
+
+    from ..functions.image_hash import phash_to_signed
+    from ..functions.video_hash import mjpeg_video_hash64
+
+    def op(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for r in pdf[[id_col, payload_col]].itertuples(index=False):
+                payload = bytes(r[1]) if r[1] is not None else b""
+                try:
+                    h = mjpeg_video_hash64(payload, max_frames)
+                except ValueError:
+                    continue
+                ids.append(int(r[0]))
+                hs.append(phash_to_signed(h))
+            yield pd.DataFrame(
+                {"_id": pd.array(ids, dtype="int64"), "_sh": pd.array(hs, dtype="int64")}
+            )
+
+    hashed = media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(op, "_id long, _sh long")
+    return hamming_band_pairs(hashed, max_hamming, n_bands)
+
+
 def _toks(text_col: str):
     """ASCII-whitespace tokens with empties dropped — F.split emits ''
     for leading/trailing whitespace, which would otherwise corrupt grams

@@ -1323,6 +1323,7 @@ _IVF_ORACLE_CACHE: list[str | None] = []
 _MULTIMODAL_ORACLE_CACHE: list[str] = []
 _PHASH_ORACLE_CACHE: list[str] = []
 _AUDIO_FP_ORACLE_CACHE: list[str] = []
+_VIDEO_FP_ORACLE_CACHE: list[str] = []
 
 
 def oracle_sql_all() -> dict[str, str]:
@@ -1348,12 +1349,17 @@ def oracle_sql_all() -> dict[str, str]:
         from .multimodal_fixture import audio_fp_oracle_sql
 
         _AUDIO_FP_ORACLE_CACHE.append(audio_fp_oracle_sql())
+    if not _VIDEO_FP_ORACLE_CACHE:
+        from .multimodal_fixture import video_fp_oracle_sql
+
+        _VIDEO_FP_ORACLE_CACHE.append(video_fp_oracle_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
     out["multimodal_features"] = _MULTIMODAL_ORACLE_CACHE[0]
     out["phash_near_dup"] = _PHASH_ORACLE_CACHE[0]
     out["audio_fp_near_dup"] = _AUDIO_FP_ORACLE_CACHE[0]
+    out["video_fp_near_dup"] = _VIDEO_FP_ORACLE_CACHE[0]
     return out
 
 
@@ -2176,3 +2182,33 @@ def q_audio_fp_near_dup(spark, sf_dir):
 
 
 QUERIES["audio_fp_near_dup"] = q_audio_fp_near_dup
+
+
+def q_video_fp_near_dup(spark, sf_dir):
+    """Perceptual VIDEO near-dup under the CORRECTNESS gate (round 5):
+    completes the multimodal x dedup triad next to ``phash_near_dup``
+    (image) and ``audio_fp_near_dup`` (audio) — collapse the same clip
+    across MJPEG quality re-encodes, per-frame progressive re-encode,
+    and a trimmed reversed cut.
+
+    Spark face: ``operators.dedup.video_phash_pairs`` over the
+    deterministic fixture corpus (multimodal_fixture.video_fp_corpus:
+    10 base 8-frame clips x {MJPEG q85, MJPEG q78, progressive
+    per-frame q85, first-frame-trimmed reversed} + 1 corrupt payload) —
+    real distributed MJPEG framing + JPEG decode + per-frame pHash +
+    per-bit majority vote in mapInPandas, then the shared pigeonhole
+    banding at radius 6 (7 bands). DuckDB face (video_fp_oracle_sql):
+    twin-computed fingerprint VALUES; banding, candidate equi-join,
+    Hamming and the radius filter genuinely recomputed in SQL. The
+    corrupt row pins the drop policy. Self-contained; ``sf_dir``
+    unused. Reference parity: no video surface exists in the reference
+    (SURVEY.md §2 graft)."""
+    from ..operators.dedup import video_phash_pairs
+    from .multimodal_fixture import video_fp_corpus
+
+    rows = [(r["media_id"], bytearray(r["payload"])) for r in video_fp_corpus()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return video_phash_pairs(media, max_hamming=6)
+
+
+QUERIES["video_fp_near_dup"] = q_video_fp_near_dup
