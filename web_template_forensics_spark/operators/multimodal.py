@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.gif_codec import GIF_MAGICS, decode_gif
 from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frame_spans
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
 from ..functions.wav_codec import decode_wav, is_wav
@@ -101,6 +102,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         if img.shape[2] == 2:  # grey + alpha
             return np.repeat(img[:, :, :1], 3, axis=2)
         return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA
+    if payload[:6] in GIF_MAGICS:
+        # lossless palettized decode (functions/gif_codec.py): first
+        # composited frame; already (h, w, 3)
+        return decode_gif(payload)
     if payload[:2] == JPEG_SOI:
         try:
             img = decode_jpeg(payload)
