@@ -102,3 +102,24 @@ def test_video_phash_pairs_on_cluster(spark):
     assert got == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedQueryStage" in plan or "ReusedExchange" in plan
+
+
+def test_cross_format_mjpeg_vs_gif():
+    """The same clip re-containered as an animated GIF pairs with its
+    MJPEG encodings — the cross-format pin the dispatcher exists for."""
+    from web_template_forensics_spark.functions.gif_codec import encode_gif_animation
+    from web_template_forensics_spark.functions.video_hash import video_payload_hash64
+
+    rng = np.random.RandomState(23)
+    frames = _base_frames(rng, 40, 48, grey=True)
+    h_mj = video_payload_hash64(encode_mjpeg(frames, quality=85))
+    h_gif = video_payload_hash64(encode_gif_animation(frames))
+    h_gif_rev = video_payload_hash64(
+        encode_gif_animation(frames[1:][::-1], interlace=True)
+    )
+    assert _ham(h_mj, h_gif) <= 4
+    assert _ham(h_mj, h_gif_rev) <= 4
+    other = _base_frames(rng, 40, 48, grey=True)
+    assert _ham(h_gif, video_payload_hash64(encode_gif_animation(other))) >= 18
+    with pytest.raises(ValueError):
+        video_payload_hash64(b"GIF89a" + b"\x00" * 8)  # corrupt GIF -> drop

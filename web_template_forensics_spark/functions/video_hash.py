@@ -56,6 +56,29 @@ def video_hash64(frame_hashes: Sequence[int]) -> int:
     return out
 
 
+def video_payload_hash64(payload: bytes, max_frames: int = 8) -> int:
+    """Video payload (MJPEG or animated GIF) -> unsigned 64-bit
+    fingerprint, dispatched on magic bytes. Because the combiner is an
+    order-invariant vote over per-frame pHashes, the SAME clip encoded
+    as MJPEG and as an animated GIF lands within the radius — the
+    cross-format near-dup a training pipeline needs (the sprite/banner
+    that circulates in both containers). Raises ValueError when the
+    payload is neither or nothing decodes (drop policy)."""
+    from .gif_codec import GifFormatError, decode_gif_frames, is_gif
+    from .image_hash import phash64
+
+    if is_gif(payload):
+        try:
+            frames = decode_gif_frames(payload)
+        except GifFormatError as exc:
+            raise ValueError(f"GIF video: {exc}") from exc
+        if len(frames) > max_frames:
+            idx = (np.arange(max_frames) * len(frames)) // max_frames
+            frames = [frames[int(i)] for i in idx]
+        return video_hash64([phash64(f) for f in frames])
+    return mjpeg_video_hash64(payload, max_frames)
+
+
 def mjpeg_video_hash64(payload: bytes, max_frames: int = 8) -> int:
     """MJPEG payload -> unsigned 64-bit video fingerprint.
 

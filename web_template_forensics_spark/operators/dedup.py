@@ -324,19 +324,22 @@ def video_phash_pairs(
     """Perceptual near-duplicate VIDEO pairs -> (id_a, id_b, hamming).
 
     Completes the multimodal x dedup triad (image ``image_phash_pairs``,
-    audio ``audio_fingerprint_pairs``): structural MJPEG framing + real
-    JPEG decode of <= ``max_frames`` evenly-sampled frames ON EXECUTORS,
-    per-frame pHash, per-bit majority vote into one 64-bit fingerprint
-    (functions/video_hash.py), then the shared pigeonhole banding —
-    payload bytes never shuffle, recall is exact at the radius. Rows
-    with no decodable frame are dropped (no perceptual identity).
-    Default radius 6 sits inside the measured gap: the same clip across
-    MJPEG quality 78-85 / progressive re-encode / trim / reversal lands
-    at hamming <= 4 while distinct clips sit >= 18."""
+    audio ``audio_fingerprint_pairs``): real decode of <= ``max_frames``
+    evenly-sampled frames ON EXECUTORS — structural MJPEG framing + JPEG
+    decode, or animated-GIF compositing, dispatched per row on magic
+    bytes — per-frame pHash, per-bit majority vote into one 64-bit
+    fingerprint (functions/video_hash.py), then the shared pigeonhole
+    banding: payload bytes never shuffle, recall is exact at the radius,
+    and the SAME clip in different containers (MJPEG vs animated GIF)
+    pairs up. Rows with no decodable frame are dropped (no perceptual
+    identity). Default radius 6 sits inside the measured gap: the same
+    clip across MJPEG quality 78-85 / progressive re-encode / trim /
+    reversal / GIF re-containering lands at hamming <= 4 while distinct
+    clips sit >= 18."""
     import pandas as pd
 
     from ..functions.image_hash import phash_to_signed
-    from ..functions.video_hash import mjpeg_video_hash64
+    from ..functions.video_hash import video_payload_hash64
 
     def op(batches):
         for pdf in batches:
@@ -345,7 +348,7 @@ def video_phash_pairs(
             for r in pdf[[id_col, payload_col]].itertuples(index=False):
                 payload = bytes(r[1]) if r[1] is not None else b""
                 try:
-                    h = mjpeg_video_hash64(payload, max_frames)
+                    h = video_payload_hash64(payload, max_frames)
                 except ValueError:
                     continue
                 ids.append(int(r[0]))

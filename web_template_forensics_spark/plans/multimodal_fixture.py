@@ -666,37 +666,61 @@ _VIDEO_FP_BASES = 10
 _VIDEO_FP_FRAMES = 8
 
 
-def _base_frames(rng: np.random.RandomState, h: int, w: int) -> list[np.ndarray]:
+def _base_frames(
+    rng: np.random.RandomState, h: int, w: int, grey: bool = False
+) -> list[np.ndarray]:
     """A base-distinctive clip as uint8 frames: one textured keyframe +
     low-amplitude per-frame noise (sensor-noise-scale, sigma 4) so every
     frame's pHash sits within a few bits of the keyframe's — the
-    lopsided-vote regime the majority combiner is designed for."""
+    lopsided-vote regime the majority combiner is designed for.
+    ``grey=True`` replicates a single channel so every frame has <= 256
+    distinct colors — losslessly GIF-encodable without a quantizer (the
+    cross-format bases)."""
     key = textured_image(rng, h, w).astype(np.float64)
-    return [
-        np.clip(np.round(key + rng.normal(0.0, 4.0, key.shape)), 0, 255).astype(np.uint8)
-        for _ in range(_VIDEO_FP_FRAMES)
-    ]
+    if grey:
+        key = key[:, :, :1]
+    out = []
+    for _ in range(_VIDEO_FP_FRAMES):
+        f = np.clip(np.round(key + rng.normal(0.0, 4.0, key.shape)), 0, 255)
+        if grey:
+            f = np.repeat(f, 3, axis=2)
+        out.append(f.astype(np.uint8))
+    return out
 
 
 def video_fp_corpus() -> list[dict]:
     """Deterministic video-fingerprint gate corpus: 10 base clips
-    (8 frames each) x 4 variants a pipeline must collapse — MJPEG q85,
-    MJPEG q78 re-encode, per-frame PROGRESSIVE re-encode (q85), and a
-    first-frame-trimmed REVERSED cut (order-invariance + trim pin) —
-    plus one corrupt payload (no JPEG framing) the operator must DROP.
-    Expected pairing: the 6 within-base pairs per base at hamming <= 6,
-    nothing across bases."""
+    (8 frames each) x 4 variants a pipeline must collapse. Bases 0-7:
+    MJPEG q85, MJPEG q78 re-encode, per-frame PROGRESSIVE re-encode
+    (q85), and a first-frame-trimmed REVERSED cut (order-invariance +
+    trim pin). Bases 8-9 are grey-palettized CROSS-FORMAT clips: MJPEG
+    q85, MJPEG q78, the SAME frames as a lossless animated GIF, and a
+    trimmed-reversed animated GIF — the same clip must pair across
+    containers. Plus one corrupt payload (neither framing) the operator
+    must DROP. Expected pairing: the 6 within-base pairs per base at
+    hamming <= 6, nothing across bases."""
+    from ..functions.gif_codec import encode_gif_animation
+
     rng = np.random.RandomState(FIXTURE_SEED + 6)
     rows: list[dict] = []
     mid = 0
     for b in range(_VIDEO_FP_BASES):
-        frames = _base_frames(rng, 40 + (b % 3) * 8, 56 - (b % 2) * 8)
-        variants = [
-            encode_mjpeg(frames, quality=85),
-            encode_mjpeg(frames, quality=78),
-            b"".join(encode_jpeg(f, quality=85, progressive=True) for f in frames),
-            encode_mjpeg(frames[1:][::-1], quality=85),
-        ]
+        cross = b >= 8
+        frames = _base_frames(rng, 40 + (b % 3) * 8, 56 - (b % 2) * 8, grey=cross)
+        if cross:
+            variants = [
+                encode_mjpeg(frames, quality=85),
+                encode_mjpeg(frames, quality=78),
+                encode_gif_animation(frames),
+                encode_gif_animation(frames[1:][::-1], interlace=True),
+            ]
+        else:
+            variants = [
+                encode_mjpeg(frames, quality=85),
+                encode_mjpeg(frames, quality=78),
+                b"".join(encode_jpeg(f, quality=85, progressive=True) for f in frames),
+                encode_mjpeg(frames[1:][::-1], quality=85),
+            ]
         for payload in variants:
             rows.append({"media_id": mid, "payload": payload, "base": b})
             mid += 1
@@ -708,12 +732,12 @@ def video_fp_corpus_hashes() -> list[tuple[int, int]]:
     """Spark-free twin: (media_id, unsigned fingerprint) for every
     decodable corpus row — driver-side framing + decode + the same
     pure-numpy majority hash; the corrupt row is absent (drop pin)."""
-    from ..functions.video_hash import mjpeg_video_hash64
+    from ..functions.video_hash import video_payload_hash64
 
     out = []
     for row in video_fp_corpus():
         try:
-            out.append((row["media_id"], mjpeg_video_hash64(bytes(row["payload"]))))
+            out.append((row["media_id"], video_payload_hash64(bytes(row["payload"]))))
         except ValueError:
             continue
     return out

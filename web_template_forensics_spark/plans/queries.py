@@ -2189,15 +2189,17 @@ def q_video_fp_near_dup(spark, sf_dir):
     completes the multimodal x dedup triad next to ``phash_near_dup``
     (image) and ``audio_fp_near_dup`` (audio) — collapse the same clip
     across MJPEG quality re-encodes, per-frame progressive re-encode,
-    and a trimmed reversed cut.
+    a trimmed reversed cut, and an animated-GIF re-containering.
 
     Spark face: ``operators.dedup.video_phash_pairs`` over the
     deterministic fixture corpus (multimodal_fixture.video_fp_corpus:
-    10 base 8-frame clips x {MJPEG q85, MJPEG q78, progressive
-    per-frame q85, first-frame-trimmed reversed} + 1 corrupt payload) —
-    real distributed MJPEG framing + JPEG decode + per-frame pHash +
-    per-bit majority vote in mapInPandas, then the shared pigeonhole
-    banding at radius 6 (7 bands). DuckDB face (video_fp_oracle_sql):
+    10 base 8-frame clips; bases 0-7 x {MJPEG q85, MJPEG q78,
+    progressive per-frame q85, first-frame-trimmed reversed}; bases 8-9
+    CROSS-FORMAT x {MJPEG q85, MJPEG q78, lossless animated GIF,
+    trimmed-reversed interlaced GIF}; + 1 corrupt payload) — real
+    distributed MJPEG framing / GIF compositing + JPEG decode +
+    per-frame pHash + per-bit majority vote in mapInPandas, then the
+    shared pigeonhole banding at radius 6 (7 bands). DuckDB face (video_fp_oracle_sql):
     twin-computed fingerprint VALUES; banding, candidate equi-join,
     Hamming and the radius filter genuinely recomputed in SQL. The
     corrupt row pins the drop policy. Self-contained; ``sf_dir``
