@@ -406,10 +406,16 @@ def test_adam7_png_decodes_for_real_in_feature_path():
 def test_no_codec_seam_stays_loud():
     """The fake=False unrecognized-format seam is a bare
     NotImplementedError (NOT a ValueError): pipelines without codecs
-    must opt into fake=True explicitly, not silently degrade."""
+    must opt into fake=True explicitly, not silently degrade. (GIF left
+    this club in late round 5 — a WebP payload is the example now; a
+    CORRUPT GIF is a ValueError-family GifFormatError instead, the
+    per-row degrade path.)"""
+    from web_template_forensics_spark.functions.gif_codec import GifFormatError
     from web_template_forensics_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(48), fake=False)
+    with pytest.raises(GifFormatError):
         decode_image(b"GIF89a" + bytes(64), fake=False)
 
 

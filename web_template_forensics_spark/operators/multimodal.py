@@ -192,6 +192,22 @@ def mjpeg_sampled_frames(payload: bytes, max_frames: int) -> list[bytes]:
     return [payload[s:e] for s, e in spans]
 
 
+def _sampled_video_frames(payload: bytes, max_frames: int) -> list[np.ndarray]:
+    """Evenly-sampled DECODED frames of a video payload, dispatched on
+    magic bytes: MJPEG (frame spans sliced then JPEG-decoded — only the
+    sampled frames pay the codec) or animated GIF (LZW compositing is
+    inherently sequential, so all frames decode, then sample)."""
+    from ..functions.gif_codec import decode_gif_frames
+
+    if payload[:6] in GIF_MAGICS:
+        frames = decode_gif_frames(payload)
+        if len(frames) > max_frames:
+            idx = (np.arange(max_frames) * len(frames)) // max_frames
+            frames = [frames[int(i)] for i in idx]
+        return frames
+    return [decode_image(fb) for fb in mjpeg_sampled_frames(payload, max_frames)]
+
+
 def _byte_histogram_features(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Codec-less stand-in: normalized 8-bin byte histogram + zero thumb.
     Also the deterministic fallback when a sniffed-but-malformed payload
@@ -233,17 +249,18 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
                 feat, thumb = audio_features(samples)
             except ValueError:
                 feat, thumb = _byte_histogram_features(payload)
-        elif r.kind == "video" and payload[:2] == JPEG_SOI:
-            # REAL codec path (round 5): Motion JPEG — per-frame decode
-            # over an evenly-sampled frame subset, means across frames.
-            # Same fallback rule: an SOI prefix over a non-MJPEG body
-            # (truncated capture, progressive frames) degrades to the
-            # byte histogram for THIS row only.
+        elif r.kind == "video" and (
+            payload[:2] == JPEG_SOI or payload[:6] in GIF_MAGICS
+        ):
+            # REAL codec path (round 5): Motion JPEG or animated GIF —
+            # per-frame decode over an evenly-sampled frame subset,
+            # means across frames. Same fallback rule: a sniffed prefix
+            # over a corrupt body (truncated capture, bad LZW) degrades
+            # to the byte histogram for THIS row only.
             try:
                 feats = []
                 means = []
-                for fb in mjpeg_sampled_frames(payload, VIDEO_FEATURE_FRAMES):
-                    img = decode_image(fb)
+                for img in _sampled_video_frames(payload, VIDEO_FEATURE_FRAMES):
                     h = np.histogram(img, bins=8, range=(0, 255))[0].astype(
                         np.float64
                     )

@@ -365,6 +365,36 @@ def fixture_corpus() -> list[dict]:
         }
     )
     mid += 1
+
+    # ---- GIF coverage (late round 5): lossless palettized image rows
+    # (plain + interlaced; expected_rgb IS the truth), and an animated
+    # GIF video row with transparency + restore-to-background disposal
+    # so the compositor is under the gate too.
+    from ..functions.gif_codec import encode_gif, encode_gif_animation
+
+    gpal = rng.randint(0, 256, size=(48, 3)).astype(np.uint8)
+    gimg = gpal[rng.randint(0, 48, size=(18, 23))]
+    _img_row("gif", encode_gif(gimg), gimg)
+    gimg2 = gpal[rng.randint(0, 48, size=(22, 15))]
+    _img_row("gif", encode_gif(gimg2, interlace=True), gimg2)
+    gframes = []
+    for j in range(4):
+        f = gpal[rng.randint(0, 48, size=(14, 17))]
+        f[j : j + 3, :4] = (0, 0, 0)  # key-colored patch composites through
+        gframes.append(f)
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "video",
+            "codec": "gif",
+            "payload": encode_gif_animation(
+                gframes, transparent_key=(0, 0, 0), disposal=2
+            ),
+            "expected_rgb": None,
+            "expected_samples": None,
+        }
+    )
+    mid += 1
     return rows
 
 
@@ -388,16 +418,15 @@ def expected_feature_micros(row: dict) -> tuple[list[int], list[int]]:
 
         feat, thumb = audio_features(row["expected_samples"])
     elif row["kind"] == "video":
-        # driver-side twin of the operator's MJPEG branch
+        # driver-side twin of the operator's video branch (MJPEG frame
+        # spans or animated-GIF compositing, dispatched on magic)
         from ..operators.multimodal import (
             VIDEO_FEATURE_FRAMES,
-            decode_image,
-            mjpeg_sampled_frames,
+            _sampled_video_frames,
         )
 
         feats, means = [], []
-        for fb in mjpeg_sampled_frames(bytes(row["payload"]), VIDEO_FEATURE_FRAMES):
-            img = decode_image(fb)
+        for img in _sampled_video_frames(bytes(row["payload"]), VIDEO_FEATURE_FRAMES):
             h = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
             feats.append(h / max(1.0, h.sum()))
             means.append(img.reshape(-1, 3).mean(axis=0) / 255.0)
