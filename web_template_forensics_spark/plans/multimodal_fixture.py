@@ -506,8 +506,9 @@ def textured_image(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
 def phash_corpus() -> list[dict]:
     """Deterministic pHash gate corpus: 16 textured bases x 3 real
     encodings (PNG across filters, sequential JPEG q85, progressive
-    JPEG q88) + 2 corrupt payloads that the operator must DROP (a
-    truncated PNG and a bare JPEG SOI over junk). Expected pairing:
+    JPEG q88), 2 grey-palettized CROSS-FORMAT bases x {PNG, JPEG q85,
+    interlaced GIF}, + 2 corrupt payloads that the operator must DROP
+    (a truncated PNG and a bare JPEG SOI over junk). Expected pairing:
     exactly the 3 within-base pairs per base at hamming <= 6, nothing
     across bases, nothing involving the corrupt rows."""
     rng = np.random.RandomState(FIXTURE_SEED + 4)
@@ -519,6 +520,22 @@ def phash_corpus() -> list[dict]:
             encode_png(img, filter_type=b % 5, interlace=b % 4 == 3),
             encode_jpeg(img, quality=85),
             encode_jpeg(img, quality=88, progressive=True),
+        ):
+            rows.append({"media_id": mid, "payload": payload, "base": b})
+            mid += 1
+    # cross-format bases (late r5): grey-palettized (<= 256 colors, so
+    # losslessly GIF-encodable) — the same image as PNG, JPEG and
+    # interlaced GIF must land in one near-dup cluster
+    from ..functions.gif_codec import encode_gif
+
+    for b in (_PHASH_BASES, _PHASH_BASES + 1):
+        img = np.repeat(
+            textured_image(rng, 44 + (b % 2) * 8, 60)[:, :, :1], 3, axis=2
+        )
+        for payload in (
+            encode_png(img, filter_type=b % 5),
+            encode_jpeg(img, quality=85),
+            encode_gif(img, interlace=True),
         ):
             rows.append({"media_id": mid, "payload": payload, "base": b})
             mid += 1
