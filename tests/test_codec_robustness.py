@@ -414,9 +414,17 @@ def test_no_codec_seam_stays_loud():
     from web_template_forensics_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(48), fake=False)
+        decode_image(b"II*\x00" + bytes(64), fake=False)  # TIFF: no codec
     with pytest.raises(GifFormatError):
         decode_image(b"GIF89a" + bytes(64), fake=False)
+    # lossy VP8 is VALID WebP in a variant without a dependency-free
+    # codec: ValueError-family UnsupportedVariantError (per-row degrade)
+    from web_template_forensics_spark.operators.multimodal import (
+        UnsupportedVariantError,
+    )
+
+    with pytest.raises(UnsupportedVariantError):
+        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(48), fake=False)
 
 
 def test_sample_video_frames_null_duration_meta(spark):

@@ -1,0 +1,147 @@
+"""WebP-lossless codec (functions/webp_codec.py) tests — round-trips
+across every decoder path (literals, LZ77, color cache, all four
+transforms incl. palette bundling depths), hostile-input posture, and
+the decode_image dispatch (VP8L real, lossy VP8 = variant degrade)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from web_template_forensics_spark.functions.webp_codec import (
+    WebpFormatError,
+    decode_webp,
+    encode_webp,
+    is_webp,
+    is_webp_lossless,
+)
+
+
+def _check(img: np.ndarray, **kw) -> None:
+    payload = encode_webp(img, **kw)
+    assert is_webp(payload) and is_webp_lossless(payload)
+    out = decode_webp(payload)
+    want = img
+    if want.ndim == 2:
+        want = np.repeat(want[:, :, None], 3, axis=2)
+    if want.shape[2] == 3:
+        assert (out[:, :, :3] == want).all() and (out[:, :, 3] == 255).all()
+    else:
+        assert (out == want).all()
+
+
+def test_literal_roundtrips_rgb_rgba_grey():
+    rng = np.random.RandomState(1)
+    _check(rng.randint(0, 256, (21, 17, 3), dtype=np.uint8))
+    _check(rng.randint(0, 256, (9, 33, 4), dtype=np.uint8))
+    _check(rng.randint(0, 256, (12, 12), dtype=np.uint8))
+    _check(np.full((1, 1, 3), 42, dtype=np.uint8))  # 1x1 edge
+
+
+def test_lz77_runs_and_color_cache():
+    img = np.zeros((20, 30, 3), np.uint8)
+    img[5:15, 4:20] = (10, 200, 30)
+    img[2, :] = (1, 2, 3)
+    _check(img, use_lz77=True)
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (5, 3), np.uint8)
+    img = pal[rng.randint(0, 5, (25, 25))]
+    _check(img, cache_bits=4, use_lz77=False)
+    _check(img, cache_bits=6, use_lz77=True)
+    _check(img, cache_bits=1, use_lz77=False)  # minimum cache
+
+
+@pytest.mark.parametrize("ncolors", [2, 4, 13, 40, 256])
+def test_palette_transform_all_bundling_depths(ncolors):
+    rng = np.random.RandomState(ncolors)
+    pal = rng.randint(0, 256, (ncolors, 3), np.uint8)
+    img = pal[rng.randint(0, ncolors, (17, 23))]
+    _check(img, palette=True, use_lz77=False)
+
+
+def test_subtract_green_predictor_color_transform():
+    rng = np.random.RandomState(5)
+    _check(rng.randint(0, 256, (14, 19, 3), np.uint8), subtract_green=True)
+    smooth = np.clip(
+        np.linspace(0, 255, 19)[None, :, None]
+        + np.linspace(0, 60, 14)[:, None, None]
+        + rng.randint(0, 9, (14, 19, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    for mode in (0, 1, 2, 11, 12):
+        _check(smooth, predictor_mode=mode)
+    _check(smooth, color_transform=(12, 250, 7))
+    _check(smooth, predictor_mode=2, subtract_green=True)
+    _check(smooth, color_transform=(3, 4, 5), subtract_green=True, cache_bits=5)
+
+
+def test_fuzz_sweep():
+    rng = np.random.RandomState(77)
+    for _ in range(25):
+        h = int(rng.randint(1, 26))
+        w = int(rng.randint(1, 26))
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        _check(img, use_lz77=bool(rng.randint(2)), cache_bits=int(rng.randint(0, 8)))
+
+
+def test_lossy_vp8_raises_not_implemented():
+    payload = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(48)
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(payload)
+
+
+def test_hostile_inputs_typed_errors():
+    good = encode_webp(np.full((8, 8, 3), 7, np.uint8))
+    for bad in (
+        b"",
+        b"RIFF",
+        b"RIFF\x10\x00\x00\x00WAVE" + bytes(8),  # not WEBP
+        good[:18],  # chunk header truncated
+        good[:-3],  # bitstream truncated
+    ):
+        with pytest.raises((WebpFormatError, NotImplementedError)):
+            decode_webp(bad)
+    # bad VP8L signature byte
+    body = bytearray(good)
+    body[20] ^= 0xFF
+    with pytest.raises(WebpFormatError):
+        decode_webp(bytes(body))
+
+
+def test_bomb_guard_rejects_dimension_flood():
+    # hand-build a VP8L header claiming 2^14 x 2^14 = 256M pixels
+    from web_template_forensics_spark.functions.webp_codec import _BitWriter
+
+    bw = _BitWriter()
+    bw.write((1 << 14) - 1, 14)
+    bw.write((1 << 14) - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    body = b"\x2f" + bw.finish()
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 12 + len(body))
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(body))
+        + body
+    )
+    with pytest.raises(WebpFormatError, match="bomb"):
+        decode_webp(payload)
+
+
+def test_decode_image_dispatch():
+    from web_template_forensics_spark.operators.multimodal import (
+        UnsupportedVariantError,
+        decode_image,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (11, 13, 3), dtype=np.uint8)
+    out = decode_image(encode_webp(img))
+    np.testing.assert_array_equal(out, img)
+    with pytest.raises(UnsupportedVariantError):
+        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8X" + bytes(48))

@@ -1,0 +1,1025 @@
+"""Dependency-free WebP-LOSSLESS (VP8L) codec — stdlib + numpy only.
+
+Decoder covers the full VP8L bitstream (public spec: "WebP Lossless
+Bitstream Specification", RFC 9649): canonical prefix codes (simple and
+normal forms, incl. the 16/17/18 repeat machinery and the max_symbol
+field), LZ77 backward references with the 120-entry 2D distance map,
+color cache, meta-prefix images, and all four transforms applied in
+inverse order — PREDICTOR (all 14 modes), COLOR (cross-channel delta),
+SUBTRACT-GREEN, and COLOR-INDEXING (palette, incl. sub-byte pixel
+bundling for palettes <= 16). Lossy VP8 and extended VP8X payloads are
+NOT in scope (they need a full video-intra codec) and surface as
+``UnsupportedVariantError``-style ValueErrors at the decode_image seam.
+
+Matching encoder emits a fully valid subset — real canonical Huffman
+codes over the literal histograms, optional distance-1-run LZ77,
+optional color cache, and optional transforms (palette with bundling,
+subtract-green, constant-mode predictor, constant color transform) —
+one option per decoder path, so every path above is round-trip
+testable with zero third-party bytes while the decoder stays general.
+
+Hostile-input posture mirrors png_codec/gif_codec: typed
+``WebpFormatError`` (a ValueError), pixel output bounded by the
+declared dimensions, dimension bomb guard before allocation.
+
+Determinism contract: decode is exact (lossless format), so executor
+and driver faces are bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+_MAX_PIXELS = 1 << 26
+
+
+class WebpFormatError(ValueError):
+    """Structurally invalid / truncated / hostile WebP payload."""
+
+
+def is_webp(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+
+
+def is_webp_lossless(payload: bytes) -> bool:
+    return is_webp(payload) and payload[12:16] == b"VP8L"
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes."""
+
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+        self.n = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if self.pos + nbits > self.n:
+            raise WebpFormatError("bitstream truncated")
+        out = 0
+        p = self.pos
+        data = self.data
+        for i in range(nbits):
+            out |= ((data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + nbits
+        return out
+
+
+class _BitWriter:
+    __slots__ = ("bytes", "acc", "nbits")
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.bytes.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.bytes.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.bytes)
+
+
+# ------------------------------------------------- canonical prefix codes
+
+_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+class _PrefixCode:
+    """Canonical prefix code decoder: bit-by-bit walk over a flat
+    (code -> symbol) map per length — simple, allocation-light, and fast
+    enough for fixture-scale payloads."""
+
+    __slots__ = ("maps", "max_len", "single")
+
+    def __init__(self, lengths: list[int]):
+        self.single = None
+        counts: dict[int, int] = {}
+        for ln in lengths:
+            if ln:
+                counts[ln] = counts.get(ln, 0) + 1
+        if not counts:
+            raise WebpFormatError("empty prefix code")
+        if sum(counts.values()) == 1:
+            self.single = lengths.index(max(lengths))
+            self.maps = []
+            self.max_len = 0
+            return
+        # completeness (Kraft equality) — required for a well-formed code
+        kraft = sum(c << (15 - ln) for ln, c in counts.items())
+        if kraft != (1 << 15):
+            raise WebpFormatError("prefix code not complete")
+        self.max_len = max(counts)
+        code = 0
+        next_code = {}
+        for ln in range(1, self.max_len + 1):
+            code = (code + counts.get(ln - 1, 0)) << 1
+            next_code[ln] = code
+        maps: list[dict[int, int]] = [dict() for _ in range(self.max_len + 1)]
+        for sym, ln in enumerate(lengths):
+            if ln:
+                maps[ln][next_code[ln]] = sym
+                next_code[ln] += 1
+        self.maps = maps
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.maps[ln].get(code)
+            if sym is not None:
+                return sym
+        raise WebpFormatError("invalid prefix code in stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    """Spec 'prefix code' — simple (1-2 symbols) or normal form."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_bits = 8 if br.read(1) else 1
+        lengths = [0] * alphabet_size
+        s0 = br.read(first_bits)
+        if s0 >= alphabet_size:
+            raise WebpFormatError("simple-code symbol out of range")
+        if num_symbols == 1:
+            lengths[s0] = 1  # single-symbol: zero bits read at decode
+        else:
+            s1 = br.read(8)
+            if s1 >= alphabet_size or s1 == s0:
+                raise WebpFormatError("simple-code symbol invalid")
+            lengths[s0] = 1
+            lengths[s1] = 1
+        return _PrefixCode(lengths)
+    # normal: code-length code first
+    num_codes = br.read(4) + 4
+    if num_codes > 19:
+        raise WebpFormatError("too many code-length codes")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    # optional max_symbol
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        sym = cl_code.decode(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_len = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise WebpFormatError("code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[i] = prev_len
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+        if i > alphabet_size:
+            raise WebpFormatError("code-length zero-run overruns alphabet")
+    return _PrefixCode(lengths)
+
+
+# -------------------------------------------------------- LZ77 plumbing
+
+
+def _lz77_value(code: int, br: _BitReader) -> int:
+    """Length/distance prefix value: code -> value (spec 'LZ77 prefix
+    coding')."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# the 120-entry (dx, dy) neighbor map for distance codes 1..120
+def _build_distance_map() -> list[tuple[int, int]]:
+    out = []
+    for y in range(0, 8):
+        for x in range(-8, 9):
+            if y == 0 and x <= 0:
+                continue
+            out.append((x, y))
+    # spec order: sorted by distance (y*y + x*x), ties by y then x? The
+    # normative table is fixed; reproduce it exactly below instead.
+    return out
+
+
+# normative table (spec section 'Decoding the distance'): 120 pairs
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def _plane_distance(dist_code: int, width: int) -> int:
+    """Distance code -> linear distance (1-based) over the ARGB plane."""
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    d = dy * width + dx
+    return d if d >= 1 else 1
+
+
+# ------------------------------------------------------ entropy image
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _decode_argb_image(
+    br: _BitReader, width: int, height: int, allow_meta: bool
+) -> np.ndarray:
+    """Spatially-coded ARGB image -> (height*width, 4) uint8 [a, r, g, b].
+    Implements color cache, meta prefix codes (when ``allow_meta``) and
+    LZ77 — the shared machinery for the main image, entropy images and
+    palettes."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise WebpFormatError(f"invalid color cache bits {cache_bits}")
+    meta_codes = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = _subsample_size(width, meta_bits)
+        mh = _subsample_size(height, meta_bits)
+        meta_img = _decode_argb_image(br, mw, mh, allow_meta=False)
+        # meta prefix ids live in (red << 8 | green)
+        meta_codes = (
+            meta_img[:, 1].astype(np.int64) << 8 | meta_img[:, 2].astype(np.int64)
+        ).reshape(mh, mw)
+        n_groups = int(meta_codes.max()) + 1
+    green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    out = np.zeros((height * width, 4), dtype=np.uint8)  # a, r, g, b
+    pos = 0
+    total = height * width
+    g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
+    while pos < total:
+        if meta_codes is not None:
+            x = pos % width
+            y = pos // width
+            gid = int(meta_codes[y >> meta_bits, x >> meta_bits])
+            if gid >= n_groups:
+                raise WebpFormatError("meta prefix id out of range")
+            g_green, g_red, g_blue, g_alpha, g_dist = groups[gid]
+        sym = g_green.decode(br)
+        if sym < 256:  # literal
+            r = g_red.decode(br)
+            b = g_blue.decode(br)
+            a = g_alpha.decode(br)
+            out[pos, 0] = a
+            out[pos, 1] = r
+            out[pos, 2] = sym
+            out[pos, 3] = b
+            if cache is not None:
+                argb = (a << 24) | (r << 16) | (sym << 8) | b
+                cache[((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            pos += 1
+        elif sym < 280:  # backward reference
+            length = _lz77_value(sym - 256, br)
+            dist_code = _lz77_value(g_dist.decode(br), br)
+            dist = _plane_distance(dist_code, width)
+            if dist > pos or pos + length > total:
+                raise WebpFormatError("LZ77 reference out of bounds")
+            for k in range(length):
+                out[pos + k] = out[pos + k - dist]
+                if cache is not None:
+                    a, r, g, b = out[pos + k]
+                    argb = (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+                    cache[((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            pos += length
+        else:  # color cache hit
+            if cache is None:
+                raise WebpFormatError("cache symbol without color cache")
+            idx = sym - 280
+            if idx >= len(cache):
+                raise WebpFormatError("color cache index out of range")
+            argb = cache[idx]
+            out[pos, 0] = (argb >> 24) & 0xFF
+            out[pos, 1] = (argb >> 16) & 0xFF
+            out[pos, 2] = (argb >> 8) & 0xFF
+            out[pos, 3] = argb & 0xFF
+            pos += 1
+    return out
+
+
+# ---------------------------------------------------------- transforms
+
+
+def _inv_subtract_green(px: np.ndarray) -> None:
+    g = px[:, 2].astype(np.uint16)
+    px[:, 1] = ((px[:, 1].astype(np.uint16) + g) & 0xFF).astype(np.uint8)
+    px[:, 3] = ((px[:, 3].astype(np.uint16) + g) & 0xFF).astype(np.uint8)
+
+
+def _inv_color_indexing(
+    px: np.ndarray, palette: np.ndarray, width: int, height: int, packed_w: int
+) -> np.ndarray:
+    """Indexed (possibly bundled) pixels -> expanded ARGB rows."""
+    n_colors = len(palette)
+    if n_colors <= 2:
+        bits = 3  # 8 pixels per byte
+    elif n_colors <= 4:
+        bits = 2
+    elif n_colors <= 16:
+        bits = 1
+    else:
+        bits = 0
+    idx = px[:, 2].reshape(height, packed_w)  # indices live in GREEN
+    if bits == 0:
+        full = idx
+    else:
+        per = 1 << bits  # pixels per packed byte
+        depth = 8 >> bits  # bits per pixel
+        cols = []
+        for j in range(per):
+            cols.append((idx >> (depth * j)) & ((1 << depth) - 1))
+        full = np.stack(cols, axis=2).reshape(height, packed_w * per)[:, :width]
+    if full.max(initial=0) >= n_colors:
+        # out-of-range palette indices decode as transparent black per
+        # libwebp; be strict instead (hostile input)
+        raise WebpFormatError("palette index out of range")
+    return palette[full.reshape(-1)]
+
+
+_PRED_MODES = 14
+
+
+def _inv_predictor(
+    px: np.ndarray, modes: np.ndarray, bits: int, width: int, height: int
+) -> None:
+    """In-place inverse spatial prediction (all 14 modes). Scalar loop —
+    fixture-scale payloads; predictor rows depend on prior pixels."""
+
+    def avg2(a, b):
+        return (a + b) >> 1
+
+    p = px.reshape(height, width, 4).astype(np.int32)
+    for y in range(height):
+        for x in range(width):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = p[0, x - 1]
+            elif x == 0:
+                pred = p[y - 1, 0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                L = p[y, x - 1]
+                T = p[y - 1, x]
+                TL = p[y - 1, x - 1]
+                if x + 1 < width:
+                    TR = p[y - 1, x + 1]
+                else:
+                    # rightmost column: TR aliases the CURRENT row's
+                    # leftmost pixel (RFC 9649 — row buffers are
+                    # contiguous in the reference decoder)
+                    TR = p[y, 0]
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = avg2(avg2(L, TR), T)
+                elif mode == 6:
+                    pred = avg2(L, TL)
+                elif mode == 7:
+                    pred = avg2(L, T)
+                elif mode == 8:
+                    pred = avg2(TL, T)
+                elif mode == 9:
+                    pred = avg2(T, TR)
+                elif mode == 10:
+                    pred = avg2(avg2(L, TL), avg2(T, TR))
+                elif mode == 11:  # Select
+                    pall = L + T - TL
+                    pl = np.abs(pall - L).sum()
+                    pt = np.abs(pall - T).sum()
+                    pred = L if pl < pt else T
+                elif mode == 12:  # ClampAddSubtractFull
+                    pred = np.clip(L + T - TL, 0, 255)
+                elif mode == 13:  # ClampAddSubtractHalf
+                    a = avg2(L, T)
+                    pred = np.clip(a + (a - TL) // 2, 0, 255)
+                else:
+                    raise WebpFormatError(f"invalid predictor mode {mode}")
+            p[y, x] = (p[y, x] + pred) & 0xFF
+    px[:] = p.reshape(-1, 4).astype(np.uint8)
+
+
+def _inv_color_transform(
+    px: np.ndarray, elems: np.ndarray, bits: int, width: int, height: int
+) -> None:
+    """Inverse cross-channel color transform (spec 'Color Transform')."""
+
+    def delta(t: int, c: int) -> int:
+        # signed 3.5 fixed point multiply, as in the spec
+        t8 = t if t < 128 else t - 256
+        c8 = c if c < 128 else c - 256
+        return (t8 * c8) >> 5
+
+    p = px.reshape(height, width, 4)
+    for y in range(height):
+        for x in range(width):
+            e = int(elems[y >> bits, x >> bits])
+            g2r = (e >> 0) & 0xFF   # stored in blue of the transform img
+            g2b = (e >> 8) & 0xFF   # stored in green
+            r2b = (e >> 16) & 0xFF  # stored in red
+            g = int(p[y, x, 2])
+            r = (int(p[y, x, 1]) + delta(g2r, g)) & 0xFF
+            b = (int(p[y, x, 3]) + delta(g2b, g) + delta(r2b, r)) & 0xFF
+            p[y, x, 1] = r
+            p[y, x, 3] = b
+
+
+# -------------------------------------------------------------- decoder
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """WebP-lossless bytes -> (h, w, 4) uint8 RGBA."""
+    data = bytes(payload)
+    if not is_webp(data):
+        raise WebpFormatError("bad RIFF/WEBP signature")
+    if data[12:16] != b"VP8L":
+        raise NotImplementedError(
+            f"WebP variant {data[12:16]!r} (lossy VP8 / extended VP8X) "
+            "has no dependency-free codec here — only VP8L decodes"
+        )
+    if len(data) < 21:
+        raise WebpFormatError("VP8L chunk truncated")
+    (chunk_len,) = struct.unpack("<I", data[16:20])
+    body = data[20 : 20 + chunk_len]
+    if len(body) < chunk_len:
+        raise WebpFormatError("VP8L payload shorter than chunk length")
+    if body[0] != 0x2F:
+        raise WebpFormatError("bad VP8L signature byte")
+    br = _BitReader(body[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha-used hint
+    if br.read(3) != 0:
+        raise WebpFormatError("unknown VP8L version")
+    if width * height > _MAX_PIXELS:
+        raise WebpFormatError("dimensions exceed bomb guard")
+    # transforms (each type at most once)
+    transforms = []
+    seen = set()
+    xsize = width
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise WebpFormatError("duplicate transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green
+            transforms.append(("subtract_green",))
+        elif ttype == 0:  # predictor
+            bits = br.read(3) + 2
+            mw = _subsample_size(xsize, bits)
+            mh = _subsample_size(height, bits)
+            img = _decode_argb_image(br, mw, mh, allow_meta=False)
+            modes = img[:, 2].reshape(mh, mw)  # green channel
+            transforms.append(("predictor", modes, bits))
+        elif ttype == 1:  # color transform
+            bits = br.read(3) + 2
+            mw = _subsample_size(xsize, bits)
+            mh = _subsample_size(height, bits)
+            img = _decode_argb_image(br, mw, mh, allow_meta=False)
+            elems = (
+                img[:, 1].astype(np.int64) << 16  # red: r2b (cte order below)
+                | img[:, 2].astype(np.int64) << 8
+                | img[:, 3].astype(np.int64)
+            ).reshape(mh, mw)
+            transforms.append(("color", elems, bits))
+        else:  # 3: color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _decode_argb_image(br, n_colors, 1, allow_meta=False)
+            # palette entries are delta-coded component-wise
+            pal = np.cumsum(pal_img.astype(np.int64), axis=0) & 0xFF
+            palette = pal.astype(np.uint8)
+            if n_colors <= 2:
+                xsize = _subsample_size(xsize, 3)
+            elif n_colors <= 4:
+                xsize = _subsample_size(xsize, 2)
+            elif n_colors <= 16:
+                xsize = _subsample_size(xsize, 1)
+            transforms.append(("palette", palette))
+    px = _decode_argb_image(br, xsize, height, allow_meta=True)
+    # inverse transforms, reverse order
+    cur_w = xsize
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            px = _inv_color_indexing(px, t[1], width, height, cur_w)
+            cur_w = width
+        elif t[0] == "subtract_green":
+            _inv_subtract_green(px)
+        elif t[0] == "predictor":
+            _inv_predictor(px, t[1], t[2], cur_w, height)
+        elif t[0] == "color":
+            _inv_color_transform(px, t[1], t[2], cur_w, height)
+    if cur_w != width:
+        raise WebpFormatError("palette transform missing for bundled width")
+    # ARGB -> RGBA
+    rgba = np.empty((height, width, 4), dtype=np.uint8)
+    arr = px.reshape(height, width, 4)
+    rgba[:, :, 0] = arr[:, :, 1]
+    rgba[:, :, 1] = arr[:, :, 2]
+    rgba[:, :, 2] = arr[:, :, 3]
+    rgba[:, :, 3] = arr[:, :, 0]
+    return rgba
+
+
+# -------------------------------------------------------------- encoder
+
+
+def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
+    """Code lengths from symbol frequencies — plain heapq Huffman with a
+    (rarely-needed) depth clamp + Kraft fixup."""
+    active = [(f, i) for i, f in enumerate(freqs) if f > 0]
+    n = len(active)
+    lengths = [0] * len(freqs)
+    if n == 0:
+        raise WebpFormatError("empty histogram")
+    if n == 1:
+        lengths[active[0][1]] = 1
+        return lengths
+    heap = [(f, i, (i,)) for f, i in active]
+    heapq.heapify(heap)
+    counter = len(freqs)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, counter, s1 + s2))
+        counter += 1
+    if max(lengths) > max_len:
+        # clamp then restore Kraft equality by lengthening the shortest
+        lengths = [min(ln, max_len) if ln else 0 for ln in lengths]
+        def kraft():
+            return sum(1 << (max_len - ln) for ln in lengths if ln)
+        while kraft() > (1 << max_len):
+            i = min(
+                (i for i, ln in enumerate(lengths) if 0 < ln < max_len),
+                key=lambda i: lengths[i],
+            )
+            lengths[i] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: list[int]) -> list[int]:
+    counts: dict[int, int] = {}
+    for ln in lengths:
+        if ln:
+            counts[ln] = counts.get(ln, 0) + 1
+    code = 0
+    next_code = {}
+    for ln in range(1, max(counts) + 1):
+        code = (code + counts.get(ln - 1, 0)) << 1
+        next_code[ln] = code
+    codes = [0] * len(lengths)
+    for sym, ln in enumerate(lengths):
+        if ln:
+            codes[sym] = next_code[ln]
+            next_code[ln] += 1
+    return codes
+
+
+def _write_bits_msb_code(bw: _BitWriter, code: int, length: int) -> None:
+    """Prefix codes are written MSB-first (mirrors the decoder's walk)."""
+    for i in range(length - 1, -1, -1):
+        bw.write((code >> i) & 1, 1)
+
+
+def _emit_lengths(lengths: list[int]) -> list[int]:
+    """Per-symbol bit counts the ENCODER must write: a single-symbol
+    code is zero bits on the wire (the decoder returns it without
+    reading), even though its declared length is 1."""
+    if sum(1 for ln in lengths if ln) == 1:
+        return [0] * len(lengths)
+    return lengths
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
+    """Emit a prefix-code header for ``lengths`` — simple form for 1-2
+    symbols, normal form (literal per-symbol lengths through a real
+    code-length code, no repeat codes) otherwise."""
+    nz = [i for i, ln in enumerate(lengths) if ln]
+    if len(nz) <= 2 and all(lengths[i] == 1 for i in nz):
+        bw.write(1, 1)  # simple form
+        bw.write(len(nz) - 1, 1)
+        first = nz[0]
+        if first > 1:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        if len(nz) == 2:
+            bw.write(nz[1], 8)
+        return
+    bw.write(0, 1)  # normal form
+    # emit every symbol's length literally through a code-length code
+    cl_freq = [0] * 19
+    for ln in lengths:
+        cl_freq[ln] += 1
+    cl_lengths = _huffman_lengths(cl_freq, max_len=7)
+    # order-truncated: find how many of the ordered slots we must send
+    order_pos = {s: i for i, s in enumerate(_CODE_LENGTH_ORDER)}
+    last_needed = max(order_pos[s] for s, ln in enumerate(cl_lengths) if ln)
+    num_codes = max(last_needed + 1, 4)
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.write(cl_lengths[_CODE_LENGTH_ORDER[i]], 3)
+    bw.write(0, 1)  # no max_symbol field
+    cl_codes = _canonical_codes(cl_lengths)
+    cl_emit = _emit_lengths(cl_lengths)
+    for ln in lengths:
+        _write_bits_msb_code(bw, cl_codes[ln], cl_emit[ln])
+
+
+def _lz77_code_of(value: int) -> tuple[int, int, int]:
+    """value (>= 1) -> (prefix code, n extra bits, extra value)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        off = (2 + (code & 1)) << extra
+        if off + 1 <= value <= off + (1 << extra):
+            return code, extra, value - off - 1
+    raise WebpFormatError(f"LZ77 value {value} out of range")
+
+
+def _encode_argb_stream(
+    bw: _BitWriter,
+    px: np.ndarray,
+    width: int,
+    use_lz77: bool,
+    cache_bits: int,
+    top_level: bool = False,
+) -> None:
+    """Spatially-coded ARGB image body: optional color cache, optional
+    distance-1 run LZ77, one prefix-code group. ``px`` is (N, 4) uint8
+    [a, r, g, b]."""
+    total = len(px)
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if top_level:
+        bw.write(0, 1)  # no meta prefix codes (sub-images have no bit)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    argbs = (
+        px[:, 0].astype(np.int64) << 24
+        | px[:, 1].astype(np.int64) << 16
+        | px[:, 2].astype(np.int64) << 8
+        | px[:, 3].astype(np.int64)
+    )
+    # op stream: ("lit", i) | ("cache", idx) | ("ref", len_code, extra_n,
+    # extra_v, dist_sym, d_extra_n, d_extra_v)
+    ops = []
+    cache_size = 1 << cache_bits if cache_bits else 0
+    i = 0
+    while i < total:
+        if use_lz77 and i > 0 and argbs[i] == argbs[i - 1]:
+            run = 1
+            while i + run < total and argbs[i + run] == argbs[i - 1]:
+                run += 1
+            run = min(run, 4096)  # max expressible length (code 23)
+            if run >= 3:
+                lcode, ln_, lv = _lz77_code_of(run)
+                # linear distance 1 -> dist_code 121
+                dsym, dn_, dv = _lz77_code_of(121)
+                ops.append(("ref", lcode, ln_, lv, dsym, dn_, dv))
+                if cache is not None:
+                    hidx = ((int(argbs[i]) * 0x1E35A7BD) & 0xFFFFFFFF) >> (
+                        32 - cache_bits
+                    )
+                    cache[hidx] = int(argbs[i])
+                i += run
+                continue
+        v = int(argbs[i])
+        if cache is not None:
+            hidx = ((v * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[hidx] == v:
+                ops.append(("cache", hidx))
+                i += 1
+                continue
+            cache[hidx] = v
+        ops.append(("lit", i))
+        i += 1
+    green_size = 256 + 24 + cache_size
+    gf = [0] * green_size
+    rf = [0] * 256
+    bf = [0] * 256
+    af = [0] * 256
+    df = [0] * 40
+    for op in ops:
+        if op[0] == "lit":
+            _, idx = op
+            af[px[idx, 0]] += 1
+            rf[px[idx, 1]] += 1
+            gf[px[idx, 2]] += 1
+            bf[px[idx, 3]] += 1
+        elif op[0] == "cache":
+            gf[280 + op[1]] += 1
+        else:
+            gf[256 + op[1]] += 1
+            df[op[4]] += 1
+    codes = []
+    for freqs in (gf, rf, bf, af, df):
+        if sum(freqs) == 0:
+            freqs = list(freqs)
+            freqs[0] = 1  # unused alphabet: 1-symbol simple code
+        lengths = _huffman_lengths(freqs)
+        _write_prefix_code(bw, lengths)
+        codes.append((_canonical_codes(lengths), _emit_lengths(lengths)))
+    (gc, gl), (rc, rl), (bc, bl), (ac, al_), (dc, dl) = codes
+    for op in ops:
+        if op[0] == "lit":
+            _, idx = op
+            gv = int(px[idx, 2])
+            _write_bits_msb_code(bw, gc[gv], gl[gv])
+            rv = int(px[idx, 1])
+            _write_bits_msb_code(bw, rc[rv], rl[rv])
+            bv = int(px[idx, 3])
+            _write_bits_msb_code(bw, bc[bv], bl[bv])
+            av = int(px[idx, 0])
+            _write_bits_msb_code(bw, ac[av], al_[av])
+        elif op[0] == "cache":
+            s = 280 + op[1]
+            _write_bits_msb_code(bw, gc[s], gl[s])
+        else:
+            _, lcode, ln_, lv, dsym, dn_, dv = op
+            s = 256 + lcode
+            _write_bits_msb_code(bw, gc[s], gl[s])
+            bw.write(lv, ln_)
+            _write_bits_msb_code(bw, dc[dsym], dl[dsym])
+            bw.write(dv, dn_)
+
+
+def _forward_predictor(a4: np.ndarray, mode: int) -> np.ndarray:
+    """Forward constant-mode prediction residuals (lossless, so the
+    reconstructed neighbors ARE the originals)."""
+    h, w, _ = a4.shape
+    p = a4.astype(np.int32)
+    res = np.zeros_like(p)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = p[0, x - 1]
+            elif x == 0:
+                pred = p[y - 1, 0]
+            else:
+                L = p[y, x - 1]
+                T = p[y - 1, x]
+                TL = p[y - 1, x - 1]
+                TR = p[y - 1, x + 1] if x + 1 < w else p[y, 0]
+                if mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 11:
+                    pall = L + T - TL
+                    pred = L if np.abs(pall - L).sum() < np.abs(pall - T).sum() else T
+                elif mode == 12:
+                    pred = np.clip(L + T - TL, 0, 255)
+                else:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                del TR
+            res[y, x] = (p[y, x] - pred) & 0xFF
+    return res.astype(np.uint8)
+
+
+def encode_webp(
+    img: np.ndarray,
+    use_lz77: bool = True,
+    cache_bits: int = 0,
+    palette: bool = False,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
+) -> bytes:
+    """(h, w, 3|4) or (h, w) uint8 -> WebP-lossless bytes.
+
+    A fully VALID subset encoder: real canonical Huffman codes, optional
+    distance-1-run LZ77, optional color cache, and optional transforms
+    (palette / subtract-green / constant-mode predictor / constant color
+    transform) — each emitting the spec bitstream the general decoder
+    consumes, so every decode path is round-trip testable with zero
+    third-party bytes. Options compose in spec transform order."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.shape[2] == 3:
+        a = np.concatenate([a, np.full(a.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    h, w, _ = a.shape
+    if h < 1 or w < 1 or h > 1 << 14 or w > 1 << 14:
+        raise WebpFormatError("dimensions out of VP8L range")
+    # ARGB working copy
+    argb = np.empty((h, w, 4), dtype=np.uint8)
+    argb[:, :, 0] = a[:, :, 3]
+    argb[:, :, 1] = a[:, :, 0]
+    argb[:, :, 2] = a[:, :, 1]
+    argb[:, :, 3] = a[:, :, 2]
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    xsize = w
+    if predictor_mode is not None:
+        if predictor_mode not in (0, 1, 2, 11, 12):
+            raise WebpFormatError("encoder supports predictor modes 0/1/2/11/12")
+        bw.write(1, 1)
+        bw.write(0, 2)  # type: predictor
+        bits = 4
+        bw.write(bits - 2, 3)
+        mw = _subsample_size(xsize, bits)
+        mh = _subsample_size(h, bits)
+        modes = np.zeros((mw * mh, 4), dtype=np.uint8)
+        modes[:, 0] = 255
+        modes[:, 2] = predictor_mode  # green channel
+        _encode_argb_stream(bw, modes, mw, use_lz77=True, cache_bits=0)
+        argb = _forward_predictor(argb, predictor_mode)
+    if color_transform is not None:
+        g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+        bw.write(1, 1)
+        bw.write(1, 2)  # type: color transform
+        bits = 4
+        bw.write(bits - 2, 3)
+        mw = _subsample_size(xsize, bits)
+        mh = _subsample_size(h, bits)
+        elem = np.zeros((mw * mh, 4), dtype=np.uint8)
+        elem[:, 0] = 255
+        elem[:, 1] = r2b  # red
+        elem[:, 2] = g2b  # green
+        elem[:, 3] = g2r  # blue
+        _encode_argb_stream(bw, elem, mw, use_lz77=True, cache_bits=0)
+
+        def _d(t: int, c: int) -> int:
+            t8 = t if t < 128 else t - 256
+            c8 = c if c < 128 else c - 256
+            return (t8 * c8) >> 5
+
+        flat = argb.reshape(-1, 4).astype(np.int32)
+        for i in range(len(flat)):
+            g = int(flat[i, 2])
+            r = int(flat[i, 1])
+            flat[i, 1] = (r - _d(g2r, g)) & 0xFF
+            flat[i, 3] = (int(flat[i, 3]) - _d(g2b, g) - _d(r2b, r)) & 0xFF
+        argb = flat.astype(np.uint8).reshape(h, w, 4)
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # type: subtract green
+        g16 = argb[:, :, 2].astype(np.int16)
+        argb[:, :, 1] = ((argb[:, :, 1].astype(np.int16) - g16) & 0xFF).astype(np.uint8)
+        argb[:, :, 3] = ((argb[:, :, 3].astype(np.int16) - g16) & 0xFF).astype(np.uint8)
+    if palette:
+        flat = argb.reshape(-1, 4)
+        packed = (
+            flat[:, 0].astype(np.int64) << 24
+            | flat[:, 1].astype(np.int64) << 16
+            | flat[:, 2].astype(np.int64) << 8
+            | flat[:, 3].astype(np.int64)
+        )
+        colors, inv = np.unique(packed, return_inverse=True)
+        if len(colors) > 256:
+            raise WebpFormatError(
+                f"{len(colors)} distinct colors > 256: palette impossible"
+            )
+        n_colors = len(colors)
+        bw.write(1, 1)
+        bw.write(3, 2)  # type: color indexing
+        bw.write(n_colors - 1, 8)
+        pal4 = np.stack(
+            [
+                (colors >> 24) & 0xFF,
+                (colors >> 16) & 0xFF,
+                (colors >> 8) & 0xFF,
+                colors & 0xFF,
+            ],
+            axis=1,
+        ).astype(np.int16)
+        deltas = np.empty_like(pal4)
+        deltas[0] = pal4[0]
+        deltas[1:] = (pal4[1:] - pal4[:-1]) & 0xFF
+        _encode_argb_stream(
+            bw, deltas.astype(np.uint8), n_colors, use_lz77=False, cache_bits=0
+        )
+        idx = inv.reshape(h, w).astype(np.uint8)
+        if n_colors <= 2:
+            depth, per = 1, 8
+        elif n_colors <= 4:
+            depth, per = 2, 4
+        elif n_colors <= 16:
+            depth, per = 4, 2
+        else:
+            depth, per = 8, 1
+        if per > 1:
+            packed_w = (w + per - 1) // per
+            padded = np.zeros((h, packed_w * per), dtype=np.uint8)
+            padded[:, :w] = idx
+            bundled = np.zeros((h, packed_w), dtype=np.uint8)
+            for j in range(per):
+                bundled |= padded[:, j::per] << (depth * j)
+            idx = bundled
+            xsize = packed_w
+        argb = np.zeros((h, xsize, 4), dtype=np.uint8)
+        argb[:, :, 0] = 255
+        argb[:, :, 2] = idx
+    bw.write(0, 1)  # end of transforms
+    _encode_argb_stream(
+        bw,
+        argb.reshape(-1, 4),
+        xsize,
+        use_lz77=use_lz77,
+        cache_bits=cache_bits,
+        top_level=True,
+    )
+    body = b"\x2f" + bw.finish()
+    if len(body) % 2:
+        padded = body + b"\x00"
+    else:
+        padded = body
+    riff_len = 4 + 8 + len(padded)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_len)
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(body))
+        + padded
+    )

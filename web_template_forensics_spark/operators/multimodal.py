@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.gif_codec import GIF_MAGICS, decode_gif
+from ..functions.webp_codec import decode_webp, is_webp
 from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frame_spans
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
 from ..functions.wav_codec import decode_wav, is_wav
@@ -106,6 +107,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # lossless palettized decode (functions/gif_codec.py): first
         # composited frame; already (h, w, 3)
         return decode_gif(payload)
+    if is_webp(payload):
+        # VP8L (lossless) decodes for real (functions/webp_codec.py);
+        # lossy VP8 / extended VP8X are valid WebP in variants with no
+        # dependency-free codec -> UnsupportedVariantError (per-row
+        # degrade), NOT the loud no-codec seam
+        try:
+            img = decode_webp(payload)
+        except NotImplementedError as exc:
+            raise UnsupportedVariantError(f"WebP variant: {exc}") from exc
+        return np.ascontiguousarray(img[:, :, :3])  # drop alpha (RGBA)
     if payload[:2] == JPEG_SOI:
         try:
             img = decode_jpeg(payload)
@@ -116,9 +127,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return img
     if not fake:
         raise NotImplementedError(
-            "image codecs beyond PNG/JPEG (Pillow/opencv) are not "
-            "available in this environment; pass fake=True for the "
-            "deterministic stub decoder"
+            "image codecs beyond PNG/JPEG/GIF/WebP-lossless (Pillow/"
+            "opencv) are not available in this environment; pass "
+            "fake=True for the deterministic stub decoder"
         )
     h = 16 + (payload[0] % 16) if payload else 16
     w = 16 + (payload[1] % 16) if len(payload) > 1 else 16

@@ -395,6 +395,22 @@ def fixture_corpus() -> list[dict]:
         }
     )
     mid += 1
+
+    # ---- WebP-lossless coverage (late round 5): every decoder path the
+    # subset encoder can drive, truth = pre-encoding pixels (lossless).
+    from ..functions.webp_codec import encode_webp
+
+    wimg = _smooth_or_noise(rng, (15, 22, 3), smooth=False)
+    _img_row("webp", encode_webp(wimg, use_lz77=True, cache_bits=5), wimg)
+    wpal = gpal[rng.randint(0, 48, size=(13, 19))]
+    _img_row("webp", encode_webp(wpal, palette=True), wpal)
+    wsm = _smooth_or_noise(rng, (18, 14, 3), smooth=True)
+    _img_row(
+        "webp",
+        encode_webp(wsm, predictor_mode=11, subtract_green=True),
+        wsm,
+    )
+    _img_row("webp", encode_webp(wsm, color_transform=(9, 133, 250)), wsm)
     return rows
 
 
