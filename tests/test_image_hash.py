@@ -126,7 +126,7 @@ def test_band_self_join_reuses_hash_stage(spark):
         "media_id long, payload binary",
     )
     df = image_phash_pairs(media, max_hamming=6)
-    assert len(df.collect()) == 54
+    assert len(df.collect()) == 60
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedQueryStage" in plan or "ReusedExchange" in plan

@@ -523,10 +523,11 @@ def phash_corpus() -> list[dict]:
     """Deterministic pHash gate corpus: 16 textured bases x 3 real
     encodings (PNG across filters, sequential JPEG q85, progressive
     JPEG q88), 2 grey-palettized CROSS-FORMAT bases x {PNG, JPEG q85,
-    interlaced GIF}, + 2 corrupt payloads that the operator must DROP
-    (a truncated PNG and a bare JPEG SOI over junk). Expected pairing:
-    exactly the 3 within-base pairs per base at hamming <= 6, nothing
-    across bases, nothing involving the corrupt rows."""
+    interlaced GIF, WebP-lossless}, + 2 corrupt payloads that the
+    operator must DROP (a truncated PNG and a bare JPEG SOI over junk).
+    Expected pairing: every within-base pair (3 per textured base, 6
+    per cross-format base) at hamming <= 6, nothing across bases,
+    nothing involving the corrupt rows."""
     rng = np.random.RandomState(FIXTURE_SEED + 4)
     rows: list[dict] = []
     mid = 0
@@ -543,6 +544,7 @@ def phash_corpus() -> list[dict]:
     # losslessly GIF-encodable) — the same image as PNG, JPEG and
     # interlaced GIF must land in one near-dup cluster
     from ..functions.gif_codec import encode_gif
+    from ..functions.webp_codec import encode_webp
 
     for b in (_PHASH_BASES, _PHASH_BASES + 1):
         img = np.repeat(
@@ -552,6 +554,7 @@ def phash_corpus() -> list[dict]:
             encode_png(img, filter_type=b % 5),
             encode_jpeg(img, quality=85),
             encode_gif(img, interlace=True),
+            encode_webp(img, subtract_green=True, cache_bits=4),
         ):
             rows.append({"media_id": mid, "payload": payload, "base": b})
             mid += 1
