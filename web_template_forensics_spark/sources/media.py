@@ -2,7 +2,8 @@
 
 ``build_media_df(spark, n)`` generates ``n`` rows of genuinely encoded
 media — PNG (plain + Adam7-interlaced), JPEG (sequential, progressive,
-non-interleaved multi-scan), RIFF/WAVE PCM and Motion-JPEG — entirely
+non-interleaved multi-scan), GIF (interlaced images + animations),
+WebP-lossless, RIFF/WAVE PCM and Motion-JPEG — entirely
 on executors (``mapInPandas`` over ``spark.range``), so corpus size is
 bounded only by cluster capacity, never by the driver. Each row is a
 pure function of (seed, media_id): regenerating any partition yields
@@ -26,12 +27,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.gif_codec import encode_gif, encode_gif_animation
 from ..functions.jpeg_codec import encode_jpeg, encode_mjpeg
 from ..functions.png_codec import encode_png
 from ..functions.wav_codec import encode_wav
+from ..functions.webp_codec import encode_webp
 from ..operators.multimodal import MEDIA_SCHEMA
 
-_IMAGE_VARIANTS = 6  # rotation over the distinct image encode paths
+_IMAGE_VARIANTS = 8  # rotation over the distinct image encode paths
 
 
 def _media_row(i: int, seed: int) -> tuple:
@@ -61,8 +64,18 @@ def _media_row(i: int, seed: int) -> tuple:
             payload, codec = encode_jpeg(img, quality=92), "jpeg"
         elif v == 4:
             payload, codec = encode_jpeg(img, quality=85, progressive=True), "jpeg"
-        else:
+        elif v == 5:
             payload, codec = encode_jpeg(img, quality=85, interleave=False), "jpeg"
+        elif v == 6:
+            # GIF requires <= 256 colors: palettized texture
+            pal = rng.randint(0, 256, size=(64, 3)).astype(np.uint8)
+            img = pal[rng.randint(0, 64, size=(h, w))]
+            payload, codec = encode_gif(img, interlace=i % 2 == 0), "gif"
+        else:
+            payload, codec = (
+                encode_webp(img, subtract_green=True, cache_bits=6),
+                "webp",
+            )
         meta.update(width=w, height=h, codec=codec)
     elif kind == "audio":
         n_samp = 2000 + int(rng.randint(0, 5)) * 1000
@@ -76,13 +89,23 @@ def _media_row(i: int, seed: int) -> tuple:
     else:
         n_frames = 3 + (i // 3) % 3
         side = 24 + 8 * ((i // 3) % 2)
-        frames = [
-            rng.randint(0, 256, size=(side, side, 3)).astype(np.uint8)
-            for _ in range(n_frames)
-        ]
-        payload = encode_mjpeg(frames, quality=85)
+        if (i // 3) % 4 == 3:
+            # animated GIF leg: palettized frames, lossless
+            pal = rng.randint(0, 256, size=(32, 3)).astype(np.uint8)
+            frames = [
+                pal[rng.randint(0, 32, size=(side, side))] for _ in range(n_frames)
+            ]
+            payload = encode_gif_animation(frames)
+            codec = "gif"
+        else:
+            frames = [
+                rng.randint(0, 256, size=(side, side, 3)).astype(np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_mjpeg(frames, quality=85)
+            codec = "mjpeg"
         meta.update(
-            width=side, height=side, duration_ms=n_frames * 1000, codec="mjpeg"
+            width=side, height=side, duration_ms=n_frames * 1000, codec=codec
         )
     return i, kind, bytearray(payload), meta
 
