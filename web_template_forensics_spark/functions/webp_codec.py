@@ -52,27 +52,41 @@ def is_webp_lossless(payload: bytes) -> bool:
 
 
 class _BitReader:
-    """LSB-first bit reader over bytes."""
+    """LSB-first bit reader over bytes, with a 32-bit sliding window
+    (precomputed per byte offset) so reads and prefix-code peeks are a
+    single index + shift instead of a per-bit loop — the same LUT-decode
+    discipline as jpeg_codec's 16-bit-peek entropy decoder."""
 
-    __slots__ = ("data", "pos", "n")
+    __slots__ = ("w32", "pos", "n")
 
     def __init__(self, data: bytes):
-        self.data = data
+        buf = np.frombuffer(bytes(data) + b"\x00\x00\x00\x00", dtype=np.uint8)
+        self.w32 = (
+            buf[:-3].astype(np.uint32)
+            | buf[1:-2].astype(np.uint32) << np.uint32(8)
+            | buf[2:-1].astype(np.uint32) << np.uint32(16)
+            | buf[3:].astype(np.uint32) << np.uint32(24)
+        ).tolist()  # python ints: faster scalar indexing than np.uint32
         self.pos = 0  # bit position
         self.n = len(data) * 8
 
     def read(self, nbits: int) -> int:
+        """nbits <= 25 (the widest field in the format is 14)."""
         if nbits == 0:
             return 0
-        if self.pos + nbits > self.n:
-            raise WebpFormatError("bitstream truncated")
-        out = 0
         p = self.pos
-        data = self.data
-        for i in range(nbits):
-            out |= ((data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        if p + nbits > self.n:
+            raise WebpFormatError("bitstream truncated")
         self.pos = p + nbits
-        return out
+        return (self.w32[p >> 3] >> (p & 7)) & ((1 << nbits) - 1)
+
+    def peek(self, nbits: int) -> int:
+        """Zero-padded lookahead (no bounds error) for LUT decode."""
+        p = self.pos
+        idx = p >> 3
+        if idx >= len(self.w32):
+            return 0
+        return (self.w32[idx] >> (p & 7)) & ((1 << nbits) - 1)
 
 
 class _BitWriter:
@@ -105,11 +119,12 @@ _CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 
 
 
 class _PrefixCode:
-    """Canonical prefix code decoder: bit-by-bit walk over a flat
-    (code -> symbol) map per length — simple, allocation-light, and fast
-    enough for fixture-scale payloads."""
+    """Canonical prefix code decoder via a full-width peek LUT:
+    lut[next max_len stream bits] = (symbol << 4) | code_length, so a
+    decode is one window peek + one list index (codes are MSB-first, the
+    stream is LSB-first, hence the bit-reversed fill)."""
 
-    __slots__ = ("maps", "max_len", "single")
+    __slots__ = ("lut", "max_len", "single")
 
     def __init__(self, lengths: list[int]):
         self.single = None
@@ -121,36 +136,41 @@ class _PrefixCode:
             raise WebpFormatError("empty prefix code")
         if sum(counts.values()) == 1:
             self.single = lengths.index(max(lengths))
-            self.maps = []
+            self.lut = []
             self.max_len = 0
             return
         # completeness (Kraft equality) — required for a well-formed code
         kraft = sum(c << (15 - ln) for ln, c in counts.items())
         if kraft != (1 << 15):
             raise WebpFormatError("prefix code not complete")
-        self.max_len = max(counts)
+        self.max_len = max_len = max(counts)
         code = 0
         next_code = {}
-        for ln in range(1, self.max_len + 1):
+        for ln in range(1, max_len + 1):
             code = (code + counts.get(ln - 1, 0)) << 1
             next_code[ln] = code
-        maps: list[dict[int, int]] = [dict() for _ in range(self.max_len + 1)]
+        lut = np.zeros(1 << max_len, dtype=np.int32)
         for sym, ln in enumerate(lengths):
-            if ln:
-                maps[ln][next_code[ln]] = sym
-                next_code[ln] += 1
-        self.maps = maps
+            if not ln:
+                continue
+            c = next_code[ln]
+            next_code[ln] += 1
+            rev = 0
+            for b in range(ln):
+                rev |= ((c >> b) & 1) << (ln - 1 - b)
+            lut[rev :: 1 << ln] = (sym << 4) | ln
+        self.lut = lut.tolist()
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.maps[ln].get(code)
-            if sym is not None:
-                return sym
-        raise WebpFormatError("invalid prefix code in stream")
+        e = self.lut[br.peek(self.max_len)]
+        ln = e & 15
+        p = br.pos
+        if p + ln > br.n:
+            raise WebpFormatError("bitstream truncated")
+        br.pos = p + ln
+        return e >> 4
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
