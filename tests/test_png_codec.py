@@ -258,14 +258,20 @@ def test_decode_image_real_png_path():
     out = decode_image(encode_png(rgba))
     assert (out == rgba[:, :, :3]).all()
     # JPEG payloads now route to the real jpeg_codec (corrupt body ->
-    # format error, not NotImplementedError); codec-less formats (WebP)
-    # still raise the honest stub error
+    # format error, not NotImplementedError); WebP is recognized since
+    # late r5 (VP8L real, chunkless header = ValueError-family variant/
+    # corrupt); genuinely codec-less formats (TIFF) keep the stub error
     from web_template_forensics_spark.functions.jpeg_codec import JpegFormatError
+    from web_template_forensics_spark.operators.multimodal import (
+        UnsupportedVariantError,
+    )
 
     with pytest.raises(JpegFormatError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
-    with pytest.raises(NotImplementedError, match="beyond PNG/JPEG"):
+    with pytest.raises(UnsupportedVariantError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(NotImplementedError, match="beyond PNG/JPEG"):
+        decode_image(b"II*\x00" + bytes(8))
 
 
 def test_media_features_real_png_on_cluster(spark):
