@@ -23,6 +23,7 @@ FAST_SUBSET = [
     "phash_near_dup",         # r5: perceptual image dedup (multimodal x dedup)
     "audio_fp_near_dup",      # r5: perceptual audio dedup (audio x dedup)
     "video_fp_near_dup",      # r5: perceptual video dedup — triad complete
+    "simhash_pairs_stream",   # r5: STREAMING near-dup == batch oracle
 ]
 
 

@@ -1,0 +1,159 @@
+"""Streaming SimHash near-dup (streaming/near_dup.py): stream == batch
+parity across micro-batch splits, kill/resume through the state store,
+and replay idempotence at the distinct face."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from web_template_forensics_spark.operators.dedup import simhash_near_dup_pairs
+from web_template_forensics_spark.streaming.near_dup import simhash_pairs_stream
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _batch_pairs(spark):
+    docs = spark.read.parquet(SRC)
+    return {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+
+
+def _write_splits(spark, work: str, n_splits: int) -> list[str]:
+    docs = spark.read.parquet(SRC)
+    files = []
+    for k in range(n_splits):
+        sub = os.path.join(work, f"h{k}")
+        docs.filter(f"doc_id % {n_splits} = {k}").coalesce(1).write.parquet(sub)
+        files.append(glob.glob(os.path.join(sub, "*.parquet"))[0])
+    return files
+
+
+def _start(spark, indir: str, ck: str, name: str):
+    docs = spark.read.parquet(SRC)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    return (
+        simhash_pairs_stream(stream, "doc_id", "text", max_hamming=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+
+
+def _drained(spark, name: str):
+    return {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.sql(f"SELECT DISTINCT * FROM {name}").collect()
+    }
+
+
+def test_three_split_parity_vs_batch(spark, tmp_path):
+    """Pairs must cross state boundaries: a 3-way split means ~2/3 of
+    every near-dup pair's members arrive in different micro-batches."""
+    work = str(tmp_path)
+    files = _write_splits(spark, work, 3)
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    q = _start(spark, indir, os.path.join(work, "ck"), "snd3")
+    try:
+        for i, f in enumerate(files):
+            shutil.copy(f, os.path.join(indir, f"b{i}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _drained(spark, "snd3") == _batch_pairs(spark)
+
+
+def test_kill_resume_through_state_store(spark, tmp_path):
+    """Stop the query after batch 1, restart from the SAME checkpoint,
+    feed batch 2: cross-batch pairs must still appear — the band-bucket
+    membership survives in the state store, not in process memory. The
+    memory sink refuses checkpoint recovery, so this leg drives the
+    parquet sink (the durable-sink shape a real pipeline uses)."""
+    work = str(tmp_path)
+    files = _write_splits(spark, work, 2)
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    ck = os.path.join(work, "ck")
+    outdir = os.path.join(work, "out")
+    docs = spark.read.parquet(SRC)
+
+    def start_pq():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        return (
+            simhash_pairs_stream(stream, "doc_id", "text", max_hamming=3)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    shutil.copy(files[0], os.path.join(indir, "b0.parquet"))
+    q = start_pq()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # the "kill"
+    first = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.parquet(outdir).distinct().collect()
+    }
+    shutil.copy(files[1], os.path.join(indir, "b1.parquet"))
+    q = start_pq()  # resume from the same checkpoint + sink
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.parquet(outdir).distinct().collect()
+    }
+    assert got == _batch_pairs(spark)
+    # the resumed leg genuinely added cross-batch pairs (pairs whose
+    # members have different parity — impossible within one batch)
+    assert any((a % 2) != (b % 2) for a, b, _ in got - first)
+
+
+def test_replay_idempotent_at_distinct_face(spark, tmp_path):
+    """Re-delivering batch 1's rows (source-level duplicate delivery)
+    re-emits only IDENTICAL pair rows: the distinct face is unchanged."""
+    work = str(tmp_path)
+    files = _write_splits(spark, work, 2)
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    q = _start(spark, indir, os.path.join(work, "ck"), "snd_rp")
+    try:
+        for i, f in enumerate(files):
+            shutil.copy(f, os.path.join(indir, f"b{i}.parquet"))
+            q.processAllAvailable()
+        want = _drained(spark, "snd_rp")
+        shutil.copy(files[0], os.path.join(indir, "b0_replay.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _drained(spark, "snd_rp") == want == _batch_pairs(spark)
+
+
+def test_band_recall_precondition_enforced():
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from web_template_forensics_spark.operators.dedup import band_struct_cols
+
+    with pytest.raises(ValueError, match="cannot guarantee recall"):
+        band_struct_cols(max_hamming=3, n_bands=2)

@@ -154,17 +154,11 @@ def simhash_near_dup_pairs(
     return hamming_band_pairs(sh, max_hamming, n_bands)
 
 
-def hamming_band_pairs(
-    hashed: DataFrame, max_hamming: int, n_bands: int | None = None
-) -> DataFrame:
-    """(_id long, _sh long) -> (id_a, id_b, hamming) for every pair
-    within ``max_hamming`` of the 64-bit hash — the banding machinery
-    shared by SimHash (text) and pHash (image) near-dup.
-
-    Pigeonhole-sound: with ``n_bands >= max_hamming + 1`` a pair within
-    the radius must agree on at least one band key, so the band
-    equi-join has exact recall. Verification is JVM-side
-    bit_count(a XOR b). Shuffle carries (id, hash, band) only."""
+def band_struct_cols(max_hamming: int, n_bands: int | None = None) -> list:
+    """The pigeonhole band decomposition of the signed-64-bit ``_sh``
+    column as struct(band_no, band_val) Columns — shared by the batch
+    banded self-join below and the streaming band-bucket dedup
+    (streaming/near_dup.py). Validates the recall precondition."""
     if n_bands is None:
         n_bands = max_hamming + 1
     if n_bands < max_hamming + 1:
@@ -187,6 +181,21 @@ def hamming_band_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band_no"), band_val.alias("band_val"))
         )
+    return band_structs
+
+
+def hamming_band_pairs(
+    hashed: DataFrame, max_hamming: int, n_bands: int | None = None
+) -> DataFrame:
+    """(_id long, _sh long) -> (id_a, id_b, hamming) for every pair
+    within ``max_hamming`` of the 64-bit hash — the banding machinery
+    shared by SimHash (text) and pHash (image) near-dup.
+
+    Pigeonhole-sound: with ``n_bands >= max_hamming + 1`` a pair within
+    the radius must agree on at least one band key, so the band
+    equi-join has exact recall. Verification is JVM-side
+    bit_count(a XOR b). Shuffle carries (id, hash, band) only."""
+    band_structs = band_struct_cols(max_hamming, n_bands)
     banded = hashed.select(
         "_id", "_sh", F.explode(F.array(*band_structs)).alias("band")
     ).select("_id", "_sh", "band.band_no", "band.band_val")

@@ -2214,3 +2214,68 @@ def q_video_fp_near_dup(spark, sf_dir):
 
 
 QUERIES["video_fp_near_dup"] = q_video_fp_near_dup
+
+
+def q_simhash_pairs_stream(spark, sf_dir):
+    """The STREAMING near-dup face (streaming/near_dup.py
+    simhash_pairs_stream) run FOR REAL — two genuine micro-batches (the
+    documents table split by doc_id parity, maxFilesPerTrigger=1) through
+    the band-bucket stateful operator, memory sink, then a batch DISTINCT
+    over the drained output (cross-band duplicates are identical rows;
+    see the module docstring's scale note) — and gated against the SAME
+    DuckDB oracle as the batch face (``simhash_pairs``): the
+    stream==batch equality claim checked by the driver itself. State is
+    genuinely exercised across batches: every odd-id document pairs
+    against even-id history through the state store, not within one
+    batch."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.near_dup import simhash_pairs_stream
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    batch = spark.read.parquet(src)
+    work = tempfile.mkdtemp(prefix="snd_gate_")
+    try:
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+        for k, sub in ((0, "h0"), (1, "h1")):
+            batch.filter(F.col("doc_id") % 2 == k).coalesce(1).write.parquet(
+                os.path.join(work, sub)
+            )
+        qn = f"snd_{next(_STREAM_GATE_SEQ)}_{os.getpid()}"
+        shutil.copy(
+            _glob.glob(os.path.join(work, "h0", "*.parquet"))[0],
+            os.path.join(indir, "b1.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            simhash_pairs_stream(stream, "doc_id", "text", max_hamming=3)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            shutil.copy(
+                _glob.glob(os.path.join(work, "h1", "*.parquet"))[0],
+                os.path.join(indir, "b2.parquet"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT DISTINCT * FROM {qn}").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["simhash_pairs_stream"] = q_simhash_pairs_stream
+ORACLE_SQL["simhash_pairs_stream"] = _Q_SIMHASH_SQL
