@@ -12,12 +12,18 @@ dependency-free across all three modalities:
     one-scan-per-component multi-scan layouts);
   * audio — RIFF/WAVE via functions/wav_codec.py (8/16/24/32-bit PCM
     and 32/64-bit IEEE float, any channel count, chunk-order tolerant);
+  * image (cont.) — GIF via functions/gif_codec.py (LZW, interlace,
+    animated compositing with transparency + disposal) and
+    WebP-lossless via functions/webp_codec.py (full VP8L: prefix
+    codes, LZ77 + 2D distance map, color cache, meta-prefix images,
+    all four transforms);
   * video — Motion JPEG (concatenated JFIF frames, the payload format
     of multipart camera streams and AVI 'MJPG') via structural framing
-    in functions/jpeg_codec.iter_jpeg_frames + per-frame JPEG decode.
+    in functions/jpeg_codec.iter_jpeg_frames + per-frame JPEG decode,
+    and animated GIF via the same compositor.
 
-Remaining formats (WebP, compressed audio, MP4/H.264) still need
-libraries absent from this container:
+Remaining formats (lossy-VP8 WebP, compressed audio, MP4/H.264) still
+need libraries absent from this container:
 
   * for such payloads ``decode_image`` raises ``NotImplementedError``
     unless ``fake=True``, in which case a deterministic fake decoder
@@ -81,8 +87,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     palette/alpha) and functions/jpeg_codec.py (numpy huffman + IDCT,
     SOF0 baseline, sampling to 2x2, restart markers) — then normalized
     to 3 channels (grey replicated, alpha dropped: the downstream
-    features are RGB statistics). Remaining formats (WebP, …) still
-    need Pillow/opencv, absent in this container, and
+    features are RGB statistics). GIF and WebP-lossless decode for real
+    too (gif_codec / webp_codec). Remaining formats (lossy VP8, TIFF,
+    …) still need Pillow/opencv, absent in this container, and
     raise ``NotImplementedError`` unless ``fake=True`` selects the
     deterministic stub decoder (seeded from the bytes — same shapes and
     dtypes a real decoder would emit). ``fake`` is a fallback permission
