@@ -151,3 +151,38 @@ def test_fuzz_sweep_roundtrips_cross_width_boundaries():
         img = np.full((h, w, 3), rng.randint(0, 256, 3, dtype=np.uint8), dtype=np.uint8)
         img[:, ::7] = (1, 2, 3)
         assert (decode_gif(encode_gif(img)) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 14),
+    w=st.integers(1, 14),
+    nc=st.integers(2, 256),
+    inter=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, nc, inter, seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (nc, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, nc, (h, w))]
+    out = decode_gif(encode_gif(img, interlace=inter))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_gif_decode_never_returns_garbage(junk):
+    """Arbitrary bytes after the signature either decode or raise the
+    typed error; no hangs, no unbounded allocation."""
+    try:
+        decode_gif(b"GIF89a" + junk)
+    except GifFormatError:
+        pass

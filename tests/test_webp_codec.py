@@ -145,3 +145,47 @@ def test_decode_image_dispatch():
     np.testing.assert_array_equal(out, img)
     with pytest.raises(UnsupportedVariantError):
         decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8X" + bytes(48))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    lz=st.booleans(),
+    cb=st.integers(0, 8),
+    sg=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_roundtrip_property(h, w, lz, cb, sg, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_webp(encode_webp(img, use_lz77=lz, cache_bits=cb, subtract_green=sg))
+    assert (out[:, :, :3] == img).all() and (out[:, :, 3] == 255).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_webp_decode_never_returns_garbage(junk):
+    """Arbitrary VP8L chunk bytes either decode or raise typed errors;
+    no hangs, no unbounded allocation (bomb guard + bounded LZ77)."""
+    import struct as _struct
+
+    payload = (
+        b"RIFF"
+        + _struct.pack("<I", 12 + len(junk))
+        + b"WEBP"
+        + b"VP8L"
+        + _struct.pack("<I", len(junk))
+        + junk
+    )
+    try:
+        decode_webp(payload)
+    except WebpFormatError:
+        pass

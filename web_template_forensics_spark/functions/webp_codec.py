@@ -500,26 +500,25 @@ def _inv_predictor(
 def _inv_color_transform(
     px: np.ndarray, elems: np.ndarray, bits: int, width: int, height: int
 ) -> None:
-    """Inverse cross-channel color transform (spec 'Color Transform')."""
-
-    def delta(t: int, c: int) -> int:
-        # signed 3.5 fixed point multiply, as in the spec
-        t8 = t if t < 128 else t - 256
-        c8 = c if c < 128 else c - 256
-        return (t8 * c8) >> 5
-
+    """Inverse cross-channel color transform (spec 'Color Transform') —
+    fully vectorized: unlike the predictor, every pixel depends only on
+    its own channels, so the signed 3.5-fixed-point delta
+    ((int8)t * (int8)c) >> 5 maps to exact int16 numpy ops (arithmetic
+    shift floors negatives identically to the spec's C semantics)."""
     p = px.reshape(height, width, 4)
-    for y in range(height):
-        for x in range(width):
-            e = int(elems[y >> bits, x >> bits])
-            g2r = (e >> 0) & 0xFF   # stored in blue of the transform img
-            g2b = (e >> 8) & 0xFF   # stored in green
-            r2b = (e >> 16) & 0xFF  # stored in red
-            g = int(p[y, x, 2])
-            r = (int(p[y, x, 1]) + delta(g2r, g)) & 0xFF
-            b = (int(p[y, x, 3]) + delta(g2b, g) + delta(r2b, r)) & 0xFF
-            p[y, x, 1] = r
-            p[y, x, 3] = b
+    ys = np.arange(height) >> bits
+    xs = np.arange(width) >> bits
+    e = elems[ys[:, None], xs[None, :]]  # (h, w) int64
+    g2r = (e & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)  # blue
+    g2b = ((e >> 8) & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)
+    r2b = ((e >> 16) & 0xFF).astype(np.uint8).view(np.int8).astype(np.int16)
+    g = p[:, :, 2].view(np.int8).astype(np.int16)  # signed cast of green
+    r = (p[:, :, 1].astype(np.int16) + ((g2r * g) >> 5)) & 0xFF
+    # r2b multiplies the UPDATED red, as a signed int8
+    r8 = r.astype(np.uint8).view(np.int8).astype(np.int16)
+    b = (p[:, :, 3].astype(np.int16) + ((g2b * g) >> 5) + ((r2b * r8) >> 5)) & 0xFF
+    p[:, :, 1] = r.astype(np.uint8)
+    p[:, :, 3] = b.astype(np.uint8)
 
 
 # -------------------------------------------------------------- decoder
