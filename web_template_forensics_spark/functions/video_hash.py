@@ -35,6 +35,17 @@ from collections.abc import Sequence
 import numpy as np
 
 
+def even_sample(items: Sequence, k: int) -> list:
+    """Evenly-spaced subset (first-biased integer grid) — the ONE
+    sampling rule shared by the fingerprint face (this module) and the
+    feature face (operators/multimodal.py); a drift between the two
+    would silently change which frames each face decodes."""
+    if len(items) <= k:
+        return list(items)
+    idx = (np.arange(k) * len(items)) // k
+    return [items[int(i)] for i in idx]
+
+
 def video_hash64(frame_hashes: Sequence[int]) -> int:
     """Unsigned 64-bit per-frame pHashes -> unsigned 64-bit fingerprint.
 
@@ -72,10 +83,7 @@ def video_payload_hash64(payload: bytes, max_frames: int = 8) -> int:
             frames = decode_gif_frames(payload)
         except GifFormatError as exc:
             raise ValueError(f"GIF video: {exc}") from exc
-        if len(frames) > max_frames:
-            idx = (np.arange(max_frames) * len(frames)) // max_frames
-            frames = [frames[int(i)] for i in idx]
-        return video_hash64([phash64(f) for f in frames])
+        return video_hash64([phash64(f) for f in even_sample(frames, max_frames)])
     return mjpeg_video_hash64(payload, max_frames)
 
 
@@ -97,9 +105,7 @@ def mjpeg_video_hash64(payload: bytes, max_frames: int = 8) -> int:
             spans.append(span)
     except JpegFormatError:
         pass  # keep the complete frames walked before the cut
-    if len(spans) > max_frames:
-        idx = (np.arange(max_frames) * len(spans)) // max_frames
-        spans = [spans[int(i)] for i in idx]
+    spans = even_sample(spans, max_frames)
     hashes: list[int] = []
     for s, e in spans:
         try:

@@ -247,20 +247,8 @@ def _lz77_value(code: int, br: _BitReader) -> int:
     return offset + br.read(extra) + 1
 
 
-# the 120-entry (dx, dy) neighbor map for distance codes 1..120
-def _build_distance_map() -> list[tuple[int, int]]:
-    out = []
-    for y in range(0, 8):
-        for x in range(-8, 9):
-            if y == 0 and x <= 0:
-                continue
-            out.append((x, y))
-    # spec order: sorted by distance (y*y + x*x), ties by y then x? The
-    # normative table is fixed; reproduce it exactly below instead.
-    return out
-
-
-# normative table (spec section 'Decoding the distance'): 120 pairs
+# normative table (spec section 'Decoding the distance'): the fixed
+# 120-entry (dx, dy) neighbor map for distance codes 1..120
 _DIST_MAP = [
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
@@ -490,7 +478,12 @@ def _inv_predictor(
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:  # ClampAddSubtractHalf
                     a = avg2(L, T)
-                    pred = np.clip(a + (a - TL) // 2, 0, 255)
+                    # C division truncates toward ZERO (libwebp
+                    # AddSubtractComponentHalf); numpy // would floor
+                    # negatives one lower and corrupt every downstream
+                    # prediction by compounding off-by-ones
+                    q = a - TL
+                    pred = np.clip(a + np.sign(q) * (np.abs(q) >> 1), 0, 255)
                 else:
                     raise WebpFormatError(f"invalid predictor mode {mode}")
             p[y, x] = (p[y, x] + pred) & 0xFF
@@ -642,16 +635,23 @@ def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
         heapq.heappush(heap, (f1 + f2, counter, s1 + s2))
         counter += 1
     if max(lengths) > max_len:
-        # clamp then restore Kraft equality by lengthening the shortest
-        lengths = [min(ln, max_len) if ln else 0 for ln in lengths]
-        def kraft():
-            return sum(1 << (max_len - ln) for ln in lengths if ln)
-        while kraft() > (1 << max_len):
-            i = min(
-                (i for i, ln in enumerate(lengths) if 0 < ln < max_len),
-                key=lambda i: lengths[i],
-            )
-            lengths[i] += 1
+        # pathological (Fibonacci-like) histogram drove Huffman past the
+        # depth cap. An exact depth-limited repair (package-merge) is
+        # overkill; fall back to a PROVABLY complete near-balanced code:
+        # with n used symbols and L = ceil(log2 n), the 2^L - n most
+        # frequent symbols take length L-1, the rest take L — Kraft sums
+        # to exactly 1 and L <= 12 for every alphabet in this format.
+        # (The previous clamp-and-lengthen-the-shortest fixup could
+        # overshoot below Kraft equality and emit a code the strict
+        # decoder rejects.)
+        used = sorted(
+            (i for i, f in enumerate(freqs) if f > 0), key=lambda i: -freqs[i]
+        )
+        big = max(1, (len(used) - 1).bit_length())
+        short_slots = (1 << big) - len(used)
+        lengths = [0] * len(freqs)
+        for rank, i in enumerate(used):
+            lengths[i] = big - 1 if rank < short_slots and big > 1 else big
     return lengths
 
 

@@ -203,10 +203,9 @@ def mjpeg_sampled_frames(payload: bytes, max_frames: int) -> list[bytes]:
     """Evenly-spaced frame subset of an MJPEG stream (framing is cheap —
     structural walk, no decode, no byte copies — so only the SAMPLED
     frames are sliced and pay the codec cost)."""
-    spans = list(iter_jpeg_frame_spans(payload))
-    if len(spans) > max_frames:
-        idx = (np.arange(max_frames) * len(spans)) // max_frames
-        spans = [spans[int(i)] for i in idx]
+    from ..functions.video_hash import even_sample
+
+    spans = even_sample(list(iter_jpeg_frame_spans(payload)), max_frames)
     return [payload[s:e] for s, e in spans]
 
 
@@ -216,13 +215,10 @@ def _sampled_video_frames(payload: bytes, max_frames: int) -> list[np.ndarray]:
     sampled frames pay the codec) or animated GIF (LZW compositing is
     inherently sequential, so all frames decode, then sample)."""
     from ..functions.gif_codec import decode_gif_frames
+    from ..functions.video_hash import even_sample
 
     if payload[:6] in GIF_MAGICS:
-        frames = decode_gif_frames(payload)
-        if len(frames) > max_frames:
-            idx = (np.arange(max_frames) * len(frames)) // max_frames
-            frames = [frames[int(i)] for i in idx]
-        return frames
+        return even_sample(decode_gif_frames(payload), max_frames)
     return [decode_image(fb) for fb in mjpeg_sampled_frames(payload, max_frames)]
 
 

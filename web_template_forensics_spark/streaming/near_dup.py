@@ -100,16 +100,21 @@ def simhash_pairs_stream(
         # deterministic emit independent of Arrow batch boundaries:
         # process new members in id order
         fresh.sort()
+        known = {m[0] for m in members}
         rows: list[tuple[int, int, int]] = []
         for i, h in fresh:
+            if i in known:
+                # replay of a known member (source duplicate delivery /
+                # restart overlap): its pairs were already emitted, and
+                # re-appending would grow state and duplicate emissions
+                continue
             for j, g in members:
-                if i == j:
-                    continue  # replay of a known member (restart overlap)
                 d = bin((h ^ g) & 0xFFFFFFFFFFFFFFFF).count("1")
                 if d <= max_hamming:
                     a, b = (i, j) if i < j else (j, i)
                     rows.append((a, b, d))
             members.append((i, h))
+            known.add(i)
         if len(members) > n_old:
             state.update(
                 ([m[0] for m in members], [m[1] for m in members])
