@@ -71,7 +71,7 @@ def test_subtract_green_predictor_color_transform():
         0,
         255,
     ).astype(np.uint8)
-    for mode in (0, 1, 2, 11, 12):
+    for mode in range(14):  # every predictor mode round-trips
         _check(smooth, predictor_mode=mode)
     _check(smooth, color_transform=(12, 250, 7))
     _check(smooth, predictor_mode=2, subtract_green=True)
@@ -189,3 +189,45 @@ def test_webp_decode_never_returns_garbage(junk):
         decode_webp(payload)
     except WebpFormatError:
         pass
+
+
+def test_mode13_truncates_toward_zero_like_c():
+    """Round-trips cannot distinguish floor from truncation (forward and
+    inverse share the formula), so pin the INVERSE directly against
+    hand-computed C semantics: avg2(L,T)=10, TL=13 -> pred = 10 +
+    trunc(-3/2) = 9 (floor would give 8)."""
+    from web_template_forensics_spark.functions.webp_codec import _inv_predictor
+
+    # residuals chosen so the decoded image is:
+    #   p[0,0]=13, p[0,1]=10, p[1,0]=10, p[1,1]=residual 0 + pred
+    res = np.zeros((4, 4), dtype=np.uint8)  # (h*w, [a,r,g,b])
+    res[0] = [(13 - 255) & 0xFF, 13, 13, 13]  # first pixel pred = 255,0,0,0
+    res[1] = [253, 253, 253, 253]  # (10 - 13) & 0xFF, pred = L
+    res[2] = [253, 253, 253, 253]  # pred = p[y-1, 0]
+    res[3] = [0, 0, 0, 0]  # pred itself is the answer
+    modes = np.full((1, 1), 13, dtype=np.int64)
+    _inv_predictor(res, modes, bits=4, width=2, height=2)
+    assert res[3].tolist() == [9, 9, 9, 9]
+
+
+def test_huffman_depth_fallback_stays_decodable():
+    """A Fibonacci-like histogram drives unbounded Huffman past depth 15;
+    the fallback must still emit a code the strict decoder accepts."""
+    from web_template_forensics_spark.functions.webp_codec import _huffman_lengths
+
+    fib = [1, 1]
+    while len(fib) < 24:
+        fib.append(fib[-1] + fib[-2])
+    lengths = _huffman_lengths(fib + [0] * 232)
+    assert max(lengths) <= 15
+    kraft = sum(1 << (15 - ln) for ln in lengths if ln)
+    assert kraft == 1 << 15  # complete — the strict decoder's condition
+    # and end-to-end: an image whose green histogram is Fibonacci-ish
+    # (19 terms keep the single-row width inside the 2^14 VP8L limit
+    # while still driving unbounded Huffman past depth 15)
+    vals = np.concatenate(
+        [np.full(n, i, dtype=np.uint8) for i, n in enumerate(fib[:19])]
+    )
+    img = np.stack([vals, vals, vals], axis=1).reshape(1, len(vals), 3)
+    out = decode_webp(encode_webp(img, use_lz77=False))
+    assert (out[:, :, :3] == img).all()

@@ -866,18 +866,41 @@ def _forward_predictor(a4: np.ndarray, mode: int) -> np.ndarray:
                 T = p[y - 1, x]
                 TL = p[y - 1, x - 1]
                 TR = p[y - 1, x + 1] if x + 1 < w else p[y, 0]
-                if mode == 1:
+
+                def avg2(a, b):
+                    return (a + b) >> 1
+
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                elif mode == 1:
                     pred = L
                 elif mode == 2:
                     pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = avg2(avg2(L, TR), T)
+                elif mode == 6:
+                    pred = avg2(L, TL)
+                elif mode == 7:
+                    pred = avg2(L, T)
+                elif mode == 8:
+                    pred = avg2(TL, T)
+                elif mode == 9:
+                    pred = avg2(T, TR)
+                elif mode == 10:
+                    pred = avg2(avg2(L, TL), avg2(T, TR))
                 elif mode == 11:
                     pall = L + T - TL
                     pred = L if np.abs(pall - L).sum() < np.abs(pall - T).sum() else T
                 elif mode == 12:
                     pred = np.clip(L + T - TL, 0, 255)
-                else:
-                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
-                del TR
+                else:  # 13 — same toward-zero truncation as the inverse
+                    a = avg2(L, T)
+                    q = a - TL
+                    pred = np.clip(a + np.sign(q) * (np.abs(q) >> 1), 0, 255)
             res[y, x] = (p[y, x] - pred) & 0xFF
     return res.astype(np.uint8)
 
@@ -920,8 +943,8 @@ def encode_webp(
     bw.write(0, 3)  # version
     xsize = w
     if predictor_mode is not None:
-        if predictor_mode not in (0, 1, 2, 11, 12):
-            raise WebpFormatError("encoder supports predictor modes 0/1/2/11/12")
+        if not 0 <= predictor_mode <= 13:
+            raise WebpFormatError(f"invalid predictor mode {predictor_mode}")
         bw.write(1, 1)
         bw.write(0, 2)  # type: predictor
         bits = 4
