@@ -231,3 +231,20 @@ def test_huffman_depth_fallback_stays_decodable():
     img = np.stack([vals, vals, vals], axis=1).reshape(1, len(vals), 3)
     out = decode_webp(encode_webp(img, use_lz77=False))
     assert (out[:, :, :3] == img).all()
+
+
+def test_meta_prefix_two_group_roundtrip():
+    """A REAL meta-prefix image (two groups split by block column)
+    drives the decoder's per-pixel group dispatch — the last decode
+    path no other encoder option reaches."""
+    rng = np.random.RandomState(13)
+    # statistically distinct halves so the two groups' codes differ
+    img = np.empty((18, 26, 3), dtype=np.uint8)
+    img[:, :13] = rng.randint(0, 8, (18, 13, 3))
+    img[:, 13:] = rng.randint(200, 256, (18, 13, 3))
+    _check(img, meta_split=True)
+    # tiny image: one meta column per group boundary still decodes
+    _check(rng.randint(0, 256, (3, 5, 3), dtype=np.uint8), meta_split=True)
+    # encode_webp overrides lz77/cache under meta_split (literals-only
+    # mode) rather than erroring — the override must round-trip
+    _check(img, meta_split=True, cache_bits=3, use_lz77=True)

@@ -707,9 +707,15 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
             bw.write(nz[1], 8)
         return
     bw.write(0, 1)  # normal form
-    # emit every symbol's length literally through a code-length code
+    # emit the used symbols' lengths literally through a code-length
+    # code; the MAX_SYMBOL field truncates the zero tail (the decoder
+    # leaves unmentioned symbols at 0), which matters for the 280+-entry
+    # green alphabet where only low symbols are typically used
+    ms = max(nz) + 1
+    tail_truncated = ms < len(lengths)
+    emit_list = lengths[:ms] if tail_truncated else lengths
     cl_freq = [0] * 19
-    for ln in lengths:
+    for ln in emit_list:
         cl_freq[ln] += 1
     cl_lengths = _huffman_lengths(cl_freq, max_len=7)
     # order-truncated: find how many of the ordered slots we must send
@@ -719,11 +725,51 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
     bw.write(num_codes - 4, 4)
     for i in range(num_codes):
         bw.write(cl_lengths[_CODE_LENGTH_ORDER[i]], 3)
-    bw.write(0, 1)  # no max_symbol field
+    if tail_truncated:
+        bw.write(1, 1)  # max_symbol field present
+        nbits_sel = 0
+        while 2 + 2 * nbits_sel < max(2, (max(ms, 2) - 2).bit_length()):
+            nbits_sel += 1
+        bw.write(nbits_sel, 3)
+        bw.write(max(ms, 2) - 2, 2 + 2 * nbits_sel)
+    else:
+        bw.write(0, 1)  # no max_symbol field
     cl_codes = _canonical_codes(cl_lengths)
     cl_emit = _emit_lengths(cl_lengths)
-    for ln in lengths:
+    for ln in emit_list:
         _write_bits_msb_code(bw, cl_codes[ln], cl_emit[ln])
+
+
+def _encode_two_group_literals(
+    bw: _BitWriter, px: np.ndarray, width: int, mbits: int, gid_col: np.ndarray
+) -> None:
+    """Literal emission under a two-group meta-prefix split: per-group
+    Huffman codes (5 each, distance = unused 1-symbol simple code),
+    every pixel coded with its block column's group."""
+    per_px_gid = gid_col[(np.arange(width) >> mbits)]
+    gids = np.tile(per_px_gid, len(px) // width)
+    codes = []
+    for g in (0, 1):
+        sel = px[gids == g]
+        group = []
+        for ch, size in ((2, 280), (1, 256), (3, 256), (0, 256)):
+            freqs = np.bincount(sel[:, ch], minlength=size).tolist() if len(sel) else [0] * size
+            if sum(freqs) == 0:
+                freqs[0] = 1
+            lengths = _huffman_lengths(freqs)
+            _write_prefix_code(bw, lengths)
+            group.append((_canonical_codes(lengths), _emit_lengths(lengths)))
+        # distance: unused 1-symbol simple code
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        codes.append(group)
+    for i in range(len(px)):
+        (gc, gl), (rc, rl), (bc, bl), (ac, al_) = codes[int(gids[i])]
+        for (cs, ls), ch in (((gc, gl), 2), ((rc, rl), 1), ((bc, bl), 3), ((ac, al_), 0)):
+            v = int(px[i, ch])
+            _write_bits_msb_code(bw, cs[v], ls[v])
 
 
 def _lz77_code_of(value: int) -> tuple[int, int, int]:
@@ -745,17 +791,38 @@ def _encode_argb_stream(
     use_lz77: bool,
     cache_bits: int,
     top_level: bool = False,
+    meta_split: bool = False,
 ) -> None:
     """Spatially-coded ARGB image body: optional color cache, optional
-    distance-1 run LZ77, one prefix-code group. ``px`` is (N, 4) uint8
+    distance-1 run LZ77, one prefix-code group — or, with ``meta_split``
+    (top-level only), TWO groups selected by a real meta-prefix image
+    (left/right block halves), literals-only. ``px`` is (N, 4) uint8
     [a, r, g, b]."""
     total = len(px)
+    if meta_split and (use_lz77 or cache_bits or not top_level):
+        raise WebpFormatError(
+            "meta_split is a literals-only top-level encoder mode"
+        )
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
     if top_level:
+        if meta_split and width >= 2:
+            bw.write(1, 1)  # meta prefix codes present
+            mbits = 2  # block size 4: small images still get 2 columns
+            bw.write(mbits - 2, 3)
+            height = total // width
+            mw = _subsample_size(width, mbits)
+            mh = _subsample_size(height, mbits)
+            gid_col = (np.arange(mw) >= (mw + 1) // 2).astype(np.uint8)
+            meta = np.zeros((mh * mw, 4), dtype=np.uint8)
+            meta[:, 0] = 255
+            meta[:, 2] = np.tile(gid_col, mh)  # group id lives in green
+            _encode_argb_stream(bw, meta, mw, use_lz77=False, cache_bits=0)
+            _encode_two_group_literals(bw, px, width, mbits, gid_col)
+            return
         bw.write(0, 1)  # no meta prefix codes (sub-images have no bit)
     cache = [None] * (1 << cache_bits) if cache_bits else None
     argbs = (
@@ -913,6 +980,7 @@ def encode_webp(
     subtract_green: bool = False,
     predictor_mode: int | None = None,
     color_transform: tuple[int, int, int] | None = None,
+    meta_split: bool = False,
 ) -> bytes:
     """(h, w, 3|4) or (h, w) uint8 -> WebP-lossless bytes.
 
@@ -1047,9 +1115,10 @@ def encode_webp(
         bw,
         argb.reshape(-1, 4),
         xsize,
-        use_lz77=use_lz77,
-        cache_bits=cache_bits,
+        use_lz77=False if meta_split else use_lz77,
+        cache_bits=0 if meta_split else cache_bits,
         top_level=True,
+        meta_split=meta_split,
     )
     body = b"\x2f" + bw.finish()
     if len(body) % 2:
