@@ -186,3 +186,27 @@ def test_gif_decode_never_returns_garbage(junk):
         decode_gif(b"GIF89a" + junk)
     except GifFormatError:
         pass
+
+
+def test_disposal_restore_background_vs_previous():
+    """Per-frame disposal: after the overlay frame, disposal 3 restores
+    what was UNDER it (frame 1's pixels) while disposal 2 restores the
+    background (black — encode_gif_animation writes no GCT). A fully
+    key-transparent third frame makes the restored canvas observable."""
+    base = np.full((6, 6, 3), 20, dtype=np.uint8)  # frame 1: leave (d=1)
+    ov = np.full((6, 6, 3), 20, dtype=np.uint8)
+    ov[2:4, 2:4] = (250, 1, 1)  # frame 2: the distinguishing disposal
+    key = (1, 2, 3)
+    probe = np.full((6, 6, 3), key, dtype=np.uint8)  # frame 3: all key
+    # frames are full-screen, so frame 2's disposal rect is the whole
+    # canvas: disposal 3 restores frame 1's pixels EVERYWHERE, disposal
+    # 2 restores the background everywhere
+    for disp2, want in ((3, 20), (2, 0)):
+        payload = encode_gif_animation(
+            [base, ov, probe], transparent_key=key, disposal=[1, disp2, 1]
+        )
+        f1, f2, f3 = decode_gif_frames(payload)
+        assert (f1 == 20).all()
+        assert (f2[2:4, 2:4] == (250, 1, 1)).all()
+        assert (f2[0, 0] == 20).all()
+        assert (f3 == want).all(), disp2

@@ -393,7 +393,7 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
 def encode_gif_animation(
     frames: list[np.ndarray],
     transparent_key: tuple[int, int, int] | None = None,
-    disposal: int = 1,
+    disposal: int | list[int] = 1,
     interlace: bool = False,
 ) -> bytes:
     """Full-screen animation frames (same shape, each <= 256 colors) ->
@@ -402,10 +402,15 @@ def encode_gif_animation(
     (composite-through, the web-sprite idiom)."""
     if not frames:
         raise GifFormatError("empty animation")
+    disposals = (
+        list(disposal) if isinstance(disposal, (list, tuple)) else [disposal] * len(frames)
+    )
+    if len(disposals) != len(frames):
+        raise GifFormatError("per-frame disposal list length mismatch")
     h, w = np.asarray(frames[0]).shape[:2]
     head = GIF_MAGICS[1] + struct.pack("<HHBBB", w, h, 0, 0, 0)
     out = [head]
-    for f in frames:
+    for f, disp in zip(frames, disposals):
         a = np.asarray(f, dtype=np.uint8)
         if a.shape[:2] != (h, w):
             raise GifFormatError("animation frames must share the screen size")
@@ -416,7 +421,7 @@ def encode_gif_animation(
             hit = np.where((pal == key).all(axis=1))[0]
             if len(hit):
                 t_index = int(hit[0])
-        gflags = (disposal & 0x07) << 2 | (1 if t_index is not None else 0)
+        gflags = (disp & 0x07) << 2 | (1 if t_index is not None else 0)
         out.append(
             struct.pack(
                 "<BBBBHBB", 0x21, 0xF9, 4, gflags, 4, t_index or 0, 0
