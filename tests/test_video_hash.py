@@ -123,3 +123,24 @@ def test_cross_format_mjpeg_vs_gif():
     assert _ham(h_gif, video_payload_hash64(encode_gif_animation(other))) >= 18
     with pytest.raises(ValueError):
         video_payload_hash64(b"GIF89a" + b"\x00" * 8)  # corrupt GIF -> drop
+
+
+def test_cross_format_mjpeg_vs_animated_webp():
+    """Third container: the same clip as MJPEG and as animated WebP
+    (lossless VP8L frames) pairs up, incl. a trimmed reversed cut."""
+    from web_template_forensics_spark.functions.video_hash import video_payload_hash64
+    from web_template_forensics_spark.functions.webp_codec import (
+        encode_webp_animation,
+    )
+
+    rng = np.random.RandomState(29)
+    frames = _base_frames(rng, 40, 48, grey=True)
+    h_mj = video_payload_hash64(encode_mjpeg(frames, quality=85))
+    h_wp = video_payload_hash64(encode_webp_animation(frames))
+    h_wp_rev = video_payload_hash64(
+        encode_webp_animation(frames[1:][::-1], cache_bits=5)
+    )
+    assert _ham(h_mj, h_wp) <= 4
+    assert _ham(h_mj, h_wp_rev) <= 4
+    with pytest.raises(ValueError):
+        video_payload_hash64(b"RIFF\x10\x00\x00\x00WEBPVP8L" + bytes(8))

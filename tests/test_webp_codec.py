@@ -143,7 +143,19 @@ def test_decode_image_dispatch():
     img = rng.randint(0, 256, (11, 13, 3), dtype=np.uint8)
     out = decode_image(encode_webp(img))
     np.testing.assert_array_equal(out, img)
+    # animated WebP: decode_image yields the first composited frame
+    from web_template_forensics_spark.functions.webp_codec import (
+        encode_webp_animation,
+    )
+
+    frames = [rng.randint(0, 256, (7, 9, 3), dtype=np.uint8) for _ in range(2)]
+    np.testing.assert_array_equal(
+        decode_image(encode_webp_animation(frames)), frames[0]
+    )
+    # lossy VP8 = variant degrade; corrupt VP8X = typed format error
     with pytest.raises(UnsupportedVariantError):
+        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(48))
+    with pytest.raises(WebpFormatError):
         decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8X" + bytes(48))
 
 
@@ -248,3 +260,23 @@ def test_meta_prefix_two_group_roundtrip():
     # encode_webp overrides lz77/cache under meta_split (literals-only
     # mode) rather than erroring — the override must round-trip
     _check(img, meta_split=True, cache_bits=3, use_lz77=True)
+
+
+def test_animation_roundtrip_and_compositing():
+    from web_template_forensics_spark.functions.webp_codec import (
+        decode_webp_frames,
+        encode_webp_animation,
+    )
+
+    rng = np.random.RandomState(21)
+    frames = [rng.randint(0, 256, (11, 14, 3), dtype=np.uint8) for _ in range(4)]
+    out = decode_webp_frames(encode_webp_animation(frames, subtract_green=True))
+    assert len(out) == 4
+    for o, f in zip(out, frames):
+        assert (o[:, :, :3] == f).all() and (o[:, :, 3] == 255).all()
+    # still VP8L passes through as a single frame
+    one = decode_webp_frames(encode_webp(frames[0]))
+    assert len(one) == 1 and (one[0][:, :, :3] == frames[0]).all()
+    # hostile: VP8X with no frames / truncated ANMF are typed errors
+    with pytest.raises((WebpFormatError, NotImplementedError)):
+        decode_webp_frames(b"RIFF\x12\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00" + bytes(10))

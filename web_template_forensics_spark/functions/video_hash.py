@@ -68,23 +68,30 @@ def video_hash64(frame_hashes: Sequence[int]) -> int:
 
 
 def video_payload_hash64(payload: bytes, max_frames: int = 8) -> int:
-    """Video payload (MJPEG or animated GIF) -> unsigned 64-bit
-    fingerprint, dispatched on magic bytes. Because the combiner is an
-    order-invariant vote over per-frame pHashes, the SAME clip encoded
-    as MJPEG and as an animated GIF lands within the radius — the
-    cross-format near-dup a training pipeline needs (the sprite/banner
-    that circulates in both containers). Raises ValueError when the
-    payload is neither or nothing decodes (drop policy)."""
+    """Video payload (MJPEG, animated GIF or animated WebP) -> unsigned
+    64-bit fingerprint, dispatched on magic bytes. Because the combiner
+    is an order-invariant vote over per-frame pHashes, the SAME clip
+    encoded in any of the three containers lands within the radius —
+    the cross-format near-dup a training pipeline needs (the sprite/
+    banner that circulates re-containered). Raises ValueError when the
+    payload is none of them or nothing decodes (drop policy)."""
     from .gif_codec import GifFormatError, decode_gif_frames, is_gif
     from .image_hash import phash64
+    from .webp_codec import WebpFormatError, decode_webp_frames, is_webp
 
     if is_gif(payload):
         try:
             frames = decode_gif_frames(payload)
         except GifFormatError as exc:
             raise ValueError(f"GIF video: {exc}") from exc
-        return video_hash64([phash64(f) for f in even_sample(frames, max_frames)])
-    return mjpeg_video_hash64(payload, max_frames)
+    elif is_webp(payload):
+        try:
+            frames = [f[:, :, :3] for f in decode_webp_frames(payload)]
+        except (WebpFormatError, NotImplementedError) as exc:
+            raise ValueError(f"WebP video: {exc}") from exc
+    else:
+        return mjpeg_video_hash64(payload, max_frames)
+    return video_hash64([phash64(f) for f in even_sample(frames, max_frames)])
 
 
 def mjpeg_video_hash64(payload: bytes, max_frames: int = 8) -> int:

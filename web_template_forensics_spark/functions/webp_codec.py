@@ -531,7 +531,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
         raise WebpFormatError("VP8L chunk truncated")
     (chunk_len,) = struct.unpack("<I", data[16:20])
     body = data[20 : 20 + chunk_len]
-    if len(body) < chunk_len:
+    if len(body) < chunk_len or not body:
         raise WebpFormatError("VP8L payload shorter than chunk length")
     if body[0] != 0x2F:
         raise WebpFormatError("bad VP8L signature byte")
@@ -972,7 +972,7 @@ def _forward_predictor(a4: np.ndarray, mode: int) -> np.ndarray:
     return res.astype(np.uint8)
 
 
-def encode_webp(
+def _vp8l_body(
     img: np.ndarray,
     use_lz77: bool = True,
     cache_bits: int = 0,
@@ -1120,17 +1120,159 @@ def encode_webp(
         top_level=True,
         meta_split=meta_split,
     )
-    body = b"\x2f" + bw.finish()
-    if len(body) % 2:
-        padded = body + b"\x00"
-    else:
-        padded = body
-    riff_len = 4 + 8 + len(padded)
-    return (
-        b"RIFF"
-        + struct.pack("<I", riff_len)
-        + b"WEBP"
-        + b"VP8L"
-        + struct.pack("<I", len(body))
-        + padded
+    return b"\x2f" + bw.finish()
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    """RIFF chunk with even-length padding."""
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff(chunks: bytes) -> bytes:
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def encode_webp(img: np.ndarray, **kw) -> bytes:
+    """(h, w, 3|4) or (h, w) uint8 -> WebP-lossless bytes. See
+    ``_vp8l_body`` for the subset-encoder options (use_lz77, cache_bits,
+    palette, subtract_green, predictor_mode, color_transform,
+    meta_split)."""
+    return _riff(_chunk(b"VP8L", _vp8l_body(img, **kw)))
+
+
+# ------------------------------------------------------------ animation
+
+
+def encode_webp_animation(
+    frames: list[np.ndarray], duration_ms: int = 100, **kw
+) -> bytes:
+    """Full-canvas animation frames -> animated WebP (VP8X + ANIM +
+    one ANMF per frame wrapping a lossless VP8L body; no-blend,
+    dispose-none). ``kw`` passes through to the VP8L subset encoder."""
+    if not frames:
+        raise WebpFormatError("empty animation")
+    h, w = np.asarray(frames[0]).shape[:2]
+    if not (1 <= w <= 1 << 24 and 1 <= h <= 1 << 24):
+        raise WebpFormatError("canvas out of VP8X range")
+    out = []
+    # VP8X: flags (animation = 0x02), 3 reserved bytes, canvas w-1/h-1
+    out.append(
+        _chunk(
+            b"VP8X",
+            bytes([0x02, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little"),
+        )
     )
+    # ANIM: background color BGRA + loop count (0 = infinite)
+    out.append(_chunk(b"ANIM", bytes([0, 0, 0, 0]) + (0).to_bytes(2, "little")))
+    for f in frames:
+        a = np.asarray(f)
+        if a.shape[:2] != (h, w):
+            raise WebpFormatError("animation frames must share the canvas size")
+        body = _chunk(b"VP8L", _vp8l_body(a, **kw))
+        anmf = (
+            (0).to_bytes(3, "little")  # frame x / 2
+            + (0).to_bytes(3, "little")  # frame y / 2
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(duration_ms).to_bytes(3, "little")
+            + bytes([0x02])  # no-blend (bit 1), dispose-none (bit 0 = 0)
+            + body
+        )
+        out.append(_chunk(b"ANMF", anmf))
+    return _riff(b"".join(out))
+
+
+def _iter_chunks(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_end = pos + 8 + ln
+        if body_end > end:
+            raise WebpFormatError(f"{tag!r} chunk overruns container")
+        yield tag, pos + 8, body_end
+        pos = body_end + (ln & 1)  # even-length padding
+
+
+def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
+    """WebP bytes -> list of composited (h, w, 4) uint8 RGBA frames.
+
+    Still VP8L images decode to a single frame; animated WebP (VP8X +
+    ANIM + ANMF, lossless VP8L frame payloads) composites per the
+    container spec: per-frame rect placement on the canvas, alpha-blend
+    or no-blend, dispose-to-background (transparent per spec) or none.
+    Lossy VP8 frame payloads raise NotImplementedError (same seam as
+    ``decode_webp``)."""
+    data = bytes(payload)
+    if not is_webp(data):
+        raise WebpFormatError("bad RIFF/WEBP signature")
+    if data[12:16] == b"VP8L":
+        return [decode_webp(data)]
+    if data[12:16] != b"VP8X":
+        raise NotImplementedError(
+            f"WebP variant {data[12:16]!r} has no dependency-free codec"
+        )
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_len)
+    chunks = list(_iter_chunks(data, 12, end))
+    if not chunks or chunks[0][0] != b"VP8X":
+        raise WebpFormatError("VP8X chunk missing")
+    _, s0, e0 = chunks[0]
+    if e0 - s0 != 10:
+        raise WebpFormatError("VP8X chunk must be 10 bytes")
+    flags = data[s0]
+    cw = int.from_bytes(data[s0 + 4 : s0 + 7], "little") + 1
+    ch = int.from_bytes(data[s0 + 7 : s0 + 10], "little") + 1
+    if cw * ch > _MAX_PIXELS:
+        raise WebpFormatError("canvas exceeds bomb guard")
+    if not flags & 0x02:
+        # non-animated extended file: decode the single image chunk
+        for tag, s, e in chunks[1:]:
+            if tag == b"VP8L":
+                return [decode_webp(_riff(_chunk(b"VP8L", data[s:e])))]
+            if tag == b"VP8 ":
+                raise NotImplementedError("lossy VP8 frame")
+        raise WebpFormatError("extended WebP with no image chunk")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)  # transparent black
+    frames: list[np.ndarray] = []
+    for tag, s, e in chunks[1:]:
+        if tag != b"ANMF":
+            continue
+        if e - s < 16:
+            raise WebpFormatError("ANMF header truncated")
+        fx = int.from_bytes(data[s : s + 3], "little") * 2
+        fy = int.from_bytes(data[s + 3 : s + 6], "little") * 2
+        fw = int.from_bytes(data[s + 6 : s + 9], "little") + 1
+        fh = int.from_bytes(data[s + 9 : s + 12], "little") + 1
+        fflags = data[s + 15]
+        if fx + fw > cw or fy + fh > ch:
+            raise WebpFormatError("ANMF frame outside canvas")
+        rgba = None
+        for ftag, fs, fe in _iter_chunks(data, s + 16, e):
+            if ftag == b"VP8L":
+                rgba = decode_webp(_riff(_chunk(b"VP8L", data[fs:fe])))
+                break
+            if ftag == b"VP8 ":
+                raise NotImplementedError("lossy VP8 animation frame")
+        if rgba is None:
+            raise WebpFormatError("ANMF without an image chunk")
+        if rgba.shape[:2] != (fh, fw):
+            raise WebpFormatError("ANMF dimensions disagree with VP8L")
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        if fflags & 0x02:  # no-blend: replace
+            rect[:] = rgba
+        else:  # alpha-blend over the canvas (integer, round-half-up)
+            a = rgba[:, :, 3:4].astype(np.uint16)
+            inv = 255 - a
+            blended = (rgba[:, :, :3] * a + rect[:, :, :3] * inv + 127) // 255
+            out_a = a + (rect[:, :, 3:4].astype(np.uint16) * inv + 127) // 255
+            rect[:, :, :3] = blended.astype(np.uint8)
+            rect[:, :, 3:4] = np.clip(out_a, 0, 255).astype(np.uint8)
+        frames.append(canvas.copy())
+        if fflags & 0x01:  # dispose to background: transparent black
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+    if not frames:
+        raise WebpFormatError("animated WebP with no ANMF frames")
+    return frames

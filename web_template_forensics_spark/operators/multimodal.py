@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.gif_codec import GIF_MAGICS, decode_gif
-from ..functions.webp_codec import decode_webp, is_webp
+from ..functions.webp_codec import decode_webp_frames, is_webp
 from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frame_spans
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
 from ..functions.wav_codec import decode_wav, is_wav
@@ -120,7 +120,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # dependency-free codec -> UnsupportedVariantError (per-row
         # degrade), NOT the loud no-codec seam
         try:
-            img = decode_webp(payload)
+            img = decode_webp_frames(payload)[0]  # still OR first frame
         except NotImplementedError as exc:
             raise UnsupportedVariantError(f"WebP variant: {exc}") from exc
         return np.ascontiguousarray(img[:, :, :3])  # drop alpha (RGBA)
@@ -216,9 +216,13 @@ def _sampled_video_frames(payload: bytes, max_frames: int) -> list[np.ndarray]:
     inherently sequential, so all frames decode, then sample)."""
     from ..functions.gif_codec import decode_gif_frames
     from ..functions.video_hash import even_sample
+    from ..functions.webp_codec import decode_webp_frames
 
     if payload[:6] in GIF_MAGICS:
         return even_sample(decode_gif_frames(payload), max_frames)
+    if is_webp(payload):
+        frames = [f[:, :, :3] for f in decode_webp_frames(payload)]
+        return even_sample(frames, max_frames)
     return [decode_image(fb) for fb in mjpeg_sampled_frames(payload, max_frames)]
 
 
@@ -264,7 +268,9 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
             except ValueError:
                 feat, thumb = _byte_histogram_features(payload)
         elif r.kind == "video" and (
-            payload[:2] == JPEG_SOI or payload[:6] in GIF_MAGICS
+            payload[:2] == JPEG_SOI
+            or payload[:6] in GIF_MAGICS
+            or is_webp(payload)
         ):
             # REAL codec path (round 5): Motion JPEG or animated GIF —
             # per-frame decode over an evenly-sampled frame subset,

@@ -411,6 +411,20 @@ def fixture_corpus() -> list[dict]:
         wsm,
     )
     _img_row("webp", encode_webp(wsm, color_transform=(9, 133, 250)), wsm)
+    from ..functions.webp_codec import encode_webp_animation
+
+    wframes = [_smooth_or_noise(rng, (12, 15, 3), smooth=j % 2 == 0) for j in range(3)]
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "video",
+            "codec": "webp",
+            "payload": encode_webp_animation(wframes, cache_bits=4),
+            "expected_rgb": None,
+            "expected_samples": None,
+        }
+    )
+    mid += 1
     return rows
 
 
@@ -765,6 +779,7 @@ def video_fp_corpus() -> list[dict]:
     must DROP. Expected pairing: the 6 within-base pairs per base at
     hamming <= 6, nothing across bases."""
     from ..functions.gif_codec import encode_gif_animation
+    from ..functions.webp_codec import encode_webp_animation
 
     rng = np.random.RandomState(FIXTURE_SEED + 6)
     rows: list[dict] = []
@@ -772,7 +787,16 @@ def video_fp_corpus() -> list[dict]:
     for b in range(_VIDEO_FP_BASES):
         cross = b >= 8
         frames = _base_frames(rng, 40 + (b % 3) * 8, 56 - (b % 2) * 8, grey=cross)
-        if cross:
+        if b == 9:
+            # third container: the same clip as MJPEG and animated WebP
+            # (lossless VP8L frames) must collapse too
+            variants = [
+                encode_mjpeg(frames, quality=85),
+                encode_mjpeg(frames, quality=78),
+                encode_webp_animation(frames, subtract_green=True),
+                encode_webp_animation(frames[1:][::-1], cache_bits=5),
+            ]
+        elif cross:
             variants = [
                 encode_mjpeg(frames, quality=85),
                 encode_mjpeg(frames, quality=78),

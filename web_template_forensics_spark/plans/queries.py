@@ -2189,17 +2189,20 @@ def q_video_fp_near_dup(spark, sf_dir):
     completes the multimodal x dedup triad next to ``phash_near_dup``
     (image) and ``audio_fp_near_dup`` (audio) — collapse the same clip
     across MJPEG quality re-encodes, per-frame progressive re-encode,
-    a trimmed reversed cut, and an animated-GIF re-containering.
+    a trimmed reversed cut, and animated-GIF / animated-WebP
+    re-containerings.
 
     Spark face: ``operators.dedup.video_phash_pairs`` over the
     deterministic fixture corpus (multimodal_fixture.video_fp_corpus:
     10 base 8-frame clips; bases 0-7 x {MJPEG q85, MJPEG q78,
-    progressive per-frame q85, first-frame-trimmed reversed}; bases 8-9
+    progressive per-frame q85, first-frame-trimmed reversed}; base 8
     CROSS-FORMAT x {MJPEG q85, MJPEG q78, lossless animated GIF,
-    trimmed-reversed interlaced GIF}; + 1 corrupt payload) — real
-    distributed MJPEG framing / GIF compositing + JPEG decode +
-    per-frame pHash + per-bit majority vote in mapInPandas, then the
-    shared pigeonhole banding at radius 6 (7 bands). DuckDB face (video_fp_oracle_sql):
+    trimmed-reversed interlaced GIF}; base 9 CROSS-FORMAT x {MJPEG q85,
+    MJPEG q78, lossless animated WebP, trimmed-reversed animated WebP};
+    + 1 corrupt payload) — real distributed MJPEG framing / GIF / WebP
+    compositing + JPEG decode + per-frame pHash + per-bit majority vote
+    in mapInPandas, then the shared pigeonhole banding at radius 6
+    (7 bands). DuckDB face (video_fp_oracle_sql):
     twin-computed fingerprint VALUES; banding, candidate equi-join,
     Hamming and the radius filter genuinely recomputed in SQL. The
     corrupt row pins the drop policy. Self-contained; ``sf_dir``
