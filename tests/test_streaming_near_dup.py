@@ -157,3 +157,31 @@ def test_band_recall_precondition_enforced():
 
     with pytest.raises(ValueError, match="cannot guarantee recall"):
         band_struct_cols(max_hamming=3, n_bands=2)
+
+
+def test_near_dup_consensus_composition(spark):
+    """Ensemble semantics: every consensus pair appears in >= 2 of the
+    three per-method pair sets; the methods column is the sorted
+    comma-joined subset; no pair outside the union sneaks in."""
+    from web_template_forensics_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cons = {
+        (r.id_a, r.id_b): (r.n_methods, r.methods)
+        for r in QUERIES["near_dup_consensus"](spark, sf).collect()
+    }
+    per_method = {}
+    for name in ("minhash_pairs", "simhash_pairs", "ngram_jaccard_pairs"):
+        per_method[name.split("_")[0]] = {
+            (r.id_a, r.id_b) for r in QUERIES[name](spark, sf).collect()
+        }
+    for pair, (n, methods) in cons.items():
+        hit = sorted(m for m, pairs in per_method.items() if pair in pairs)
+        assert n == len(hit) >= 2
+        assert methods == ",".join(hit)
+    want = {
+        p
+        for p in set().union(*per_method.values())
+        if sum(p in v for v in per_method.values()) >= 2
+    }
+    assert set(cons) == want

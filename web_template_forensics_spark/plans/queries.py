@@ -2282,3 +2282,64 @@ def q_simhash_pairs_stream(spark, sf_dir):
 
 QUERIES["simhash_pairs_stream"] = q_simhash_pairs_stream
 ORACLE_SQL["simhash_pairs_stream"] = _Q_SIMHASH_SQL
+
+
+def q_near_dup_consensus(spark, sf_dir):
+    """Ensemble near-dup dedup (late round 5): pairs flagged by >= 2 of
+    the three text methods — MinHash+LSH (token-shingle Jaccard),
+    SimHash (hamming radius 3) and word-3-gram Jaccard — the standard
+    production pattern for precision-critical dedup (one method's false
+    positives rarely survive a second, independent signal).
+
+    Spark face: union of the three operators' pair sets with a method
+    tag, grouped to a vote count + sorted method list. Each operator
+    keeps its own banded candidate generation (ids-only shuffles), so
+    the composition inherits every 100 TB property of its parts; the
+    consensus groupBy shuffles only (id_a, id_b, method). DuckDB face:
+    the SAME composition over the three faces' full oracle SQL as
+    subqueries. Reference parity: no dedup surface exists in the
+    reference (SURVEY.md §2 graft)."""
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        minhash_lsh_pairs(d, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+        .select("id_a", "id_b")
+        .withColumn("method", F.lit("minhash"))
+    )
+    s = (
+        simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+        .select("id_a", "id_b")
+        .withColumn("method", F.lit("simhash"))
+    )
+    n = (
+        ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=NGRAM_THRESHOLD, n=3)
+        .select("id_a", "id_b")
+        .withColumn("method", F.lit("ngram"))
+    )
+    votes = m.unionByName(s).unionByName(n).distinct()
+    return (
+        votes.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_methods"),
+            F.array_join(F.sort_array(F.collect_list("method")), ",").alias(
+                "methods"
+            ),
+        )
+        .filter(F.col("n_methods") >= 2)
+    )
+
+
+QUERIES["near_dup_consensus"] = q_near_dup_consensus
+ORACLE_SQL["near_dup_consensus"] = f"""
+WITH votes AS (
+  SELECT id_a, id_b, 'minhash' AS method FROM ({ORACLE_SQL["minhash_pairs"]})
+  UNION
+  SELECT id_a, id_b, 'simhash' AS method FROM ({ORACLE_SQL["simhash_pairs"]})
+  UNION
+  SELECT id_a, id_b, 'ngram' AS method FROM ({ORACLE_SQL["ngram_jaccard_pairs"]})
+)
+SELECT id_a, id_b, COUNT(*) AS n_methods,
+       string_agg(method, ',' ORDER BY method) AS methods
+FROM votes
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= 2
+"""
