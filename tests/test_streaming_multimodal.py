@@ -479,3 +479,41 @@ def test_sessionize_late_bridge_parity(spark, tmp_path):
         1767261600000000,
         1767261600000000 + 301_000_000,
     )
+
+
+def test_sample_video_frames_seeks_gif_and_webp(spark):
+    """Animated GIF/WebP rows seek FOR REAL: each sampled position's
+    features equal the driver-side decode of that frame (a stub/fallback
+    row cannot)."""
+    from web_template_forensics_spark.functions.gif_codec import encode_gif_animation
+    from web_template_forensics_spark.functions.webp_codec import (
+        encode_webp_animation,
+    )
+    from web_template_forensics_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    rng = np.random.RandomState(41)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    gframes = [pal[rng.randint(0, 16, (10, 12))] for _ in range(4)]
+    wframes = [rng.randint(0, 256, (10, 12, 3), dtype=np.uint8) for _ in range(4)]
+    meta = {"width": 12, "height": 10, "sample_rate": None, "duration_ms": 4000, "codec": None}
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(encode_gif_animation(gframes)), {**meta, "codec": "gif"}),
+            (1, "video", bytearray(encode_webp_animation(wframes)), {**meta, "codec": "webp"}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = sample_video_frames(media, every_ms=1000, fake_decode=False).collect()
+    assert len(out) == 8
+
+    def feat(img):
+        h = np.histogram(img, bins=8, range=(0, 255))[0].astype(np.float64)
+        return (h / max(1.0, h.sum())).astype(np.float32)
+
+    for r in out:
+        src = gframes if r["media_id"] == 0 else wframes
+        fidx = min(r["position_ms"] * len(src) // 4000, len(src) - 1)
+        assert np.allclose(np.array(r["feat"]), feat(src[fidx]), atol=1e-6)

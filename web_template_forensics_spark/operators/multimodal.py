@@ -376,7 +376,8 @@ def sample_video_frames(
     payloads (round 5) seek FOR REAL: the structural framing walk maps
     position_ms to a frame index (constant frame spacing over
     duration_ms, the MJPEG convention) and only the sampled frames are
-    decoded. Other containers use the stubbed deterministic path (a
+    decoded; animated GIF/WebP composite once and positions index the
+    frame list. Other containers use the stubbed deterministic path (a
     real pipeline seeks via the container index); payload bytes stay
     map-side either way."""
 
@@ -394,6 +395,7 @@ def sample_video_frames(
                 duration = int(dur_val) if dur_val is not None else 0
                 positions = frame_sample_indices(duration, every_ms)
                 spans = None
+                frames = None
                 if len(positions) and payload[:2] == JPEG_SOI:
                     # structural walk yields OFFSETS — only the sampled
                     # frames below are ever sliced; a malformed stream
@@ -403,6 +405,18 @@ def sample_video_frames(
                         spans = list(iter_jpeg_frame_spans(payload))
                     except ValueError:
                         spans = None
+                elif len(positions) and (
+                    payload[:6] in GIF_MAGICS or is_webp(payload)
+                ):
+                    # animated GIF / WebP: compositing is inherently
+                    # sequential (LZW / inter-frame state), so all frames
+                    # decode once and positions index into them
+                    try:
+                        frames = [
+                            f[:, :, :3] for f in _sampled_video_frames(payload, 1 << 30)
+                        ]
+                    except (ValueError, NotImplementedError):
+                        frames = None
                 for fno, pos in enumerate(positions):
                     img = None
                     if spans:
@@ -415,6 +429,10 @@ def sample_video_frames(
                             img = decode_image(payload[s:e])
                         except (ValueError, NotImplementedError):
                             img = None  # bad frame -> stub for this position
+                    elif frames:
+                        img = frames[
+                            min(int(pos) * len(frames) // max(1, duration), len(frames) - 1)
+                        ]
                     if img is None:
                         # deterministic per-position slice stands in for a seek
                         lo = int(pos) % max(1, len(payload))
