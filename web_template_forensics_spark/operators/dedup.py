@@ -295,6 +295,7 @@ def audio_fingerprint_pairs(
     import pandas as pd
 
     from ..functions.audio_hash import audio_hash64
+    from ..functions.flac_codec import decode_flac, is_flac
     from ..functions.image_hash import phash_to_signed
     from ..functions.wav_codec import decode_wav, is_wav
 
@@ -304,10 +305,15 @@ def audio_fingerprint_pairs(
             hs: list[int] = []
             for r in pdf[[id_col, payload_col]].itertuples(index=False):
                 payload = bytes(r[1]) if r[1] is not None else b""
-                if not is_wav(payload):
-                    continue
                 try:
-                    samples, _rate = decode_wav(payload)
+                    if is_wav(payload):
+                        samples, _rate = decode_wav(payload)
+                    elif is_flac(payload):
+                        # FLAC decodes to the EXACT source samples, so a
+                        # WAV<->FLAC re-containering is a hamming-0 pair
+                        samples, _rate = decode_flac(payload)
+                    else:
+                        continue
                 except ValueError:
                     continue
                 ids.append(int(r[0]))

@@ -53,6 +53,7 @@ from ..functions.gif_codec import GIF_MAGICS, decode_gif
 from ..functions.webp_codec import decode_webp_frames, is_webp
 from ..functions.jpeg_codec import JPEG_SOI, decode_jpeg, iter_jpeg_frame_spans
 from ..functions.png_codec import PNG_SIGNATURE, decode_png
+from ..functions.flac_codec import decode_flac, is_flac
 from ..functions.wav_codec import decode_wav, is_wav
 
 MEDIA_SCHEMA = (
@@ -257,13 +258,17 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
                 feat = feat / max(1.0, feat.sum())
             except ValueError:
                 feat, thumb = _byte_histogram_features(payload)
-        elif r.kind == "audio" and is_wav(payload):
-            # REAL codec path (round 5): RIFF/WAVE PCM via wav_codec.
-            # Sniffing is magic-byte only, so a RIFF/WAVE header over an
-            # unsupported or corrupt body (IEEE-float tag, truncated
-            # data chunk) must fall back, not fail the Spark task.
+        elif r.kind == "audio" and (is_wav(payload) or is_flac(payload)):
+            # REAL codec path (round 5): RIFF/WAVE PCM via wav_codec, or
+            # FLAC via flac_codec (lossless — decodes to the exact
+            # source PCM). Sniffing is magic-byte only, so a recognized
+            # header over an unsupported or corrupt body (ADPCM tag,
+            # truncated data, bad CRC) must fall back, not fail the task.
             try:
-                samples, _rate = decode_wav(payload)
+                if is_wav(payload):
+                    samples, _rate = decode_wav(payload)
+                else:
+                    samples, _rate = decode_flac(payload)
                 feat, thumb = audio_features(samples)
             except ValueError:
                 feat, thumb = _byte_histogram_features(payload)

@@ -411,6 +411,37 @@ def fixture_corpus() -> list[dict]:
         wsm,
     )
     _img_row("webp", encode_webp(wsm, color_transform=(9, 133, 250)), wsm)
+    # FLAC audio rows (lossless -> pre-encoding samples ARE the truth,
+    # the same leg style as PNG/WAV): mono fixed-predictor friendly
+    # material + mid/side stereo noise
+    from ..functions.flac_codec import encode_flac
+
+    t = np.arange(900)
+    fl1 = (9000 * np.sin(t / 40) + 2000 * np.sin(t / 7)).astype(np.int16)[:, None]
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "audio",
+            "codec": "flac",
+            "payload": encode_flac(fl1, 22050),
+            "expected_rgb": None,
+            "expected_samples": fl1,
+        }
+    )
+    mid += 1
+    fl2 = rng.randint(-32768, 32768, size=(700, 2)).astype(np.int16)
+    rows.append(
+        {
+            "media_id": mid,
+            "kind": "audio",
+            "codec": "flac",
+            "payload": encode_flac(fl2, 8000, mid_side=True),
+            "expected_rgb": None,
+            "expected_samples": fl2,
+        }
+    )
+    mid += 1
+
     from ..functions.webp_codec import encode_webp_animation
 
     wframes = [_smooth_or_noise(rng, (12, 15, 3), smooth=j % 2 == 0) for j in range(3)]
@@ -675,8 +706,9 @@ def audio_fp_corpus() -> list[dict]:
     """Deterministic audio-fingerprint gate corpus: 12 base clips (half
     band-limited, half wideband) x 4 variants a pipeline must collapse —
     original 16-bit PCM, gain 0.6 (16-bit), gain 1.2 re-encoded as
-    IEEE-float32, low-level dither re-encoded as 24-bit PCM — plus one
-    corrupt RIFF payload the operator must DROP. Expected pairing: the
+    IEEE-float32, low-level dither re-encoded as 24-bit PCM; bases 10-11
+    are CROSS-CONTAINER (original + gain-1.2 re-encoded as lossless
+    FLAC) — plus one corrupt RIFF payload the operator must DROP. Expected pairing: the
     6 within-base pairs per base at hamming <= 8, nothing across bases."""
     rng = np.random.RandomState(FIXTURE_SEED + 5)
     rows: list[dict] = []
@@ -688,22 +720,34 @@ def audio_fp_corpus() -> list[dict]:
         g06 = np.round(x * 0.6).astype(np.int16)
         g12 = np.round(x * 1.2).astype(np.int16)
         dith = np.round(x + rng.uniform(-60.0, 60.0, n)).astype(np.int16)
-        variants = [
-            encode_wav(orig, 16000),
-            encode_wav(g06, 16000),
-            _wav_raw(
-                0x0003, 32, (g12.astype(np.float64) / 32767.0).astype("<f4").tobytes(), 1, 16000
-            ),
-            _wav_raw(
-                0x0001,
-                24,
-                b"".join(
-                    int(v << 8).to_bytes(3, "little", signed=True) for v in dith.tolist()
+        if b >= 10:
+            # cross-container bases: the same clip as WAV and as FLAC
+            # (lossless -> identical samples -> hamming 0) must collapse
+            from ..functions.flac_codec import encode_flac
+
+            variants = [
+                encode_wav(orig, 16000),
+                encode_wav(g06, 16000),
+                encode_flac(orig, 16000, mid_side=False),
+                encode_flac(g12, 16000),
+            ]
+        else:
+            variants = [
+                encode_wav(orig, 16000),
+                encode_wav(g06, 16000),
+                _wav_raw(
+                    0x0003, 32, (g12.astype(np.float64) / 32767.0).astype("<f4").tobytes(), 1, 16000
                 ),
-                1,
-                16000,
-            ),
-        ]
+                _wav_raw(
+                    0x0001,
+                    24,
+                    b"".join(
+                        int(v << 8).to_bytes(3, "little", signed=True) for v in dith.tolist()
+                    ),
+                    1,
+                    16000,
+                ),
+            ]
         for payload in variants:
             rows.append({"media_id": mid, "payload": payload, "base": b})
             mid += 1
@@ -716,15 +760,19 @@ def audio_fp_corpus_hashes() -> list[tuple[int, int]]:
     decodable corpus row — driver-side decode_wav + the same pure-numpy
     hash; the corrupt row is absent (the drop-policy pin)."""
     from ..functions.audio_hash import audio_hash64
+    from ..functions.flac_codec import decode_flac, is_flac
     from ..functions.wav_codec import decode_wav, is_wav
 
     out = []
     for row in audio_fp_corpus():
         payload = bytes(row["payload"])
-        if not is_wav(payload):
-            continue
         try:
-            samples, _rate = decode_wav(payload)
+            if is_wav(payload):
+                samples, _rate = decode_wav(payload)
+            elif is_flac(payload):
+                samples, _rate = decode_flac(payload)
+            else:
+                continue
         except ValueError:
             continue
         out.append((row["media_id"], audio_hash64(samples)))
