@@ -2164,10 +2164,12 @@ def q_audio_fp_near_dup(spark, sf_dir):
 
     Spark face: ``operators.dedup.audio_fingerprint_pairs`` over the
     deterministic fixture corpus (multimodal_fixture.audio_fp_corpus:
-    12 base clips, half band-limited, x {16-bit PCM, gain-0.6 16-bit,
-    gain-1.2 float32, dithered 24-bit} + 1 corrupt RIFF payload) — real
-    distributed WAV decode + gain-invariant time-frequency fingerprint
-    in mapInPandas, then the shared pigeonhole banding at radius 8
+    12 base clips, half band-limited; bases 0-9 x {16-bit PCM, gain-0.6
+    16-bit, gain-1.2 float32, dithered 24-bit}; bases 10-11
+    CROSS-CONTAINER x {16-bit PCM, gain-0.6 16-bit, lossless FLAC,
+    gain-1.2 FLAC}; + 1 corrupt RIFF payload) — real distributed
+    WAV/FLAC decode + gain-invariant time-frequency fingerprint in
+    mapInPandas, then the shared pigeonhole banding at radius 8
     (9 bands). DuckDB face (audio_fp_oracle_sql): twin-computed
     fingerprint VALUES; banding, candidate equi-join, Hamming and the
     radius filter genuinely recomputed in SQL. The corrupt row pins the
