@@ -280,3 +280,85 @@ def test_animation_roundtrip_and_compositing():
     # hostile: VP8X with no frames / truncated ANMF are typed errors
     with pytest.raises((WebpFormatError, NotImplementedError)):
         decode_webp_frames(b"RIFF\x12\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00" + bytes(10))
+
+
+def test_meta_split_narrow_image_falls_through():
+    """Images narrow enough for a single meta column (mw == 1) must not
+    emit a two-group stream the decoder reads as one group — the
+    encoder falls through to the single-group path and still
+    round-trips (the pre-fix behavior decoded WITHOUT error to wrong
+    pixels)."""
+    rng = np.random.RandomState(31)
+    for w in (1, 2, 3, 4):
+        img = rng.randint(0, 256, (6, w, 3), dtype=np.uint8)
+        _check(img, meta_split=True)
+
+
+def test_animation_alpha_blend_spec_semantics():
+    """Blend-mode frame over a TRANSPARENT canvas must yield the
+    frame's own colors (the canvas term is weighted by canvas alpha),
+    and the cumulative composited-pixel bomb guard fires on a frame
+    flood."""
+    import struct as _struct
+
+    from web_template_forensics_spark.functions.webp_codec import (
+        _chunk,
+        _riff,
+        _vp8l_body,
+        decode_webp_frames,
+    )
+
+    # hand-build: canvas 4x4, one BLEND-mode frame (flags byte 0x00)
+    # with a semi-transparent uniform color
+    rgba = np.zeros((4, 4, 4), dtype=np.uint8)
+    rgba[:, :] = (200, 100, 50, 128)
+    body = _chunk(b"VP8L", _vp8l_body(rgba))
+    anmf = (
+        (0).to_bytes(3, "little") * 2
+        + (3).to_bytes(3, "little")
+        + (3).to_bytes(3, "little")
+        + (100).to_bytes(3, "little")
+        + bytes([0x00])  # BLEND, dispose-none
+        + body
+    )
+    payload = _riff(
+        _chunk(
+            b"VP8X",
+            bytes([0x02, 0, 0, 0]) + (3).to_bytes(3, "little") * 2,
+        )
+        + _chunk(b"ANIM", bytes(6))
+        + _chunk(b"ANMF", anmf)
+    )
+    (frame,) = decode_webp_frames(payload)
+    assert (frame[:, :, :3] == (200, 100, 50)).all()  # not half-black
+    assert (frame[:, :, 3] == 128).all()
+    # bomb guard: huge canvas + many tiny frames
+    huge = _chunk(
+        b"VP8X",
+        bytes([0x02, 0, 0, 0])
+        + (8191).to_bytes(3, "little")
+        + (8191).to_bytes(3, "little"),
+    ) + _chunk(b"ANIM", bytes(6))
+    tiny_rgba = np.zeros((1, 1, 4), dtype=np.uint8)
+    tiny = _chunk(b"VP8L", _vp8l_body(tiny_rgba))
+    one = _chunk(
+        b"ANMF",
+        (0).to_bytes(3, "little") * 2
+        + (0).to_bytes(3, "little") * 2
+        + (1).to_bytes(3, "little")
+        + bytes([0x02])
+        + tiny,
+    )
+    with pytest.raises(WebpFormatError, match="bomb"):
+        decode_webp_frames(_riff(huge + one * 4))
+
+
+def test_two_symbol_green_with_length_code_uses_normal_form():
+    """A constant image with LZ77 runs yields a 2-symbol green alphabet
+    {literal, length-code >= 256}; the simple-form header only carries
+    8-bit symbols, so this must take the normal form (the pre-fix
+    encoder emitted a truncated 8-bit symbol and the stream failed to
+    decode)."""
+    img = np.full((4, 4, 4), (200, 100, 50, 128), dtype=np.uint8)
+    _check(img, use_lz77=True)
+    _check(np.full((30, 50, 3), 7, dtype=np.uint8), use_lz77=True)

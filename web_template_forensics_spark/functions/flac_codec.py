@@ -344,9 +344,10 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         raise FlacFormatError("declared total exceeds bomb guard")
     chans: list[list[int]] = [[] for _ in range(nchan)]
     got = 0
+    mv = memoryview(data)  # O(1) per-frame slicing (no byte copies)
     while pos < len(data) and (total == 0 or got < total):
         frame_start = pos
-        br = _BitReader(data[pos:])
+        br = _BitReader(mv[pos:])
         sync = br.read(14)
         if sync != 0x3FFE:
             raise FlacFormatError(f"bad frame sync at {pos}")

@@ -693,7 +693,9 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
     symbols, normal form (literal per-symbol lengths through a real
     code-length code, no repeat codes) otherwise."""
     nz = [i for i, ln in enumerate(lengths) if ln]
-    if len(nz) <= 2 and all(lengths[i] == 1 for i in nz):
+    if len(nz) <= 2 and all(lengths[i] == 1 for i in nz) and nz[-1] < 256:
+        # simple form carries symbols in 8 bits — length/cache symbols
+        # (>= 256 in the green alphabet) MUST use the normal form
         bw.write(1, 1)  # simple form
         bw.write(len(nz) - 1, 1)
         first = nz[0]
@@ -809,12 +811,16 @@ def _encode_argb_stream(
     else:
         bw.write(0, 1)
     if top_level:
-        if meta_split and width >= 2:
+        mbits = 2  # block size 4
+        mw = _subsample_size(width, mbits)
+        if meta_split and mw >= 2:
+            # mw == 1 would make the meta image all-zeros: the decoder
+            # would derive ONE group while two sets of codes follow —
+            # a silent desync, so narrow images fall through to the
+            # single-group path instead
             bw.write(1, 1)  # meta prefix codes present
-            mbits = 2  # block size 4: small images still get 2 columns
             bw.write(mbits - 2, 3)
             height = total // width
-            mw = _subsample_size(width, mbits)
             mh = _subsample_size(height, mbits)
             gid_col = (np.arange(mw) >= (mw + 1) // 2).astype(np.uint8)
             meta = np.zeros((mh * mw, 4), dtype=np.uint8)
@@ -1196,7 +1202,9 @@ def _iter_chunks(data: bytes, pos: int, end: int):
         pos = body_end + (ln & 1)  # even-length padding
 
 
-def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
+def decode_webp_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
     """WebP bytes -> list of composited (h, w, 4) uint8 RGBA frames.
 
     Still VP8L images decode to a single frame; animated WebP (VP8X +
@@ -1240,6 +1248,11 @@ def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
     for tag, s, e in chunks[1:]:
         if tag != b"ANMF":
             continue
+        if (len(frames) + 1) * cw * ch > _MAX_PIXELS:
+            # cumulative guard across COMPOSITED frames (each is a full
+            # canvas copy): a KB-scale payload declaring a huge canvas
+            # plus many tiny ANMF rects must not materialize terabytes
+            raise WebpFormatError("total composited pixels exceed bomb guard")
         if e - s < 16:
             raise WebpFormatError("ANMF header truncated")
         fx = int.from_bytes(data[s : s + 3], "little") * 2
@@ -1263,14 +1276,28 @@ def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
         rect = canvas[fy : fy + fh, fx : fx + fw]
         if fflags & 0x02:  # no-blend: replace
             rect[:] = rgba
-        else:  # alpha-blend over the canvas (integer, round-half-up)
-            a = rgba[:, :, 3:4].astype(np.uint16)
-            inv = 255 - a
-            blended = (rgba[:, :, :3] * a + rect[:, :, :3] * inv + 127) // 255
-            out_a = a + (rect[:, :, 3:4].astype(np.uint16) * inv + 127) // 255
-            rect[:, :, :3] = blended.astype(np.uint8)
-            rect[:, :, 3:4] = np.clip(out_a, 0, 255).astype(np.uint8)
+        else:
+            # spec alpha compositing (container spec 'Alpha blending'):
+            # A' = af + ac*(1-af); rgb' = (rgb_f*af + rgb_c*ac*(1-af))/A'
+            # — the canvas term is weighted by the CANVAS alpha, so a
+            # semi-transparent frame over a transparent canvas yields
+            # the frame's own colors, not a blend with invisible black.
+            # Exact integer math scaled by 255; truncating division.
+            af = rgba[:, :, 3:4].astype(np.int64)
+            ac = rect[:, :, 3:4].astype(np.int64)
+            a_out255 = af * 255 + ac * (255 - af)  # alpha scaled by 255
+            num = (
+                rgba[:, :, :3].astype(np.int64) * af * 255
+                + rect[:, :, :3].astype(np.int64) * ac * (255 - af)
+            )
+            safe = np.maximum(a_out255, 1)
+            rect[:, :, :3] = np.where(a_out255 > 0, num // safe, 0).astype(
+                np.uint8
+            )
+            rect[:, :, 3:4] = ((a_out255 + 127) // 255).astype(np.uint8)
         frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if fflags & 0x01:  # dispose to background: transparent black
             canvas[fy : fy + fh, fx : fx + fw] = 0
     if not frames:

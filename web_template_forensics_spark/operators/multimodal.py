@@ -121,7 +121,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         # dependency-free codec -> UnsupportedVariantError (per-row
         # degrade), NOT the loud no-codec seam
         try:
-            img = decode_webp_frames(payload)[0]  # still OR first frame
+            img = decode_webp_frames(payload, max_frames=1)[0]  # first frame
         except NotImplementedError as exc:
             raise UnsupportedVariantError(f"WebP variant: {exc}") from exc
         return np.ascontiguousarray(img[:, :, :3])  # drop alpha (RGBA)
