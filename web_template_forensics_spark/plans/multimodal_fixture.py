@@ -884,3 +884,53 @@ def video_fp_oracle_sql(max_hamming: int = 6, n_bands: int | None = None) -> str
     """DuckDB face of video_phash_pairs over the fixture corpus — same
     structure as phash/audio via the shared generic builder."""
     return _hamming_pairs_oracle_sql(video_fp_corpus_hashes(), max_hamming, n_bands)
+
+
+# ---------------------------------------------------------------------------
+# mixed-modality near-dup sweep (late round 5): one table, all three
+# perceptual operators
+# ---------------------------------------------------------------------------
+
+_MODALITY_OFFSET = {"image": 0, "audio": 100_000, "video": 200_000}
+
+
+def media_near_dup_corpus() -> list[dict]:
+    """The three perceptual gate corpora as ONE media table:
+    (media_id, kind, payload) with per-modality id offsets so ids never
+    collide — the input shape of a real mixed-media dedup sweep."""
+    rows: list[dict] = []
+    for kind, corpus in (
+        ("image", phash_corpus()),
+        ("audio", audio_fp_corpus()),
+        ("video", video_fp_corpus()),
+    ):
+        off = _MODALITY_OFFSET[kind]
+        for r in corpus:
+            rows.append(
+                {
+                    "media_id": r["media_id"] + off,
+                    "kind": kind,
+                    "payload": r["payload"],
+                }
+            )
+    return rows
+
+
+def media_near_dup_oracle_sql() -> str:
+    """DuckDB face: per-modality twin-pinned hash VALUES + SQL-recomputed
+    banding/Hamming (the shared generic builder), UNION ALL'd with the
+    modality tag and the id offsets applied to the injected hashes."""
+    parts = []
+    for tag, hashes, radius in (
+        ("image", phash_corpus_hashes(), 6),
+        ("audio", audio_fp_corpus_hashes(), 8),
+        ("video", video_fp_corpus_hashes(), 6),
+    ):
+        off = _MODALITY_OFFSET[tag]
+        shifted = [(mid + off, h) for mid, h in hashes]
+        parts.append(
+            f"SELECT '{tag}' AS modality, id_a, id_b, hamming FROM ("
+            + _hamming_pairs_oracle_sql(shifted, radius, None)
+            + ")"
+        )
+    return "\nUNION ALL\n".join(parts)

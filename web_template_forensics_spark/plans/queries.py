@@ -1353,6 +1353,10 @@ def oracle_sql_all() -> dict[str, str]:
         from .multimodal_fixture import video_fp_oracle_sql
 
         _VIDEO_FP_ORACLE_CACHE.append(video_fp_oracle_sql())
+    if not _MEDIA_ND_ORACLE_CACHE:
+        from .multimodal_fixture import media_near_dup_oracle_sql
+
+        _MEDIA_ND_ORACLE_CACHE.append(media_near_dup_oracle_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
@@ -1360,6 +1364,7 @@ def oracle_sql_all() -> dict[str, str]:
     out["phash_near_dup"] = _PHASH_ORACLE_CACHE[0]
     out["audio_fp_near_dup"] = _AUDIO_FP_ORACLE_CACHE[0]
     out["video_fp_near_dup"] = _VIDEO_FP_ORACLE_CACHE[0]
+    out["media_near_dup_all"] = _MEDIA_ND_ORACLE_CACHE[0]
     return out
 
 
@@ -2345,3 +2350,43 @@ FROM votes
 GROUP BY id_a, id_b
 HAVING COUNT(*) >= 2
 """
+
+
+def q_media_near_dup_all(spark, sf_dir):
+    """Mixed-modality near-dup sweep (late round 5): ONE media table
+    (media_id, kind, payload) holding the image, audio and video gate
+    corpora together; each modality routes to its perceptual operator
+    (pHash / gain-invariant audio fingerprint / majority-vote video
+    fingerprint) and the verified pairs union with a modality tag — the
+    shape a real training-data pipeline dedupes a crawled media bucket
+    in one pass. All three operators share the pigeonhole banding and
+    the payloads-never-shuffle property, so the union inherits the
+    100 TB shape of its parts. DuckDB face: per-modality twin-pinned
+    hash VALUES + SQL-recomputed banding, UNION ALL. Self-contained;
+    ``sf_dir`` unused."""
+    from ..operators.dedup import (
+        audio_fingerprint_pairs,
+        image_phash_pairs,
+        video_phash_pairs,
+    )
+    from .multimodal_fixture import media_near_dup_corpus
+
+    rows = [
+        (r["media_id"], r["kind"], bytearray(r["payload"]))
+        for r in media_near_dup_corpus()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    img = image_phash_pairs(
+        media.filter(F.col("kind") == "image"), max_hamming=6
+    ).select(F.lit("image").alias("modality"), "id_a", "id_b", "hamming")
+    aud = audio_fingerprint_pairs(
+        media.filter(F.col("kind") == "audio"), max_hamming=8
+    ).select(F.lit("audio").alias("modality"), "id_a", "id_b", "hamming")
+    vid = video_phash_pairs(
+        media.filter(F.col("kind") == "video"), max_hamming=6
+    ).select(F.lit("video").alias("modality"), "id_a", "id_b", "hamming")
+    return img.unionByName(aud).unionByName(vid)
+
+
+QUERIES["media_near_dup_all"] = q_media_near_dup_all
+_MEDIA_ND_ORACLE_CACHE: list[str] = []
