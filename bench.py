@@ -290,9 +290,9 @@ def main() -> None:
     from web_template_forensics_spark.sources.media import build_media_df
 
     media_rows = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA", "6000"))
-    # v2: corpus gained GIF/WebP legs — version the cache so a stale
-    # pre-GIF parquet never silently serves the new generator
-    media_path = os.path.join(repo, ".bench_data", f"media_v2_{media_rows}")
+    # v3: corpus covers all seven codecs (v2 added GIF/WebP, v3 FLAC) —
+    # versioned cache so a stale parquet never serves an old generator
+    media_path = os.path.join(repo, ".bench_data", f"media_v3_{media_rows}")
     if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
         print(f"# generating {media_rows} media rows to {media_path}", file=sys.stderr)
         build_media_df(spark, media_rows, seed=42).write.mode("overwrite").parquet(

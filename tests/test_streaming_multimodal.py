@@ -139,12 +139,22 @@ def test_build_media_df_real_corpus(spark):
     feats = extract_media_features(df, fake_decode=False).collect()
     assert len(feats) == 36
     by_id = {f["media_id"]: f for f in feats}
+    from web_template_forensics_spark.functions.flac_codec import decode_flac, is_flac
+    from web_template_forensics_spark.functions.wav_codec import decode_wav
+    from web_template_forensics_spark.operators.multimodal import audio_features
+
     for r in rows.values():
         if r["kind"] == "image":
             img = decode_image(bytes(r["payload"]))
             want = img.reshape(-1, 3).mean(axis=0) / 255.0
             got = np.array(by_id[r["media_id"]]["thumb_mean"], dtype=np.float64)
             assert np.allclose(got, want, atol=1e-5)  # float32 narrowing only
+        elif r["kind"] == "audio":
+            payload = bytes(r["payload"])
+            samples, _ = decode_flac(payload) if is_flac(payload) else decode_wav(payload)
+            want, _thumb = audio_features(samples)
+            got = np.array(by_id[r["media_id"]]["feat"], dtype=np.float64)
+            assert np.allclose(got, want, atol=1e-5)  # real decode, no fallback
 
 
 def test_decode_stub_raises_without_fake():

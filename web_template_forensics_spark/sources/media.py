@@ -3,7 +3,7 @@
 ``build_media_df(spark, n)`` generates ``n`` rows of genuinely encoded
 media — PNG (plain + Adam7-interlaced), JPEG (sequential, progressive,
 non-interleaved multi-scan), GIF (interlaced images + animations),
-WebP-lossless, RIFF/WAVE PCM and Motion-JPEG — entirely
+WebP-lossless, RIFF/WAVE PCM, FLAC and Motion-JPEG — entirely
 on executors (``mapInPandas`` over ``spark.range``), so corpus size is
 bounded only by cluster capacity, never by the driver. Each row is a
 pure function of (seed, media_id): regenerating any partition yields
@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.flac_codec import encode_flac
 from ..functions.gif_codec import encode_gif, encode_gif_animation
 from ..functions.jpeg_codec import encode_jpeg, encode_mjpeg
 from ..functions.png_codec import encode_png
@@ -82,9 +83,17 @@ def _media_row(i: int, seed: int) -> tuple:
         ch = 1 + (i // 3) % 2
         rate = (8000, 16000, 44100)[(i // 3) % 3]
         samples = rng.randint(-32768, 32768, size=(n_samp, ch)).astype(np.int16)
-        payload = encode_wav(samples, rate)
+        if (i // 3) % 3 == 2:
+            # FLAC leg: lossless compressed audio, alternating stereo modes
+            payload = encode_flac(
+                samples, rate, stereo_mode="mid_side" if ch == 2 else "independent"
+            )
+            codec = "flac"
+        else:
+            payload = encode_wav(samples, rate)
+            codec = "wav"
         meta.update(
-            sample_rate=rate, duration_ms=int(n_samp * 1000 / rate), codec="wav"
+            sample_rate=rate, duration_ms=int(n_samp * 1000 / rate), codec=codec
         )
     else:
         n_frames = 3 + (i // 3) % 3
