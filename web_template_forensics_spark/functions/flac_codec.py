@@ -46,56 +46,69 @@ def is_flac(payload: bytes) -> bool:
 
 
 class _BitReader:
-    """MSB-first bit reader (FLAC's bit order, unlike VP8L's)."""
+    """MSB-first bit reader (FLAC's bit order, unlike VP8L's), with a
+    32-bit window per byte offset so field reads are one index + shift
+    and unary runs advance by whole zero-windows — the same LUT-window
+    discipline as the WebP and JPEG readers."""
 
-    __slots__ = ("data", "pos", "n")
+    __slots__ = ("w32", "pos", "n")
 
-    def __init__(self, data: bytes):
-        self.data = data
+    def __init__(self, data):
+        buf = np.frombuffer(
+            bytes(data) + b"\x00\x00\x00\x00", dtype=np.uint8
+        ).astype(np.uint32)
+        self.w32 = (
+            (buf[:-3] << np.uint32(24))
+            | (buf[1:-2] << np.uint32(16))
+            | (buf[2:-1] << np.uint32(8))
+            | buf[3:]
+        ).tolist()
         self.pos = 0
-        self.n = len(data) * 8
+        self.n = (len(buf) - 4) * 8
 
     def read(self, nbits: int) -> int:
+        """nbits <= 25 per call (FLAC's widest sub-25 fields); wider
+        fields (36-bit totals) go through read_wide."""
         if nbits == 0:
             return 0
         p = self.pos
         if p + nbits > self.n:
             raise FlacFormatError("bitstream truncated")
+        self.pos = p + nbits
+        return (self.w32[p >> 3] >> (32 - (p & 7) - nbits)) & ((1 << nbits) - 1)
+
+    def read_wide(self, nbits: int) -> int:
         out = 0
-        data = self.data
-        while nbits > 0:
-            byte = data[p >> 3]
-            avail = 8 - (p & 7)
-            take = min(avail, nbits)
-            shift = avail - take
-            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
-            p += take
-            nbits -= take
-        self.pos = p
-        return out
+        while nbits > 24:
+            out = (out << 24) | self.read(24)
+            nbits -= 24
+        return (out << nbits) | self.read(nbits)
 
     def read_signed(self, nbits: int) -> int:
-        v = self.read(nbits)
+        v = self.read(nbits) if nbits <= 25 else self.read_wide(nbits)
         if v >= 1 << (nbits - 1):
             v -= 1 << nbits
         return v
 
     def read_unary(self) -> int:
-        """n zero bits terminated by a one -> n."""
+        """n zero bits terminated by a one -> n, consuming up to 24
+        bits per window peek."""
         p = self.pos
-        data = self.data
         n = self.n
+        w32 = self.w32
         count = 0
         while True:
             if p >= n:
                 raise FlacFormatError("unary run truncated")
-            bit = (data[p >> 3] >> (7 - (p & 7))) & 1
-            p += 1
-            if bit:
-                break
-            count += 1
-        self.pos = p
-        return count
+            avail = min(24, n - p)
+            w = (w32[p >> 3] >> (32 - (p & 7) - avail)) & ((1 << avail) - 1)
+            if w == 0:
+                count += avail
+                p += avail
+                continue
+            z = avail - w.bit_length()
+            self.pos = p + z + 1
+            return count + z
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -274,14 +287,18 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         )
     elif 8 <= stype <= 12:  # FIXED, order = stype - 8
         order = stype - 8
-        warm = [br.read_signed(eff) for _ in range(order)]
+        warm = np.array(
+            [br.read_signed(eff) for _ in range(order)], dtype=np.int64
+        )
         res = _read_residual(br, block_size, order)
-        coefs = _FIXED_COEFS[order]
-        buf = list(warm)
-        for r in res:
-            pred = sum(c * buf[-i - 1] for i, c in enumerate(coefs))
-            buf.append(pred + r)
-        samples = np.array(buf, dtype=np.int64)
+        # FIXED order k predicts the k-th difference, so reconstruction
+        # is k iterated cumulative sums seeded from the warm-up values —
+        # vectorized instead of a per-sample Python recursion
+        seq = np.array(res, dtype=np.int64)
+        for j in range(order, 0, -1):
+            init = np.diff(warm, n=j - 1)[order - j] if order else 0
+            seq = init + np.cumsum(seq)
+        samples = np.concatenate([warm, seq]) if order else seq
     elif stype >= 32:  # LPC, order = stype - 31
         order = stype - 31
         warm = [br.read_signed(eff) for _ in range(order)]
@@ -337,7 +354,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     rate = si.read(20)
     nchan = si.read(3) + 1
     bps = si.read(5) + 1
-    total = si.read(36)
+    total = si.read_wide(36)
     if rate == 0:
         raise FlacFormatError("zero sample rate")
     if total > _MAX_SAMPLES:
