@@ -67,10 +67,12 @@ class _BitReader:
         self.n = (len(buf) - 4) * 8
 
     def read(self, nbits: int) -> int:
-        """nbits <= 25 per call (FLAC's widest sub-25 fields); wider
-        fields (36-bit totals) go through read_wide."""
         if nbits == 0:
             return 0
+        if nbits > 25:
+            # the 32-bit window holds at most 25 usable bits at offset 7
+            # (36-bit STREAMINFO totals, RICE2 params 26-30 hit this)
+            return self.read_wide(nbits)
         p = self.pos
         if p + nbits > self.n:
             raise FlacFormatError("bitstream truncated")
@@ -85,7 +87,7 @@ class _BitReader:
         return (out << nbits) | self.read(nbits)
 
     def read_signed(self, nbits: int) -> int:
-        v = self.read(nbits) if nbits <= 25 else self.read_wide(nbits)
+        v = self.read(nbits)
         if v >= 1 << (nbits - 1):
             v -= 1 << nbits
         return v
@@ -354,17 +356,20 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     rate = si.read(20)
     nchan = si.read(3) + 1
     bps = si.read(5) + 1
-    total = si.read_wide(36)
+    total = si.read(36)
     if rate == 0:
         raise FlacFormatError("zero sample rate")
     if total > _MAX_SAMPLES:
         raise FlacFormatError("declared total exceeds bomb guard")
     chans: list[list[int]] = [[] for _ in range(nchan)]
     got = 0
-    mv = memoryview(data)  # O(1) per-frame slicing (no byte copies)
+    # ONE reader over the whole payload: per-frame we just set the
+    # absolute bit position (rebuilding the window table per frame was
+    # O(frames x bytes))
+    br = _BitReader(data)
     while pos < len(data) and (total == 0 or got < total):
         frame_start = pos
-        br = _BitReader(mv[pos:])
+        br.pos = pos * 8
         sync = br.read(14)
         if sync != 0x3FFE:
             raise FlacFormatError(f"bad frame sync at {pos}")
@@ -398,7 +403,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             fbps = _SAMPLE_SIZES[ss_code]
         else:
             raise FlacFormatError(f"reserved sample size code {ss_code}")
-        hdr_len = (br.pos + 7) // 8
+        hdr_len = (br.pos + 7) // 8 - frame_start
         crc8_got = br.read(8)
         if _crc8(data[pos : pos + hdr_len]) != crc8_got:
             raise FlacFormatError("frame header CRC-8 mismatch")
@@ -432,7 +437,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise FlacFormatError(f"reserved channel assignment {ch_code}")
         br.align()
         crc16_got = br.read(16)
-        frame_len = br.pos // 8
+        frame_len = br.pos // 8 - frame_start
         if _crc16(data[pos : pos + frame_len - 2]) != crc16_got:
             raise FlacFormatError("frame CRC-16 mismatch")
         for c in range(nchan):

@@ -86,9 +86,15 @@ def video_payload_hash64(payload: bytes, max_frames: int = 8) -> int:
             raise ValueError(f"GIF video: {exc}") from exc
     elif is_webp(payload):
         try:
-            frames = [f[:, :, :3] for f in decode_webp_frames(payload)]
+            # sample INSIDE the decoder (same even grid): only the kept
+            # canvases materialize, not every composited frame
+            frames = [
+                f[:, :, :3]
+                for f in decode_webp_frames(payload, sample_k=max_frames)
+            ]
         except (WebpFormatError, NotImplementedError) as exc:
             raise ValueError(f"WebP video: {exc}") from exc
+        return video_hash64([phash64(f) for f in frames])
     else:
         return mjpeg_video_hash64(payload, max_frames)
     return video_hash64([phash64(f) for f in even_sample(frames, max_frames)])

@@ -1203,7 +1203,7 @@ def _iter_chunks(data: bytes, pos: int, end: int):
 
 
 def decode_webp_frames(
-    payload: bytes, max_frames: int | None = None
+    payload: bytes, max_frames: int | None = None, sample_k: int | None = None
 ) -> list[np.ndarray]:
     """WebP bytes -> list of composited (h, w, 4) uint8 RGBA frames.
 
@@ -1212,7 +1212,15 @@ def decode_webp_frames(
     container spec: per-frame rect placement on the canvas, alpha-blend
     or no-blend, dispose-to-background (transparent per spec) or none.
     Lossy VP8 frame payloads raise NotImplementedError (same seam as
-    ``decode_webp``)."""
+    ``decode_webp``).
+
+    ``sample_k``: composite EVERY frame (inter-frame state demands it)
+    but materialize canvas copies only at the k evenly-sampled frame
+    indices (the even_sample grid) — samplers never hold all composited
+    frames, and the bomb guard bounds only what is kept, so long
+    legitimate animations sample fine while a hostile frame flood still
+    cannot demand unbounded memory. ``max_frames`` is the early-stop
+    variant (first N composited frames)."""
     data = bytes(payload)
     if not is_webp(data):
         raise WebpFormatError("bad RIFF/WEBP signature")
@@ -1244,14 +1252,28 @@ def decode_webp_frames(
                 raise NotImplementedError("lossy VP8 frame")
         raise WebpFormatError("extended WebP with no image chunk")
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)  # transparent black
+    keep = None
+    if sample_k is not None:
+        n_anmf = sum(1 for tag, _, _ in chunks[1:] if tag == b"ANMF")
+        if n_anmf < 1:
+            raise WebpFormatError("animated WebP with no ANMF frames")
+        if n_anmf <= sample_k:
+            keep = set(range(n_anmf))
+        else:
+            keep = {int(i) * n_anmf // sample_k for i in range(sample_k)}
     frames: list[np.ndarray] = []
+    frame_no = -1
     for tag, s, e in chunks[1:]:
         if tag != b"ANMF":
             continue
-        if (len(frames) + 1) * cw * ch > _MAX_PIXELS:
-            # cumulative guard across COMPOSITED frames (each is a full
-            # canvas copy): a KB-scale payload declaring a huge canvas
-            # plus many tiny ANMF rects must not materialize terabytes
+        frame_no += 1
+        if (len(frames) + 1) * cw * ch > _MAX_PIXELS and (
+            keep is None or frame_no in keep
+        ):
+            # cumulative guard across KEPT composited frames (each is a
+            # full canvas copy): a KB-scale payload declaring a huge
+            # canvas plus many tiny ANMF rects must not materialize
+            # terabytes; sampled decodes keep at most sample_k copies
             raise WebpFormatError("total composited pixels exceed bomb guard")
         if e - s < 16:
             raise WebpFormatError("ANMF header truncated")
@@ -1295,8 +1317,11 @@ def decode_webp_frames(
                 np.uint8
             )
             rect[:, :, 3:4] = ((a_out255 + 127) // 255).astype(np.uint8)
-        frames.append(canvas.copy())
+        if keep is None or frame_no in keep:
+            frames.append(canvas.copy())
         if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if keep is not None and frame_no >= max(keep):
             return frames
         if fflags & 0x01:  # dispose to background: transparent black
             canvas[fy : fy + fh, fx : fx + fw] = 0

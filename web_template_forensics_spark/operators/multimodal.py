@@ -222,8 +222,11 @@ def _sampled_video_frames(payload: bytes, max_frames: int) -> list[np.ndarray]:
     if payload[:6] in GIF_MAGICS:
         return even_sample(decode_gif_frames(payload), max_frames)
     if is_webp(payload):
-        frames = [f[:, :, :3] for f in decode_webp_frames(payload)]
-        return even_sample(frames, max_frames)
+        # sampling happens inside the decoder (same even grid): only
+        # the kept composited canvases materialize
+        return [
+            f[:, :, :3] for f in decode_webp_frames(payload, sample_k=max_frames)
+        ]
     return [decode_image(fb) for fb in mjpeg_sampled_frames(payload, max_frames)]
 
 
