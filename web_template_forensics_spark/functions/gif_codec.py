@@ -217,9 +217,46 @@ def _subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += ln
 
 
-def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+def _count_image_blocks(data: bytes, pos: int) -> int:
+    """Structural count of image descriptors (no LZW decode): walks the
+    same block sequence the decoder does, skipping sub-block bodies."""
+    n = len(data)
+    count = 0
+    while pos < n:
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            _, pos = _subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise GifFormatError(f"unknown block 0x{block:02x}")
+        if pos + 9 > n:
+            raise GifFormatError("image descriptor truncated")
+        iflags = data[pos + 8]
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1  # LZW min code size
+        _, pos = _subblocks(data, pos)
+        count += 1
+    if count < 1:
+        raise GifFormatError("GIF contains no image frames")
+    return count
+
+
+def decode_gif_frames(
+    payload: bytes, sample_k: int | None = None
+) -> list[np.ndarray]:
     """GIF bytes -> list of composited (h, w, 3) uint8 frames on the
-    logical screen, honoring GCE transparency and disposal 0-3."""
+    logical screen, honoring GCE transparency and disposal 0-3.
+
+    ``sample_k``: composite every frame (disposal state is sequential)
+    but materialize canvas copies only at the k evenly-sampled frame
+    indices (the even_sample grid) — samplers never hold all composited
+    frames of a long animation."""
     data = bytes(payload)
     if not is_gif(data):
         raise GifFormatError("bad GIF signature")
@@ -241,7 +278,13 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     else:
         bg_rgb = np.zeros(3, dtype=np.uint8)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    keep = None
+    if sample_k is not None:
+        n_imgs = _count_image_blocks(data, pos)
+        if n_imgs > sample_k:
+            keep = {int(i) * n_imgs // sample_k for i in range(sample_k)}
     frames: list[np.ndarray] = []
+    frame_no = -1
     transparent: int | None = None
     disposal = 0
     total_px = 0
@@ -298,13 +341,15 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             idx = _deinterlace(idx, h)
         if idx.max(initial=0) >= len(table):
             raise GifFormatError("pixel index beyond color table")
+        frame_no += 1
         prev_rect = canvas[top : top + h, left : left + w].copy()
         rgb = table[idx]
         if transparent is not None:
-            keep = idx == transparent
-            rgb = np.where(keep[:, :, None], prev_rect, rgb)
+            opaque_mask = idx == transparent
+            rgb = np.where(opaque_mask[:, :, None], prev_rect, rgb)
         canvas[top : top + h, left : left + w] = rgb
-        frames.append(canvas.copy())
+        if keep is None or frame_no in keep:
+            frames.append(canvas.copy())
         if disposal == 2:
             canvas[top : top + h, left : left + w] = bg_rgb
         elif disposal == 3:

@@ -81,7 +81,7 @@ def video_payload_hash64(payload: bytes, max_frames: int = 8) -> int:
 
     if is_gif(payload):
         try:
-            frames = decode_gif_frames(payload)
+            frames = decode_gif_frames(payload, sample_k=max_frames)
         except GifFormatError as exc:
             raise ValueError(f"GIF video: {exc}") from exc
     elif is_webp(payload):
@@ -97,7 +97,7 @@ def video_payload_hash64(payload: bytes, max_frames: int = 8) -> int:
         return video_hash64([phash64(f) for f in frames])
     else:
         return mjpeg_video_hash64(payload, max_frames)
-    return video_hash64([phash64(f) for f in even_sample(frames, max_frames)])
+    return video_hash64([phash64(f) for f in frames])
 
 
 def mjpeg_video_hash64(payload: bytes, max_frames: int = 8) -> int:

@@ -220,7 +220,9 @@ def _sampled_video_frames(payload: bytes, max_frames: int) -> list[np.ndarray]:
     from ..functions.webp_codec import decode_webp_frames
 
     if payload[:6] in GIF_MAGICS:
-        return even_sample(decode_gif_frames(payload), max_frames)
+        # sampling happens inside the decoder: only the kept composited
+        # canvases materialize (same discipline as the WebP branch)
+        return decode_gif_frames(payload, sample_k=max_frames)
     if is_webp(payload):
         # sampling happens inside the decoder (same even grid): only
         # the kept composited canvases materialize
