@@ -123,6 +123,42 @@ def test_bomb_guard_rejects_pixel_flood():
         decode_gif(payload)
 
 
+def _tiny_frame_flood_gif(n_frames: int, sw: int = 2000, sh: int = 2000) -> bytes:
+    """Hostile GIF: huge logical screen, many ONE-pixel frames. The
+    per-frame-rect total_px guard sees only n_frames pixels, but every
+    kept frame is a full sw*sh canvas copy (the r5 ADVICE attack: 920
+    bytes -> 720 MB materialized)."""
+    import struct
+
+    head = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80, 0, 0)
+    gct = bytes(6)  # 2-entry color table, all black
+    # 1x1 frame: descriptor + LZW min code size 2 + {clear, 0, EOI} = 2 bytes
+    frame = (
+        struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+        + bytes([2])
+        + bytes([2, 0x44, 0x01])
+        + b"\x00"
+    )
+    return head + gct + frame * n_frames + b"\x3b"
+
+
+def test_kept_canvas_bomb_guard_many_tiny_frames():
+    # 60 one-pixel frames on a 2000x2000 screen: keeping every canvas
+    # would materialize 60 * 4M px (~720 MB) — the cumulative KEPT-canvas
+    # guard must fire (mirrors decode_webp_frames), while a bounded
+    # sampler and the single-frame image path stay cheap and succeed.
+    payload = _tiny_frame_flood_gif(60)
+    with pytest.raises(GifFormatError, match="kept canvases"):
+        decode_gif_frames(payload)  # keep-all: 17th kept canvas > 2^26 px
+    # sample_k bounds the kept set below the guard
+    frames = decode_gif_frames(payload, sample_k=4)
+    assert len(frames) == 4
+    # decode_gif keeps exactly one canvas (sample_k=1) — the ADVICE attack
+    # payload decodes instead of flooding memory
+    img = decode_gif(payload)
+    assert img.shape == (2000, 2000, 3)
+
+
 def test_decode_image_gif_branch():
     from web_template_forensics_spark.operators.multimodal import decode_image
 

@@ -244,6 +244,19 @@ def test_illegal_depth_colour_combo_is_typed_error():
         decode_png(_manual_png(2, 2, 8, 2, b"\x00" * 14, interlace=2))
 
 
+def test_dimension_bomb_guard_fires_at_parse_time():
+    # attacker-declared IHDR dimensions (20000x20000 RGB = 400M px) must
+    # be rejected BEFORE any inflate: a ~MB zlib stream amplifies ~1000:1
+    # into GB-scale arrays otherwise (r5 ADVICE). Raw body content is
+    # irrelevant — the guard fires at IHDR parse.
+    with pytest.raises(PngFormatError, match="bomb guard"):
+        decode_png(_manual_png(20000, 20000, 8, 2, b"\x00" * 64))
+    # exactly at the 2^26 cap is allowed through the guard (fails later
+    # on size mismatch, proving the guard itself didn't fire)
+    with pytest.raises(PngFormatError, match="decompressed size"):
+        decode_png(_manual_png(8192, 8192, 8, 2, b"\x00" * 64))
+
+
 def test_decode_image_real_png_path():
     """decode_image now really decodes PNG payloads — fake=True is a
     fallback permission for codec-less formats, not an override."""

@@ -491,6 +491,74 @@ def test_sessionize_late_bridge_parity(spark, tmp_path):
     )
 
 
+def test_position_keyed_frames_bounded_and_equal_to_keep_all():
+    """The position-driven sampler materializes at most len(positions)
+    canvases (keep-set decode), and each returned frame is byte-equal to
+    the keep-all decode at the same mapped index."""
+    from web_template_forensics_spark.functions.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+    from web_template_forensics_spark.functions.webp_codec import (
+        decode_webp_frames,
+        encode_webp_animation,
+    )
+    from web_template_forensics_spark.operators.multimodal import (
+        _position_keyed_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    gframes = [pal[rng.randint(0, 8, (6, 9))] for _ in range(12)]
+    wframes = [rng.randint(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(12)]
+    positions = [0, 1000, 2000]  # duration 3000 -> 3 of 12 frames needed
+    for payload, dec in (
+        (encode_gif_animation(gframes), decode_gif_frames),
+        (encode_webp_animation(wframes), decode_webp_frames),
+    ):
+        got = _position_keyed_frames(payload, positions, 3000)
+        assert set(got) == set(positions)
+        full = [f[:, :, :3] for f in dec(payload)]  # keep-all reference
+        for pos, img in got.items():
+            ref = full[min(pos * len(full) // 3000, len(full) - 1)]
+            np.testing.assert_array_equal(img, ref)
+        # distinct positions sharing one frame still hold ONE canvas set
+        shared = _position_keyed_frames(payload, [0, 10, 20], 3000)
+        assert len({id(v) for v in shared.values()}) <= 1 or len(shared) <= 3
+
+
+def test_sample_video_frames_flood_gif_decodes_bounded(spark):
+    """A 2000x2000-canvas 60-tiny-frame GIF (the r5 ADVICE attack) OOMs
+    under keep-all decode (the cumulative kept-canvas guard now raises
+    on it) but samples FOR REAL through sample_video_frames: only the
+    3 position-mapped canvases materialize, features are the real black
+    canvas histogram, not the byte-histogram stub."""
+    import pytest as _pytest
+    from web_template_forensics_spark.functions.gif_codec import (
+        GifFormatError,
+        decode_gif_frames,
+    )
+    from web_template_forensics_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+    from tests.test_gif_codec import _tiny_frame_flood_gif
+
+    payload = _tiny_frame_flood_gif(60)
+    with _pytest.raises(GifFormatError):
+        decode_gif_frames(payload)  # keep-all path is guarded shut
+    meta = {"width": 2000, "height": 2000, "sample_rate": None,
+            "duration_ms": 3000, "codec": "gif"}
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), meta)], MEDIA_SCHEMA
+    )
+    out = sample_video_frames(media, every_ms=1000, fake_decode=False).collect()
+    assert len(out) == 3
+    for r in out:
+        # real decode: canvas is (nearly) all palette-0 black -> bin 0 ~ 1.0
+        assert r["feat"][0] > 0.999
+
+
 def test_sample_video_frames_seeks_gif_and_webp(spark):
     """Animated GIF/WebP rows seek FOR REAL: each sampled position's
     features equal the driver-side decode of that frame (a stub/fallback

@@ -247,8 +247,26 @@ def _count_image_blocks(data: bytes, pos: int) -> int:
     return count
 
 
+def count_gif_frames(payload: bytes) -> int:
+    """Structural frame count — header + GCT skip + block walk, no LZW
+    decode, no pixel allocation. Lets samplers map positions to frame
+    indices BEFORE deciding which composited canvases to keep."""
+    data = bytes(payload)
+    if not is_gif(data):
+        raise GifFormatError("bad GIF signature")
+    if len(data) < 13:
+        raise GifFormatError("header truncated")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    return _count_image_blocks(data, pos)
+
+
 def decode_gif_frames(
-    payload: bytes, sample_k: int | None = None
+    payload: bytes,
+    sample_k: int | None = None,
+    keep_indices: set[int] | None = None,
 ) -> list[np.ndarray]:
     """GIF bytes -> list of composited (h, w, 3) uint8 frames on the
     logical screen, honoring GCE transparency and disposal 0-3.
@@ -256,7 +274,13 @@ def decode_gif_frames(
     ``sample_k``: composite every frame (disposal state is sequential)
     but materialize canvas copies only at the k evenly-sampled frame
     indices (the even_sample grid) — samplers never hold all composited
-    frames of a long animation."""
+    frames of a long animation.
+
+    ``keep_indices``: explicit frame-number keep-set (overrides
+    sample_k's even grid); frames return in frame order, so the caller
+    zips sorted(keep_indices) with the result. Position-driven samplers
+    (sample_video_frames) use this so a long animation materializes at
+    most len(positions) canvases."""
     data = bytes(payload)
     if not is_gif(data):
         raise GifFormatError("bad GIF signature")
@@ -279,7 +303,9 @@ def decode_gif_frames(
         bg_rgb = np.zeros(3, dtype=np.uint8)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
     keep = None
-    if sample_k is not None:
+    if keep_indices is not None:
+        keep = {int(i) for i in keep_indices}
+    elif sample_k is not None:
         n_imgs = _count_image_blocks(data, pos)
         if n_imgs > sample_k:
             keep = {int(i) * n_imgs // sample_k for i in range(sample_k)}
@@ -349,6 +375,14 @@ def decode_gif_frames(
             rgb = np.where(opaque_mask[:, :, None], prev_rect, rgb)
         canvas[top : top + h, left : left + w] = rgb
         if keep is None or frame_no in keep:
+            # cumulative KEPT-canvas bound (mirrors decode_webp_frames):
+            # the per-frame-rect total_px guard above cannot catch many
+            # tiny frames on a huge logical screen — each kept frame is a
+            # full sw*sh canvas copy regardless of the frame rectangle
+            if (len(frames) + 1) * sw * sh > _MAX_TOTAL_PIXELS:
+                raise GifFormatError(
+                    "cumulative kept canvases exceed bomb guard"
+                )
             frames.append(canvas.copy())
         if disposal == 2:
             canvas[top : top + h, left : left + w] = bg_rgb
@@ -362,8 +396,13 @@ def decode_gif_frames(
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes -> first composited frame as (h, w, 3) uint8."""
-    return decode_gif_frames(payload)[0]
+    """GIF bytes -> first composited frame as (h, w, 3) uint8.
+
+    sample_k=1 keeps only frame 0 inside the decoder (the even grid
+    {i*n//1} = {0}); an image-kind GIF with thousands of animation
+    frames composites sequentially but never materializes more than
+    one canvas copy."""
+    return decode_gif_frames(payload, sample_k=1)[0]
 
 
 # ---------------------------------------------------------------- encoder

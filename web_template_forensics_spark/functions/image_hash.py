@@ -1,8 +1,10 @@
 """Perceptual image hashing (pHash) — pure numpy, deterministic.
 
 64-bit DCT perceptual hash over decoded pixels: greyscale (Rec.601) →
-32×32 nearest-neighbor downsample (same index rule as
-``operators.multimodal.resize_image``) → orthonormal 2-D DCT-II → the
+32×32 area-average (box-filter) downsample — the block-EDGE index rule
+matches ``operators.multimodal.resize_image``; the sampling rule is a
+block mean, not nearest-neighbor (see ``_grey32``) → orthonormal 2-D
+DCT-II → the
 8×8 low-frequency block, each coefficient thresholded against the
 block's median. Robust to re-encoding (JPEG quality, PNG vs JPEG) and
 resampling, which is exactly the near-duplicate class a training-data

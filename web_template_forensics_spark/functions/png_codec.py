@@ -37,6 +37,12 @@ import numpy as np
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# decompression/dimension bomb guard shared with the sibling codecs
+# (gif_codec/webp_codec/flac_codec all cap at 2^26 pixels/samples before
+# allocating): IHDR dimensions are attacker-declared up to 2^31-1 each,
+# and zlib amplification is ~1000:1, so the cap must fire at parse time
+_MAX_PIXELS = 1 << 26
+
 # colour type -> samples per pixel (at bit depth 8)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -236,6 +242,8 @@ def decode_png(data: bytes) -> np.ndarray:
                 )
             if width < 1 or height < 1:
                 raise PngFormatError("zero image dimension in IHDR")
+            if width * height > _MAX_PIXELS:
+                raise PngFormatError("IHDR dimensions exceed bomb guard")
             expected = _expected_raw_size(
                 width, height, _CHANNELS[colour], bitdepth, interlace
             )

@@ -1202,8 +1202,38 @@ def _iter_chunks(data: bytes, pos: int, end: int):
         pos = body_end + (ln & 1)  # even-length padding
 
 
+def count_webp_frames(payload: bytes) -> int:
+    """Structural frame count — RIFF chunk walk only, no VP8L decode,
+    no pixel allocation. Still VP8L / non-animated VP8X count as 1;
+    animated counts ANMF chunks. Lets samplers map positions to frame
+    indices BEFORE deciding which composited canvases to keep."""
+    data = bytes(payload)
+    if not is_webp(data):
+        raise WebpFormatError("bad RIFF/WEBP signature")
+    if data[12:16] == b"VP8L":
+        return 1
+    if data[12:16] != b"VP8X":
+        raise NotImplementedError(
+            f"WebP variant {data[12:16]!r} has no dependency-free codec"
+        )
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_len)
+    chunks = list(_iter_chunks(data, 12, end))
+    if not chunks or chunks[0][0] != b"VP8X":
+        raise WebpFormatError("VP8X chunk missing")
+    if not data[chunks[0][1]] & 0x02:
+        return 1
+    n_anmf = sum(1 for tag, _, _ in chunks[1:] if tag == b"ANMF")
+    if n_anmf < 1:
+        raise WebpFormatError("animated WebP with no ANMF frames")
+    return n_anmf
+
+
 def decode_webp_frames(
-    payload: bytes, max_frames: int | None = None, sample_k: int | None = None
+    payload: bytes,
+    max_frames: int | None = None,
+    sample_k: int | None = None,
+    keep_indices: set[int] | None = None,
 ) -> list[np.ndarray]:
     """WebP bytes -> list of composited (h, w, 4) uint8 RGBA frames.
 
@@ -1220,7 +1250,11 @@ def decode_webp_frames(
     frames, and the bomb guard bounds only what is kept, so long
     legitimate animations sample fine while a hostile frame flood still
     cannot demand unbounded memory. ``max_frames`` is the early-stop
-    variant (first N composited frames)."""
+    variant (first N composited frames).
+
+    ``keep_indices``: explicit frame-number keep-set (overrides
+    sample_k's even grid); frames return in frame order, so the caller
+    zips sorted(keep_indices) with the result."""
     data = bytes(payload)
     if not is_webp(data):
         raise WebpFormatError("bad RIFF/WEBP signature")
@@ -1253,7 +1287,9 @@ def decode_webp_frames(
         raise WebpFormatError("extended WebP with no image chunk")
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)  # transparent black
     keep = None
-    if sample_k is not None:
+    if keep_indices is not None:
+        keep = {int(i) for i in keep_indices}
+    elif sample_k is not None:
         n_anmf = sum(1 for tag, _, _ in chunks[1:] if tag == b"ANMF")
         if n_anmf < 1:
             raise WebpFormatError("animated WebP with no ANMF frames")
