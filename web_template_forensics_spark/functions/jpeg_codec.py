@@ -652,6 +652,96 @@ def _fast_lut(bits: list[int], vals: list[int]) -> list[int]:
     return out
 
 
+def _fast_lut_seq(bits: list[int], vals: list[int], is_ac: bool) -> list[int]:
+    """Combined symbol+magnitude LUT for BASELINE scans (the
+    libjpeg-turbo fast path): when huffman code length + magnitude size
+    fit the 16-bit peek (the overwhelmingly common case), one lookup
+    yields the fully decoded coefficient value — no second window read.
+
+    Entry packing (or -1 for an invalid prefix):
+      bits 0..4   consumed bits (code, or code+magnitude when full)
+      bits 5..6   kind: 0=EOB, 1=ZRL, 2=full (value inline), 3=partial
+      full:       bits 7..10 run (AC; 0 for DC), bits 11.. value+2048
+      partial:    bits 7..14 the raw run/size symbol; magnitude is read
+                  from the window by the caller (size>11 DC or code+size
+                  spilling past 16 bits)
+
+    Progressive scans keep the plain symbol LUT (_fast_lut): EOBn
+    ext-bit semantics and refinement bits don't fit this packing.
+    Cached by table content like _fast_lut (MJPEG repeats DHT segments
+    every frame)."""
+    key = (b"A" if is_ac else b"D") + bytes(bits) + bytes(vals)
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        _LUT_CACHE.move_to_end(key)
+        return cached
+    lut = np.full(65536, -1, dtype=np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1] > (1 << length) - code:
+            raise JpegFormatError("huffman spec: over-full code space")
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            run, size = (sym >> 4, sym & 0x0F) if is_ac else (0, sym)
+            if is_ac and size == 0:
+                if sym == 0x00:
+                    lut[base : base + span] = (0 << 5) | length  # EOB
+                elif sym == 0xF0:
+                    lut[base : base + span] = (1 << 5) | length  # ZRL
+                # else: EOBn symbol — undefined in baseline; tables
+                # containing one are rejected before LUT build, so the
+                # slice keeps -1 (decodes as invalid-code, defensively)
+            elif size == 0:
+                # DC size 0: diff is 0, fully decoded by the code alone
+                lut[base : base + span] = (2048 << 11) | (2 << 5) | length
+            elif length + size <= 16 and size <= 11:
+                # full decode: the magnitude bits are inside the peek
+                suf = np.arange(span, dtype=np.int64)
+                mag = (suf >> (16 - length - size)) & ((1 << size) - 1)
+                val = np.where(
+                    mag >= (1 << (size - 1)), mag, mag - (1 << size) + 1
+                )
+                lut[base : base + span] = (
+                    ((val + 2048) << 11)
+                    | (run << 7)
+                    | (2 << 5)
+                    | (length + size)
+                )
+            else:
+                lut[base : base + span] = (sym << 7) | (3 << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    _LUT_CACHE[key] = out
+    if len(_LUT_CACHE) > _LUT_CACHE_MAX:
+        _LUT_CACHE.popitem(last=False)
+    return out
+
+
+def _win32(buf: bytes) -> list[int]:
+    """Precomputed 32-bit MSB-first sliding window per byte offset, so a
+    16-bit Huffman peek or an up-to-25-bit magnitude read is ONE index +
+    shift instead of a per-symbol refill loop — the same windowed-LUT
+    discipline as webp_codec._BitReader (which took VP8L from 35 to 7.5
+    ms/image). Padded with 512 zero bytes: between truncation checks the
+    decoder consumes at most one data unit (~64 symbols x <=31 bits
+    ~ 250 bytes) of phantom zeros, so hostile truncation can never index
+    past the window before the per-block check fires."""
+    b = np.frombuffer(bytes(buf) + b"\x00" * 512, dtype=np.uint8).astype(
+        np.uint32
+    )
+    return (
+        b[:-3] << np.uint32(24)
+        | b[1:-2] << np.uint32(16)
+        | b[2:-1] << np.uint32(8)
+        | b[3:]
+    ).tolist()  # python ints: faster scalar indexing than np.uint32
+
+
 def _unstuff(data: bytes) -> bytes:
     """Remove 0x00 stuffing bytes after 0xFF, vectorized."""
     arr = np.frombuffer(data, dtype=np.uint8)
@@ -718,11 +808,9 @@ def _decode_prog_scan(
     pred = [0] * ns
     eobrun = 0
     span_idx = 0
-    buf = spans[0]
-    buf_n = len(buf)
-    bpos = 0
-    acc = 0
-    nbits = 0
+    w32 = _win32(spans[0])
+    bits_n = len(spans[0]) * 8
+    p = 0
     _MASK = [(1 << i) - 1 for i in range(40)]
     p1 = 1 << al
     m1 = -p1
@@ -731,16 +819,14 @@ def _decode_prog_scan(
     ac_first = ss != 0 and ah == 0
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
-            if bpos * 8 - nbits > buf_n * 8:
+            if p > bits_n:
                 raise JpegFormatError("truncated entropy data")
             span_idx += 1
             if span_idx >= len(spans):
                 raise JpegFormatError("expected RSTn marker")
-            buf = spans[span_idx]
-            buf_n = len(buf)
-            bpos = 0
-            acc = 0
-            nbits = 0
+            w32 = _win32(spans[span_idx])
+            bits_n = len(spans[span_idx]) * 8
+            p = 0
             pred = [0] * ns
             eobrun = 0
         if sub_w is None:
@@ -760,36 +846,22 @@ def _decode_prog_scan(
             row = coefs[si][bi]
             if dc_first:
                 dct = luts[si]
-                while nbits < 16:
-                    acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                    bpos += 1
-                    nbits += 8
-                v = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                v = dct[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
                 if v < 0:
                     raise JpegFormatError("invalid huffman code in entropy data")
-                nbits -= v & 31
+                p += v & 31
                 size = v >> 5
                 if size:
-                    while nbits < size:
-                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                        bpos += 1
-                        nbits += 8
-                    nbits -= size
-                    mag = (acc >> nbits) & _MASK[size]
+                    mag = (w32[p >> 3] >> (32 - size - (p & 7))) & _MASK[size]
+                    p += size
                     pred[si] += (
                         mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
                     )
-                acc &= _MASK[nbits]
                 row[0] = pred[si] << al
             elif dc_refine:
-                if nbits < 1:
-                    acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                    bpos += 1
-                    nbits += 8
-                nbits -= 1
-                if (acc >> nbits) & 1:
+                if (w32[p >> 3] >> (31 - (p & 7))) & 1:
                     row[0] |= p1
-                acc &= _MASK[nbits]
+                p += 1
             elif ac_first:
                 if eobrun:
                     eobrun -= 1
@@ -797,41 +869,27 @@ def _decode_prog_scan(
                 act = luts[si]
                 k = ss
                 while k <= se:
-                    while nbits < 16:
-                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                        bpos += 1
-                        nbits += 8
-                    v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                    v = act[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
                     if v < 0:
                         raise JpegFormatError("invalid huffman code in entropy data")
-                    nbits -= v & 31
+                    p += v & 31
                     rs = v >> 5
                     r = rs >> 4
                     sz = rs & 0x0F
                     if sz == 0:
                         if r == 15:  # ZRL
-                            acc &= _MASK[nbits]
                             k += 16
                             continue
                         if r:  # EOBn: run of 2^r + ext-bits blocks (incl. this)
-                            while nbits < r:
-                                acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                                bpos += 1
-                                nbits += 8
-                            nbits -= r
-                            eobrun = (1 << r) - 1 + ((acc >> nbits) & _MASK[r])
-                        acc &= _MASK[nbits]
+                            ext = (w32[p >> 3] >> (32 - r - (p & 7))) & _MASK[r]
+                            p += r
+                            eobrun = (1 << r) - 1 + ext
                         break
                     k += r
                     if k > se:
                         raise JpegFormatError("AC index overflow")
-                    while nbits < sz:
-                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                        bpos += 1
-                        nbits += 8
-                    nbits -= sz
-                    mag = (acc >> nbits) & _MASK[sz]
-                    acc &= _MASK[nbits]
+                    mag = (w32[p >> 3] >> (32 - sz - (p & 7))) & _MASK[sz]
+                    p += sz
                     val = mag if mag >= (1 << (sz - 1)) else mag - (1 << sz) + 1
                     row[k] = val << al
                     k += 1
@@ -840,32 +898,23 @@ def _decode_prog_scan(
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        while nbits < 16:
-                            acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                            bpos += 1
-                            nbits += 8
-                        v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        v = act[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
                         if v < 0:
                             raise JpegFormatError(
                                 "invalid huffman code in entropy data"
                             )
-                        nbits -= v & 31
+                        p += v & 31
                         rs = v >> 5
                         r = rs >> 4
                         sz = rs & 0x0F
-                        acc &= _MASK[nbits]
                         if sz == 0:
                             if r < 15:  # EOBn (no decrement yet)
                                 if r:
-                                    while nbits < r:
-                                        acc = (acc << 8) | (
-                                            buf[bpos] if bpos < buf_n else 0
-                                        )
-                                        bpos += 1
-                                        nbits += 8
-                                    nbits -= r
-                                    eobrun = (1 << r) + ((acc >> nbits) & _MASK[r])
-                                    acc &= _MASK[nbits]
+                                    ext = (
+                                        w32[p >> 3] >> (32 - r - (p & 7))
+                                    ) & _MASK[r]
+                                    p += r
+                                    eobrun = (1 << r) + ext
                                 else:
                                     eobrun = 1
                                 break
@@ -875,28 +924,17 @@ def _decode_prog_scan(
                                 raise JpegFormatError(
                                     "invalid refinement run/size symbol"
                                 )
-                            if nbits < 1:
-                                acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                                bpos += 1
-                                nbits += 8
-                            nbits -= 1
-                            val = p1 if (acc >> nbits) & 1 else m1
-                            acc &= _MASK[nbits]
+                            val = p1 if (w32[p >> 3] >> (31 - (p & 7))) & 1 else m1
+                            p += 1
                         # advance over r zero-HISTORY positions, reading a
                         # correction bit for every nonzero coefficient passed
                         while k <= se:
                             cur = row[k]
                             if cur != 0:
-                                if nbits < 1:
-                                    acc = (acc << 8) | (
-                                        buf[bpos] if bpos < buf_n else 0
-                                    )
-                                    bpos += 1
-                                    nbits += 8
-                                nbits -= 1
-                                if (acc >> nbits) & 1 and not (cur & p1):
+                                bit = (w32[p >> 3] >> (31 - (p & 7))) & 1
+                                p += 1
+                                if bit and not (cur & p1):
                                     row[k] = cur + (p1 if cur >= 0 else m1)
-                                acc &= _MASK[nbits]
                             else:
                                 if r == 0:
                                     break
@@ -910,18 +948,14 @@ def _decode_prog_scan(
                     while k <= se:
                         cur = row[k]
                         if cur != 0:
-                            if nbits < 1:
-                                acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                                bpos += 1
-                                nbits += 8
-                            nbits -= 1
-                            if (acc >> nbits) & 1 and not (cur & p1):
+                            bit = (w32[p >> 3] >> (31 - (p & 7))) & 1
+                            p += 1
+                            if bit and not (cur & p1):
                                 row[k] = cur + (p1 if cur >= 0 else m1)
-                            acc &= _MASK[nbits]
                         k += 1
                     eobrun -= 1
-        if bpos * 8 - nbits > buf_n * 8:
-            raise JpegFormatError("truncated entropy data")
+            if p > bits_n:
+                raise JpegFormatError("truncated entropy data")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -1125,7 +1159,11 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     dc_spec = hspecs.get((0, dc_id))
                     if dc_spec is None:
                         raise JpegFormatError("missing huffman/quant table")
-                    dc_lut = _fast_lut(dc_spec[0], dc_spec[1])
+                    dc_lut = (
+                        _fast_lut(dc_spec[0], dc_spec[1])
+                        if progressive
+                        else _fast_lut_seq(dc_spec[0], dc_spec[1], False)
+                    )
                 if need_ac:
                     ac_spec = hspecs.get((1, ac_id))
                     if ac_spec is None:
@@ -1134,7 +1172,11 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         raise JpegFormatError(
                             "AC huffman run/size symbol undefined in baseline"
                         )
-                    ac_lut = _fast_lut(ac_spec[0], ac_spec[1])
+                    ac_lut = (
+                        _fast_lut(ac_spec[0], ac_spec[1])
+                        if progressive
+                        else _fast_lut_seq(ac_spec[0], ac_spec[1], True)
+                    )
                 luts.append((dc_lut, ac_lut))
                 qts_by_comp[ci] = qt
 
@@ -1176,30 +1218,28 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 continue
 
             # pass 1: entropy-decode every block's zigzag coefficients.
-            # The bit reader is INLINED as local-int arithmetic: at
-            # ~50-100 Huffman symbols per block, method-call overhead
-            # dominated the decode (profiled), and plain-list coefficient
-            # rows beat numpy scalar stores for the same reason.
+            # The bit reader is INLINED as local-int arithmetic over a
+            # precomputed 32-bit window (_win32): at ~50-100 Huffman
+            # symbols per block, both method-call overhead AND the
+            # per-symbol refill loop dominated the decode (profiled);
+            # plain-list coefficient rows beat numpy scalar stores for
+            # the same reason. p is the consumed-bit position.
             pred = [0] * ns
             span_idx = 0
-            buf = spans[0]
-            buf_n = len(buf)
-            bpos = 0
-            acc = 0
-            nbits = 0
+            w32 = _win32(spans[0])
+            bits_n = len(spans[0]) * 8
+            p = 0
             _MASK = [(1 << i) - 1 for i in range(40)]
             for mcu in range(n_mcus):
                 if restart_interval and mcu and mcu % restart_interval == 0:
-                    if bpos * 8 - nbits > buf_n * 8:
+                    if p > bits_n:
                         raise JpegFormatError("truncated entropy data")
                     span_idx += 1
                     if span_idx >= len(spans):
                         raise JpegFormatError("expected RSTn marker")
-                    buf = spans[span_idx]
-                    buf_n = len(buf)
-                    bpos = 0
-                    acc = 0
-                    nbits = 0
+                    w32 = _win32(spans[span_idx])
+                    bits_n = len(spans[span_idx]) * 8
+                    p = 0
                     pred = [0] * ns
                 # data-unit slots of this MCU: (scan index, block index)
                 if sub_w is None:
@@ -1217,70 +1257,58 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     slots = ((0, sy * grid_w[0] + sx),)
                 for si, bi in slots:
                     dct, act = luts[si]
-                    p = pred[si]
+                    dc = pred[si]
                     row = [0] * 64
-                    while nbits < 16:
-                        acc = (acc << 8) | (buf[bpos] if bpos < buf_n else 0)
-                        bpos += 1
-                        nbits += 8
-                    v = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                    v = dct[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
                     if v < 0:
                         raise JpegFormatError(
                             "invalid huffman code in entropy data"
                         )
-                    nbits -= v & 31
-                    size = v >> 5
-                    if size:
-                        while nbits < size:
-                            acc = (acc << 8) | (
-                                buf[bpos] if bpos < buf_n else 0
-                            )
-                            bpos += 1
-                            nbits += 8
-                        nbits -= size
-                        mag = (acc >> nbits) & _MASK[size]
-                        p += (
+                    p += v & 31
+                    if (v >> 5) & 3 == 2:  # full: diff decoded inline
+                        dc += (v >> 11) - 2048
+                    else:  # partial: magnitude spilled past the peek
+                        size = (v >> 7) & 15
+                        mag = (w32[p >> 3] >> (32 - size - (p & 7))) & _MASK[
+                            size
+                        ]
+                        p += size
+                        dc += (
                             mag
                             if mag >= (1 << (size - 1))
                             else mag - (1 << size) + 1
                         )
-                    acc &= _MASK[nbits]
-                    row[0] = p
+                    row[0] = dc
                     k = 1
                     while k < 64:
-                        while nbits < 16:
-                            acc = (acc << 8) | (
-                                buf[bpos] if bpos < buf_n else 0
-                            )
-                            bpos += 1
-                            nbits += 8
-                        v = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        v = act[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
                         if v < 0:
                             raise JpegFormatError(
                                 "invalid huffman code in entropy data"
                             )
-                        nbits -= v & 31
-                        rs = v >> 5
-                        if rs == 0x00:
-                            acc &= _MASK[nbits]
+                        p += v & 31
+                        kind = (v >> 5) & 3
+                        if kind == 2:  # full: run + value decoded inline
+                            k += (v >> 7) & 15
+                            if k > 63:
+                                raise JpegFormatError("AC index overflow")
+                            row[k] = (v >> 11) - 2048
+                            k += 1
+                            continue
+                        if kind == 0:  # EOB
                             break
-                        if rs == 0xF0:
-                            acc &= _MASK[nbits]
+                        if kind == 1:  # ZRL
                             k += 16
                             continue
+                        rs = (v >> 7) & 255  # partial
                         k += rs >> 4
                         size = rs & 0x0F
                         if k > 63:
                             raise JpegFormatError("AC index overflow")
-                        while nbits < size:
-                            acc = (acc << 8) | (
-                                buf[bpos] if bpos < buf_n else 0
-                            )
-                            bpos += 1
-                            nbits += 8
-                        nbits -= size
-                        mag = (acc >> nbits) & _MASK[size]
-                        acc &= _MASK[nbits]
+                        mag = (w32[p >> 3] >> (32 - size - (p & 7))) & _MASK[
+                            size
+                        ]
+                        p += size
                         row[k] = (
                             mag
                             if mag >= (1 << (size - 1))
@@ -1288,12 +1316,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         )
                         k += 1
                     coefs_by_comp[scan[si][1]][bi] = row
-                    pred[si] = p
-                # consumed-bit accounting: the 16-bit peek may LOAD up to
-                # 2 phantom zero bytes past the span, but CONSUMING any
-                # bit beyond the real data means the stream is truncated
-                if bpos * 8 - nbits > buf_n * 8:
-                    raise JpegFormatError("truncated entropy data")
+                    pred[si] = dc
+                    # consumed-bit accounting: peeks may LOAD phantom zero
+                    # bytes past the span (the window is zero-padded), but
+                    # CONSUMING any bit beyond the real data means the
+                    # stream is truncated; the per-block check bounds
+                    # phantom consumption well inside the 512-byte pad
+                    if p > bits_n:
+                        raise JpegFormatError("truncated entropy data")
 
             pos = term_pos  # continue at the marker that ended the scan
             continue
@@ -1322,7 +1352,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             .astype(np.float64)
             * qts_by_comp[ci][None, :, :]
         )
-        pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
+        # batched 2-D IDCT as broadcast matmul (C.T @ deq @ C): BLAS-backed,
+        # ~11x faster than the einsum contraction it replaces (profiled;
+        # identical contraction, <=1e-13 numerical difference)
+        pix = _C.T @ deq @ _C + 128.0
         bh, bw_ = mcuy * c["v"], mcux * c["h"]
         plane = (
             pix.reshape(bh, bw_, 8, 8)
