@@ -77,6 +77,39 @@ def test_phash_operating_point_margins():
             assert _ham(hashes[i], hashes[j]) >= 12, (i, j)
 
 
+def test_phash_envelope_non_invariances_documented():
+    """The operator's envelope BOUNDARY, pinned by tests (r5 verdict ask
+    #8): radius-6 covers re-encode/resample (the margin test above), and
+    the KNOWN non-invariances — meaningful crops and rotation — land
+    OUTSIDE the radius. A training pipeline must not expect pHash dedup
+    to collapse cropped or rotated variants; that's the banded-join
+    operators' documented contract, not a bug."""
+    rng = np.random.RandomState(23)
+    beyond_crop = 0
+    beyond_rot = 0
+    n = 8
+    for i in range(n):
+        img = textured_image(rng, 64, 96)
+        h = phash64(img)
+        # >=10% crop from one edge (well past the ~5% envelope edge)
+        ch, cw = img.shape[0] // 10, img.shape[1] // 10
+        beyond_crop += _ham(h, phash64(img[ch:, cw:])) > 6
+        # 90-degree rotation: DCT basis is orientation-sensitive
+        beyond_rot += _ham(h, phash64(np.rot90(img).copy())) > 6
+    # rotation is essentially never radius-covered; crops occasionally
+    # fall inside on low-texture corners, so pin a strong majority
+    assert beyond_rot == n
+    assert beyond_crop >= n - 1
+    # tiny crop (~1.5%) stays INSIDE the envelope — the boundary is
+    # between "border trim" and "reframing", not at zero
+    inside = 0
+    rng2 = np.random.RandomState(29)
+    for _ in range(n):
+        img = textured_image(rng2, 64, 96)
+        inside += _ham(phash64(img), phash64(img[1:, 1:])) <= 6
+    assert inside >= n - 1
+
+
 def test_phash_corpus_twin_shape():
     corpus = phash_corpus()
     hashes = dict(phash_corpus_hashes())

@@ -378,6 +378,120 @@ def video_phash_pairs(
     return hamming_band_pairs(hashed, max_hamming, n_bands)
 
 
+def av_fingerprint_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    audio_hamming: int = 8,
+    video_hamming: int = 6,
+) -> DataFrame:
+    """CROSS-MODAL near-duplicate pairs over a mixed media bucket ->
+    (family, id_a, id_b, hamming), family in {audio, video}.
+
+    The multiplexed-container completion of the perceptual triad (r5
+    verdict ask #5): a RIFF/AVI payload DEMUXES on the executor — its
+    MJPG stream fingerprints through the majority-vote video hash, its
+    PCM track through the gain-invariant audio fingerprint — so an A/V
+    file pairs with a standalone WAV/FLAC clip of its soundtrack AND
+    with a standalone MJPEG/GIF/WebP of its footage. Standalone rows
+    dispatch on magic bytes as in audio_fingerprint_pairs /
+    video_phash_pairs; corrupt rows drop (no perceptual identity).
+
+    100 TB shape: payload bytes never shuffle (each row emits <= 2
+    (id, family, 64-bit hash) tuples), and BOTH families band through
+    ONE self-join keyed by (family, band_no, band_val) with
+    n_bands = max(radii) + 1 — pigeonhole-sound for the smaller radius
+    too, and the single aliased plan means the demux/decode/hash stage
+    executes once (ReusedExchange), not once per family."""
+    import pandas as pd
+
+    from ..functions.audio_hash import audio_hash64
+    from ..functions.avi_codec import demux_avi, is_avi
+    from ..functions.flac_codec import decode_flac, is_flac
+    from ..functions.image_hash import phash_to_signed
+    from ..functions.video_hash import video_payload_hash64
+    from ..functions.wav_codec import decode_wav, is_wav
+
+    def op(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            fams: list[str] = []
+            hs: list[int] = []
+            for r in pdf[[id_col, payload_col]].itertuples(index=False):
+                payload = bytes(r[1]) if r[1] is not None else b""
+                emitted: list[tuple[str, int]] = []
+                try:
+                    if is_avi(payload):
+                        vf, samples, _rate = demux_avi(payload)
+                        if vf:
+                            emitted.append(
+                                ("video", video_payload_hash64(b"".join(vf)))
+                            )
+                        if samples.shape[0]:
+                            emitted.append(("audio", audio_hash64(samples)))
+                    elif is_wav(payload):
+                        samples, _rate = decode_wav(payload)
+                        emitted.append(("audio", audio_hash64(samples)))
+                    elif is_flac(payload):
+                        samples, _rate = decode_flac(payload)
+                        emitted.append(("audio", audio_hash64(samples)))
+                    else:
+                        # MJPEG / animated GIF / WebP magic dispatch;
+                        # anything else raises ValueError -> dropped
+                        emitted.append(("video", video_payload_hash64(payload)))
+                except ValueError:
+                    continue
+                for fam, h in emitted:
+                    ids.append(int(r[0]))
+                    fams.append(fam)
+                    hs.append(phash_to_signed(h))
+            yield pd.DataFrame(
+                {
+                    "_id": pd.array(ids, dtype="int64"),
+                    "family": pd.array(fams, dtype="string"),
+                    "_sh": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    hashed = media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(op, "_id long, family string, _sh long")
+
+    n_bands = max(audio_hamming, video_hamming) + 1
+    band_structs = band_struct_cols(n_bands - 1, n_bands)
+    banded = hashed.select(
+        "_id", "family", "_sh", F.explode(F.array(*band_structs)).alias("band")
+    ).select("_id", "family", "_sh", "band.band_no", "band.band_val")
+    a, b = banded.alias("_a"), banded.alias("_b")
+    cand = (
+        a.join(
+            b,
+            (F.col("_a.family") == F.col("_b.family"))
+            & (F.col("_a.band_no") == F.col("_b.band_no"))
+            & (F.col("_a.band_val") == F.col("_b.band_val"))
+            & (F.col("_a._id") < F.col("_b._id")),
+        )
+        .select(
+            F.col("_a.family").alias("family"),
+            F.col("_a._id").alias("id_a"),
+            F.col("_a._sh").alias("sh_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["family", "id_a", "id_b"])
+    )
+    radius = F.when(F.col("family") == "audio", F.lit(audio_hamming)).otherwise(
+        F.lit(video_hamming)
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("family", "id_a", "id_b", "hamming")
+    )
+
+
 def _toks(text_col: str):
     """ASCII-whitespace tokens with empties dropped — F.split emits ''
     for leading/trailing whitespace, which would otherwise corrupt grams

@@ -891,6 +891,122 @@ def video_fp_oracle_sql(max_hamming: int = 6, n_bands: int | None = None) -> str
 # perceptual operators
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# A/V container (RIFF/AVI) cross-modal near-dup fixture (round 6)
+# ---------------------------------------------------------------------------
+
+
+def av_corpus() -> list[dict]:
+    """Deterministic A/V cross-modal gate corpus (r5 verdict ask #5).
+
+    Two multiplexed bases plus a decoy and a corrupt row:
+
+    * base 0 — AVI(MJPG footage V0 + PCM clip A) [id 0] must pair its
+      AUDIO track with standalone WAV(A) [id 1] and FLAC(A, the
+      lossless re-container) [id 2], and its VIDEO track with a
+      standalone MJPEG re-encode of V0 at q78 [id 3]: the
+      video<->audio-clip cross pair the single-container operators
+      cannot produce.
+    * base 1 — AVI(grey footage V1 + PCM clip B gain 1.0) [id 4] pairs
+      video with a lossless animated GIF of V1 [id 5] (cross-FORMAT on
+      top of cross-container) and audio with WAV(B, gain 0.6) [id 6].
+    * id 7 — an unrelated AVI (own footage + clip): flagged by neither
+      family (specificity pin).
+    * id 8 — a truncated AVI: dropped (no perceptual identity).
+    """
+    from ..functions.avi_codec import encode_avi
+    from ..functions.flac_codec import encode_flac
+    from ..functions.gif_codec import encode_gif_animation
+
+    rng = np.random.RandomState(FIXTURE_SEED + 7)
+    rows: list[dict] = []
+
+    # base 0: color footage + wideband clip
+    v0 = _base_frames(rng, 40, 56)
+    a0 = _base_clip(rng, 4096, band_limited=False)
+    a0_i16 = np.round(a0).astype(np.int16)
+    avi0 = encode_avi(v0, a0_i16, 16000, quality=85)
+    rows.append({"media_id": 0, "payload": avi0})
+    rows.append({"media_id": 1, "payload": encode_wav(a0_i16, 16000)})
+    rows.append({"media_id": 2, "payload": encode_flac(a0_i16, 16000)})
+    # trimmed REVERSED q78 re-encode: order-invariance + trim on top of
+    # the cross-container pair (mirrors the video_fp corpus variants)
+    rows.append({"media_id": 3, "payload": encode_mjpeg(v0[1:][::-1], quality=78)})
+
+    # base 1: grey footage (<= 256 colors -> losslessly GIF-encodable)
+    v1 = _base_frames(rng, 48, 48, grey=True)
+    a1 = _base_clip(rng, 4608, band_limited=True)
+    a1_i16 = np.round(a1).astype(np.int16)
+    rows.append({"media_id": 4, "payload": encode_avi(v1, a1_i16, 16000, quality=85)})
+    rows.append({"media_id": 5, "payload": encode_gif_animation(v1)})
+    rows.append(
+        {"media_id": 6, "payload": encode_wav(np.round(a1 * 0.6).astype(np.int16), 16000)}
+    )
+
+    # decoy: unrelated AVI — no partners in either family
+    v2 = _base_frames(rng, 44, 60)
+    a2_i16 = np.round(_base_clip(rng, 4096, band_limited=False)).astype(np.int16)
+    rows.append({"media_id": 7, "payload": encode_avi(v2, a2_i16, 16000)})
+
+    # corrupt: an AVI signature over a truncated body — must drop
+    rows.append({"media_id": 8, "payload": avi0[:64]})
+    return rows
+
+
+def av_corpus_hashes() -> list[tuple[int, str, int]]:
+    """Spark-free twin: (media_id, family, unsigned hash) for every
+    fingerprint the corpus yields — driver-side demux/decode through the
+    same functions the operator calls; the corrupt row is absent."""
+    from ..functions.audio_hash import audio_hash64
+    from ..functions.avi_codec import demux_avi, is_avi
+    from ..functions.flac_codec import decode_flac, is_flac
+    from ..functions.video_hash import video_payload_hash64
+    from ..functions.wav_codec import decode_wav, is_wav
+
+    out: list[tuple[int, str, int]] = []
+    for row in av_corpus():
+        payload = bytes(row["payload"])
+        mid = row["media_id"]
+        try:
+            if is_avi(payload):
+                vf, samples, _rate = demux_avi(payload)
+                if vf:
+                    out.append((mid, "video", video_payload_hash64(b"".join(vf))))
+                if samples.shape[0]:
+                    out.append((mid, "audio", audio_hash64(samples)))
+            elif is_wav(payload):
+                samples, _rate = decode_wav(payload)
+                out.append((mid, "audio", audio_hash64(samples)))
+            elif is_flac(payload):
+                samples, _rate = decode_flac(payload)
+                out.append((mid, "audio", audio_hash64(samples)))
+            else:
+                out.append((mid, "video", video_payload_hash64(payload)))
+        except ValueError:
+            continue
+    return out
+
+
+def av_near_dup_oracle_sql(
+    audio_hamming: int = 8, video_hamming: int = 6
+) -> str:
+    """DuckDB face of av_fingerprint_pairs over the fixture corpus:
+    per-family twin-pinned hash VALUES through the shared banding
+    recomputation (same n_bands the single-join operator uses for both
+    families), family-tagged and UNION ALL'd."""
+    hashes = av_corpus_hashes()
+    n_bands = max(audio_hamming, video_hamming) + 1
+    parts = []
+    for fam, radius in (("audio", audio_hamming), ("video", video_hamming)):
+        fam_hashes = [(mid, h) for mid, f, h in hashes if f == fam]
+        parts.append(
+            f"SELECT '{fam}' AS family, id_a, id_b, hamming FROM ("
+            + _hamming_pairs_oracle_sql(fam_hashes, radius, n_bands)
+            + ")"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 _MODALITY_OFFSET = {"image": 0, "audio": 100_000, "video": 200_000}
 
 

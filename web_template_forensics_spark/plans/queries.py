@@ -1357,6 +1357,10 @@ def oracle_sql_all() -> dict[str, str]:
         from .multimodal_fixture import media_near_dup_oracle_sql
 
         _MEDIA_ND_ORACLE_CACHE.append(media_near_dup_oracle_sql())
+    if not _AV_ND_ORACLE_CACHE:
+        from .multimodal_fixture import av_near_dup_oracle_sql
+
+        _AV_ND_ORACLE_CACHE.append(av_near_dup_oracle_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
@@ -1365,6 +1369,7 @@ def oracle_sql_all() -> dict[str, str]:
     out["audio_fp_near_dup"] = _AUDIO_FP_ORACLE_CACHE[0]
     out["video_fp_near_dup"] = _VIDEO_FP_ORACLE_CACHE[0]
     out["media_near_dup_all"] = _MEDIA_ND_ORACLE_CACHE[0]
+    out["av_near_dup"] = _AV_ND_ORACLE_CACHE[0]
     return out
 
 
@@ -2390,3 +2395,28 @@ def q_media_near_dup_all(spark, sf_dir):
 
 QUERIES["media_near_dup_all"] = q_media_near_dup_all
 _MEDIA_ND_ORACLE_CACHE: list[str] = []
+
+
+def q_av_near_dup(spark, sf_dir):
+    """CROSS-MODAL A/V near-dup over multiplexed containers (round 6,
+    r5 verdict ask #5): RIFF/AVI payloads demux ON EXECUTORS — the MJPG
+    stream fingerprints through the majority-vote video hash, the PCM
+    track through the gain-invariant audio fingerprint — so an A/V file
+    pairs with a standalone WAV/FLAC of its soundtrack AND a standalone
+    MJPEG/GIF of its footage; both families band through ONE self-join
+    keyed by (family, band_no, band_val). Payload bytes never shuffle.
+    DuckDB face: per-family twin-pinned hash VALUES + SQL-recomputed
+    banding, UNION ALL (plans/multimodal_fixture.av_near_dup_oracle_sql).
+    Self-contained; ``sf_dir`` unused."""
+    from ..operators.dedup import av_fingerprint_pairs
+    from .multimodal_fixture import av_corpus
+
+    rows = [
+        (r["media_id"], bytearray(r["payload"])) for r in av_corpus()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return av_fingerprint_pairs(media)
+
+
+QUERIES["av_near_dup"] = q_av_near_dup
+_AV_ND_ORACLE_CACHE: list[str] = []
