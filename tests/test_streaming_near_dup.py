@@ -185,3 +185,158 @@ def test_near_dup_consensus_composition(spark):
         if sum(p in v for v in per_method.values()) >= 2
     }
     assert set(cons) == want
+
+
+def _ts_docs(spark):
+    """documents with the gate's deterministic event time: epoch +
+    (doc_id % 7) hours — spans 6 hours of disorder across parity splits."""
+    import pyspark.sql.functions as F
+
+    return spark.read.parquet(SRC).withColumn(
+        "ts",
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,cast(doc_id % 7 as int),0,0)"
+        ),
+    )
+
+
+def _start_ttl(spark, indir: str, ck: str, name: str, **kw):
+    from web_template_forensics_spark.streaming.near_dup import (
+        simhash_pairs_stream_ttl,
+    )
+
+    docs = _ts_docs(spark)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    return (
+        simhash_pairs_stream_ttl(
+            stream, "doc_id", "text", "ts", ttl_seconds=2 * 3600,
+            max_hamming=3, **kw
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+
+
+def _write_ts_splits(spark, work: str, n_splits: int) -> list[str]:
+    docs = _ts_docs(spark)
+    files = []
+    for k in range(n_splits):
+        sub = os.path.join(work, f"h{k}")
+        docs.filter(f"doc_id % {n_splits} = {k}").coalesce(1).write.parquet(sub)
+        files.append(glob.glob(os.path.join(sub, "*.parquet"))[0])
+    return files
+
+
+def test_ttl_stream_equals_bounded_window_batch_twin(spark, tmp_path):
+    """TTL semantics: the stream's pair set over a 3-way split equals
+    the batch operator's output filtered to |ts_a - ts_b| <= ttl, and
+    with dedup_cross_band=True every row is already distinct (the
+    chained dropDuplicatesWithinWatermark, not a post-drain DISTINCT)."""
+    cc = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = spark.conf.get(cc, "true")
+    spark.conf.set(cc, "false")
+    try:
+        work = str(tmp_path)
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+        files = _write_ts_splits(spark, work, 3)
+        shutil.copy(files[0], os.path.join(indir, "b0.parquet"))
+        q = _start_ttl(
+            spark, indir, os.path.join(work, "ck"), "snd_ttl",
+            dedup_cross_band=True,
+        )
+        try:
+            q.processAllAvailable()
+            for i, f in enumerate(files[1:], 1):
+                shutil.copy(f, os.path.join(indir, f"b{i}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select id_a, id_b, hamming from snd_ttl").collect()
+        got = [(r.id_a, r.id_b, r.hamming) for r in rows]
+        assert len(got) == len(set(got))  # in-stream cross-band dedup
+        want = {
+            (a, b, h)
+            for a, b, h in _batch_pairs(spark)
+            if abs((a % 7) - (b % 7)) <= 2
+        }
+        assert set(got) == want
+    finally:
+        spark.conf.set(cc, prev)
+
+
+def test_ttl_state_is_bounded_by_eviction(spark, tmp_path):
+    """The bounded-state claim, pinned via the state-store metrics: an
+    old cohort (ts = epoch) followed by a far-future cohort (ts = +10 d,
+    beyond ttl + delay) must EVICT the old members — numRowsTotal after
+    the future batch stays at ~one cohort, instead of accumulating — and
+    no pair crosses the ttl window."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(SRC).limit(200)
+    old = docs.withColumn("ts", F.expr("timestamp'2026-01-01 00:00:00'"))
+    new = docs.withColumn(
+        "ts", F.expr("timestamp'2026-01-11 00:00:00'")
+    ).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    work = str(tmp_path)
+    indir = os.path.join(work, "in")
+    os.makedirs(indir)
+    for name, df in (("h0", old), ("h1", new)):
+        df.coalesce(1).write.parquet(os.path.join(work, name))
+    shutil.copy(
+        glob.glob(os.path.join(work, "h0", "*.parquet"))[0],
+        os.path.join(indir, "b0.parquet"),
+    )
+    from web_template_forensics_spark.streaming.near_dup import (
+        simhash_pairs_stream_ttl,
+    )
+
+    stream = (
+        spark.readStream.schema(old.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = (
+        simhash_pairs_stream_ttl(
+            stream, "doc_id", "text", "ts",
+            ttl_seconds=3600, watermark_delay="1 hour", max_hamming=3,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("snd_evict")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_after_b0 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        shutil.copy(
+            glob.glob(os.path.join(work, "h1", "*.parquet"))[0],
+            os.path.join(indir, "b1.parquet"),
+        )
+        q.processAllAvailable()
+        # one more (empty-ish) trigger so timed-out old keys are reaped
+        shutil.copy(
+            glob.glob(os.path.join(work, "h1", "*.parquet"))[0],
+            os.path.join(indir, "b2.parquet"),
+        )
+        q.processAllAvailable()
+        rows_after_b2 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    # old cohort evicted: state after the future batches is not the sum
+    # of both cohorts (each doc explodes into 4 band rows; without
+    # eviction state would be ~2x the single-cohort level)
+    assert rows_after_b2 <= rows_after_b0 * 1.25
+    pairs = spark.sql("select * from snd_evict").collect()
+    assert all(
+        (r.id_a < 1_000_000) == (r.id_b < 1_000_000) for r in pairs
+    )  # nothing pairs across the 10-day gap

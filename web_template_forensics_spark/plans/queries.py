@@ -2296,6 +2296,94 @@ QUERIES["simhash_pairs_stream"] = q_simhash_pairs_stream
 ORACLE_SQL["simhash_pairs_stream"] = _Q_SIMHASH_SQL
 
 
+def q_simhash_pairs_stream_ttl(spark, sf_dir):
+    """The BOUNDED-STATE streaming near-dup face (round 6, r5 verdict
+    ask #7): ``simhash_pairs_stream_ttl`` with a deterministic event
+    time (epoch + (doc_id % 7) hours), ttl = 2 h, run over two genuine
+    micro-batches with ``dedup_cross_band=True`` — the chained
+    ``dropDuplicatesWithinWatermark`` collapses cross-band duplicate
+    emissions IN-STREAM, so the drained table is read back WITHOUT a
+    post-drain DISTINCT (the gate itself pins the in-stream dedup: any
+    surviving duplicate row breaks the row-count match). Oracle: the
+    batch simhash SQL plus the bounded-window condition
+    |ts_a - ts_b| <= ttl, which under the id-derived event times is
+    |(id_a % 7) - (id_b % 7)| <= 2."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.near_dup import simhash_pairs_stream_ttl
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    batch = spark.read.parquet(src).withColumn(
+        "ts",
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,cast(doc_id % 7 as int),0,0)"
+        ),
+    )
+    cc_key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    cc_prev = spark.conf.get(cc_key, "true")
+    work = tempfile.mkdtemp(prefix="snd_ttl_gate_")
+    try:
+        spark.conf.set(cc_key, "false")  # chained custom stateful op
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+        for k, sub in ((0, "h0"), (1, "h1")):
+            batch.filter(F.col("doc_id") % 2 == k).coalesce(1).write.parquet(
+                os.path.join(work, sub)
+            )
+        qn = f"sndttl_{next(_STREAM_GATE_SEQ)}_{os.getpid()}"
+        shutil.copy(
+            _glob.glob(os.path.join(work, "h0", "*.parquet"))[0],
+            os.path.join(indir, "b1.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            simhash_pairs_stream_ttl(
+                stream,
+                "doc_id",
+                "text",
+                "ts",
+                ttl_seconds=2 * 3600,
+                max_hamming=3,
+                dedup_cross_band=True,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            shutil.copy(
+                _glob.glob(os.path.join(work, "h1", "*.parquet"))[0],
+                os.path.join(indir, "b2.parquet"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(
+            f"SELECT id_a, id_b, hamming FROM {qn}"
+        ).localCheckpoint()
+    finally:
+        spark.conf.set(cc_key, cc_prev)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["simhash_pairs_stream_ttl"] = q_simhash_pairs_stream_ttl
+ORACLE_SQL["simhash_pairs_stream_ttl"] = (
+    "SELECT id_a, id_b, hamming FROM (" + _Q_SIMHASH_SQL + ")\n"
+    "WHERE abs((id_a % 7) - (id_b % 7)) <= 2"
+)
+
+
 def q_near_dup_consensus(spark, sf_dir):
     """Ensemble near-dup dedup (late round 5): pairs flagged by >= 2 of
     the three text methods — MinHash+LSH (token-shingle Jaccard),
