@@ -40,7 +40,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RUNS_PATH = os.path.join(REPO, "BENCH", "scaling_runs_r5.jsonl")
+RUNS_PATH = os.path.join(REPO, "BENCH", "scaling_runs_r6.jsonl")
 PROBE_DEGRADED_BELOW = 0.85
 
 
@@ -98,6 +98,19 @@ def main() -> None:
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    # r5 verdict ask #6: the session's FIRST pair read 0.584 in a clean
+    # probe window — cold page-cache / JIT asymmetry between the two
+    # levels. One UNRECORDED warmup run at each level (small page count:
+    # enough to page in parquet + warm codegen paths, cheap enough not
+    # to matter) before pair 0 keeps that asymmetry out of the record.
+    warm_pages = min(pages, 100_000)
+    print(
+        f"# pre-warm: one unrecorded run at each level ({warm_pages} pages)",
+        file=sys.stderr,
+    )
+    for cores in (lo, hi):
+        run_level(cores, warm_pages)
 
     pairs = []
     for i in range(n_pairs):
