@@ -389,13 +389,17 @@ def av_fingerprint_pairs(
     (family, id_a, id_b, hamming), family in {audio, video}.
 
     The multiplexed-container completion of the perceptual triad (r5
-    verdict ask #5): a RIFF/AVI payload DEMUXES on the executor — its
-    MJPG stream fingerprints through the majority-vote video hash, its
-    PCM track through the gain-invariant audio fingerprint — so an A/V
-    file pairs with a standalone WAV/FLAC clip of its soundtrack AND
-    with a standalone MJPEG/GIF/WebP of its footage. Standalone rows
-    dispatch on magic bytes as in audio_fingerprint_pairs /
-    video_phash_pairs; corrupt rows drop (no perceptual identity).
+    verdict ask #5): a RIFF/AVI or ISO-BMFF (MP4) payload DEMUXES on
+    the executor — its MJPG/'jpeg' stream fingerprints through the
+    majority-vote video hash, its PCM track through the gain-invariant
+    audio fingerprint — so an A/V file pairs with a standalone
+    WAV/FLAC clip of its soundtrack, with a standalone MJPEG/GIF/WebP
+    of its footage, AND with the same clip re-containered AVI<->MP4.
+    An MP4 whose video codec we can't decode (avc1/...) still
+    fingerprints its decodable sibling tracks (demux_mp4
+    skip_unsupported). Standalone rows dispatch on magic bytes as in
+    audio_fingerprint_pairs / video_phash_pairs; corrupt rows drop (no
+    perceptual identity).
 
     100 TB shape: payload bytes never shuffle (each row emits <= 2
     (id, family, 64-bit hash) tuples), and BOTH families band through
@@ -409,6 +413,7 @@ def av_fingerprint_pairs(
     from ..functions.avi_codec import demux_avi, is_avi
     from ..functions.flac_codec import decode_flac, is_flac
     from ..functions.image_hash import phash_to_signed
+    from ..functions.mp4_codec import demux_mp4, is_mp4
     from ..functions.video_hash import video_payload_hash64
     from ..functions.wav_codec import decode_wav, is_wav
 
@@ -423,6 +428,17 @@ def av_fingerprint_pairs(
                 try:
                     if is_avi(payload):
                         vf, samples, _rate = demux_avi(payload)
+                        if vf:
+                            emitted.append(
+                                ("video", video_payload_hash64(b"".join(vf)))
+                            )
+                        if samples.shape[0]:
+                            emitted.append(("audio", audio_hash64(samples)))
+                    elif is_mp4(payload):
+                        # skip_unsupported: an avc1/mp4a track has no
+                        # computable identity, but a sibling jpeg/PCM
+                        # track in the same file still fingerprints
+                        vf, samples, _rate = demux_mp4(payload, skip_unsupported=True)
                         if vf:
                             emitted.append(
                                 ("video", video_payload_hash64(b"".join(vf)))

@@ -264,11 +264,13 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
             except ValueError:
                 feat, thumb = _byte_histogram_features(payload)
         elif r.kind == "audio" and (is_wav(payload) or is_flac(payload)):
-            # REAL codec path (round 5): RIFF/WAVE PCM via wav_codec, or
-            # FLAC via flac_codec (lossless — decodes to the exact
+            # REAL codec path: RIFF/WAVE via wav_codec (PCM, IEEE
+            # float, and since round 6 G.711 mu-law/A-law + IMA ADPCM),
+            # or FLAC via flac_codec (lossless — decodes to the exact
             # source PCM). Sniffing is magic-byte only, so a recognized
-            # header over an unsupported or corrupt body (ADPCM tag,
-            # truncated data, bad CRC) must fall back, not fail the task.
+            # header over an unsupported or corrupt body (mp3-in-wav
+            # tag, truncated data, bad CRC) must fall back, not fail
+            # the task.
             try:
                 if is_wav(payload):
                     samples, _rate = decode_wav(payload)

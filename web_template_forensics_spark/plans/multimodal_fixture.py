@@ -786,6 +786,81 @@ def audio_fp_oracle_sql(max_hamming: int = 8, n_bands: int | None = None) -> str
 
 
 # ---------------------------------------------------------------------------
+# COMPRESSED-audio near-dup fixture (round 6): the r5 verdict's top
+# residual was lossy-coded media coverage — G.711 mu-law / A-law and
+# IMA ADPCM are the dependency-free tractable slice of it (wav_codec
+# round-6 scope note). Perceptual-model codecs (mp3/AAC) stay behind
+# the honest NotImplementedError seam.
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_COMPRESSED_BASES = 8
+_COMPRESSED_MAX_HAMMING = 12  # measured: within-base <= 9, across >= 23
+
+
+def audio_fp_compressed_corpus() -> list[dict]:
+    """Deterministic compressed-audio gate corpus: 8 base clips
+    (alternating band-limited / wideband, same builder as
+    audio_fp_corpus but seed FIXTURE_SEED+6) x 4 variants a pipeline
+    must collapse — 16-bit PCM original, G.711 mu-law re-encode, G.711
+    A-law re-encode, IMA ADPCM re-encode (base 7's ADPCM is STEREO
+    dual-mono, exercising the per-channel block interleave in-gate) —
+    plus one corrupt ADPCM payload (step index 99, out of the 0-88
+    table) the operator must DROP. Quantization noise here is
+    signal-dependent (~37 dB SNR), hotter than r5's dither, so the
+    radius is 12 (within-base pairs measured <= 9, distinct bases
+    >= 23: clean margins both ways)."""
+    from ..functions.wav_codec import encode_wav_g711, encode_wav_ima_adpcm
+
+    rng = np.random.RandomState(FIXTURE_SEED + 6)
+    rows: list[dict] = []
+    mid = 0
+    for b in range(_AUDIO_FP_COMPRESSED_BASES):
+        n = 4096 + (b % 3) * 512
+        x = _base_clip(rng, n, band_limited=b % 2 == 0)
+        orig = np.round(x).astype(np.int16)
+        adpcm_in = np.stack([orig, orig], axis=1) if b == 7 else orig
+        variants = [
+            encode_wav(orig, 16000),
+            encode_wav_g711(orig, 16000, "mulaw"),
+            encode_wav_g711(orig, 16000, "alaw"),
+            encode_wav_ima_adpcm(adpcm_in, 16000),
+        ]
+        for payload in variants:
+            rows.append({"media_id": mid, "payload": payload, "base": b})
+            mid += 1
+    corrupt = bytearray(encode_wav_ima_adpcm(np.zeros(64, dtype=np.int16), 16000, 40))
+    corrupt[corrupt.index(b"data") + 8 + 2] = 99  # first block's step index
+    rows.append({"media_id": mid, "payload": bytes(corrupt), "base": -1})
+    return rows
+
+
+def audio_fp_compressed_hashes() -> list[tuple[int, int]]:
+    """Spark-free twin: (media_id, unsigned fingerprint) per decodable
+    row — driver-side decode_wav + the same pure-numpy hash; the
+    corrupt ADPCM row is absent (the drop-policy pin)."""
+    from ..functions.audio_hash import audio_hash64
+    from ..functions.wav_codec import decode_wav
+
+    out = []
+    for row in audio_fp_compressed_corpus():
+        try:
+            samples, _rate = decode_wav(bytes(row["payload"]))
+        except ValueError:
+            continue
+        out.append((row["media_id"], audio_hash64(samples)))
+    return out
+
+
+def audio_fp_compressed_oracle_sql(
+    max_hamming: int = _COMPRESSED_MAX_HAMMING, n_bands: int | None = None
+) -> str:
+    """DuckDB face of audio_fingerprint_pairs over the compressed
+    corpus — twin fingerprints as VALUES; banding, candidate equi-join,
+    Hamming and the radius filter genuinely recomputed in SQL."""
+    return _hamming_pairs_oracle_sql(audio_fp_compressed_hashes(), max_hamming, n_bands)
+
+
+# ---------------------------------------------------------------------------
 # video-fingerprint near-dup fixture (round 5): completes the triad
 # ---------------------------------------------------------------------------
 
@@ -913,6 +988,12 @@ def av_corpus() -> list[dict]:
     * id 7 — an unrelated AVI (own footage + clip): flagged by neither
       family (specificity pin).
     * id 8 — a truncated AVI: dropped (no perceptual identity).
+    * ids 9-11 (round 6, ISO-BMFF) — id 9: base 0's clip re-containered
+      as MP4 ('jpeg' video + 'sowt' PCM; hamming 0 to the AVI in both
+      families — the AVI<->MP4 cross-multiplexed-container pair);
+      id 10: an MP4 with an UNSUPPORTED avc1 video track over base 1's
+      PCM soundtrack (partial-demux pin: audio pairs, video absent);
+      id 11: a corrupt MP4 (box size past EOF): dropped.
     """
     from ..functions.avi_codec import encode_avi
     from ..functions.flac_codec import encode_flac
@@ -950,6 +1031,26 @@ def av_corpus() -> list[dict]:
 
     # corrupt: an AVI signature over a truncated body — must drop
     rows.append({"media_id": 8, "payload": avi0[:64]})
+
+    # round 6: the SECOND multiplexed container — ISO-BMFF. id 9 is the
+    # same clip as base 0's AVI re-containered as MP4 ('jpeg' video at
+    # the same q85 -> byte-identical samples -> video hamming 0 with
+    # id 0; 'sowt' PCM is lossless -> audio hamming 0 with ids 0/1/2):
+    # the AVI<->MP4 cross-multiplexed-container pair no single-format
+    # path can produce. id 10 is an MP4 with an UNSUPPORTED (avc1)
+    # video track but base 1's PCM soundtrack: the partial-demux pin —
+    # its audio must still pair with ids 4/6 while it contributes no
+    # video hash. id 11 is a corrupt MP4 (moov declares a box past
+    # EOF) — must drop.
+    from ..functions.mp4_codec import encode_mp4
+
+    mp4_0 = encode_mp4(v0, a0_i16, 16000, quality=85)
+    rows.append({"media_id": 9, "payload": mp4_0})
+    mp4_1 = bytearray(encode_mp4(v1, a1_i16, 16000, quality=85))
+    jpeg_at = mp4_1.index(b"jpeg", mp4_1.index(b"stsd"))
+    mp4_1[jpeg_at : jpeg_at + 4] = b"avc1"
+    rows.append({"media_id": 10, "payload": bytes(mp4_1)})
+    rows.append({"media_id": 11, "payload": mp4_0[:200]})
     return rows
 
 
@@ -960,6 +1061,7 @@ def av_corpus_hashes() -> list[tuple[int, str, int]]:
     from ..functions.audio_hash import audio_hash64
     from ..functions.avi_codec import demux_avi, is_avi
     from ..functions.flac_codec import decode_flac, is_flac
+    from ..functions.mp4_codec import demux_mp4, is_mp4
     from ..functions.video_hash import video_payload_hash64
     from ..functions.wav_codec import decode_wav, is_wav
 
@@ -968,8 +1070,11 @@ def av_corpus_hashes() -> list[tuple[int, str, int]]:
         payload = bytes(row["payload"])
         mid = row["media_id"]
         try:
-            if is_avi(payload):
-                vf, samples, _rate = demux_avi(payload)
+            if is_avi(payload) or is_mp4(payload):
+                if is_avi(payload):
+                    vf, samples, _rate = demux_avi(payload)
+                else:
+                    vf, samples, _rate = demux_mp4(payload, skip_unsupported=True)
                 if vf:
                     out.append((mid, "video", video_payload_hash64(b"".join(vf))))
                 if samples.shape[0]:

@@ -1361,6 +1361,10 @@ def oracle_sql_all() -> dict[str, str]:
         from .multimodal_fixture import av_near_dup_oracle_sql
 
         _AV_ND_ORACLE_CACHE.append(av_near_dup_oracle_sql())
+    if not _AUDIO_FP_COMPRESSED_ORACLE_CACHE:
+        from .multimodal_fixture import audio_fp_compressed_oracle_sql
+
+        _AUDIO_FP_COMPRESSED_ORACLE_CACHE.append(audio_fp_compressed_oracle_sql())
     out = dict(ORACLE_SQL)
     if _IVF_ORACLE_CACHE[0] is not None:
         out["ann_ivf_topk"] = _IVF_ORACLE_CACHE[0]
@@ -1370,6 +1374,7 @@ def oracle_sql_all() -> dict[str, str]:
     out["video_fp_near_dup"] = _VIDEO_FP_ORACLE_CACHE[0]
     out["media_near_dup_all"] = _MEDIA_ND_ORACLE_CACHE[0]
     out["av_near_dup"] = _AV_ND_ORACLE_CACHE[0]
+    out["audio_fp_near_dup_compressed"] = _AUDIO_FP_COMPRESSED_ORACLE_CACHE[0]
     return out
 
 
@@ -2487,12 +2492,16 @@ _MEDIA_ND_ORACLE_CACHE: list[str] = []
 
 def q_av_near_dup(spark, sf_dir):
     """CROSS-MODAL A/V near-dup over multiplexed containers (round 6,
-    r5 verdict ask #5): RIFF/AVI payloads demux ON EXECUTORS — the MJPG
-    stream fingerprints through the majority-vote video hash, the PCM
-    track through the gain-invariant audio fingerprint — so an A/V file
-    pairs with a standalone WAV/FLAC of its soundtrack AND a standalone
-    MJPEG/GIF of its footage; both families band through ONE self-join
-    keyed by (family, band_no, band_val). Payload bytes never shuffle.
+    r5 verdict ask #5): RIFF/AVI and ISO-BMFF (MP4) payloads demux ON
+    EXECUTORS — the MJPG/'jpeg' stream fingerprints through the
+    majority-vote video hash, the PCM track through the gain-invariant
+    audio fingerprint — so an A/V file pairs with a standalone WAV/FLAC
+    of its soundtrack, a standalone MJPEG/GIF of its footage, AND its
+    own AVI<->MP4 re-containering (corpus ids 9-11, round 6: hamming-0
+    cross-container pairs in both families, an avc1 partial-demux row
+    whose PCM soundtrack still pairs, and a corrupt MP4 that drops);
+    both families band through ONE self-join keyed by
+    (family, band_no, band_val). Payload bytes never shuffle.
     DuckDB face: per-family twin-pinned hash VALUES + SQL-recomputed
     banding, UNION ALL (plans/multimodal_fixture.av_near_dup_oracle_sql).
     Self-contained; ``sf_dir`` unused."""
@@ -2508,3 +2517,35 @@ def q_av_near_dup(spark, sf_dir):
 
 QUERIES["av_near_dup"] = q_av_near_dup
 _AV_ND_ORACLE_CACHE: list[str] = []
+
+
+def q_audio_fp_near_dup_compressed(spark, sf_dir):
+    """COMPRESSED-audio near-dup under the CORRECTNESS gate (round 6):
+    the r5 verdict's top residual was lossy-coded media — this query
+    pins the dependency-free slice of it: the same clip must collapse
+    across G.711 mu-law, G.711 A-law, and IMA ADPCM re-encodes of a
+    16-bit PCM original (8 bases x 4 variants; base 7's ADPCM is
+    stereo dual-mono, exercising the per-channel block interleave; + 1
+    corrupt ADPCM payload — step index out of the 0-88 table — the
+    operator must DROP). Spark face: the same
+    ``operators.dedup.audio_fingerprint_pairs`` (real distributed
+    decode of all four codec branches in mapInPandas, ids+hashes-only
+    banded shuffle) at radius 12 — G.711/ADPCM quantization noise is
+    signal-dependent (~37 dB SNR), hotter than r5's dither, and the
+    fixture measures within-base <= 10 vs distinct-base >= 22. DuckDB
+    face (audio_fp_compressed_oracle_sql): twin fingerprint VALUES +
+    SQL-recomputed banding/Hamming/radius. Self-contained; ``sf_dir``
+    unused. Reference parity: no audio surface in the reference
+    (SURVEY.md §2 multimodal graft)."""
+    from ..operators.dedup import audio_fingerprint_pairs
+    from .multimodal_fixture import _COMPRESSED_MAX_HAMMING, audio_fp_compressed_corpus
+
+    rows = [
+        (r["media_id"], bytearray(r["payload"])) for r in audio_fp_compressed_corpus()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return audio_fingerprint_pairs(media, max_hamming=_COMPRESSED_MAX_HAMMING)
+
+
+QUERIES["audio_fp_near_dup_compressed"] = q_audio_fp_near_dup_compressed
+_AUDIO_FP_COMPRESSED_ORACLE_CACHE: list[str] = []
