@@ -1,0 +1,182 @@
+"""Text-pipeline operators: Gopher quality rules, repetition stats,
+cross-doc span dedup, PII accounting — Column face vs the pure-Python
+twin, plus envelope assertions that every rule branch actually fires.
+
+The DuckDB faces are pinned by the correctness gate
+(tools/compare_oracle.py — doc_quality_rules, doc_repetition_stats,
+window_span_dedup, pii_stats); these tests pin the SPEC itself on
+crafted strings the synthetic corpus cannot produce.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from web_template_forensics_spark.functions.text_quality import (
+    GOPHER_STOPWORDS,
+    gopher_rules_py,
+    pii_py,
+)
+from web_template_forensics_spark.plans.text_fixture import (
+    PII_FIXTURE_ROWS,
+    QUALITY_FIXTURE_ROWS,
+    SPAN_FIXTURE_ROWS,
+    fixture_df,
+)
+
+CRAFTED = [
+    "",
+    None,
+    "   \t \n  ",
+    "one",
+    "the and of to is # sym... bol",
+    "- bullet one\n- bullet two\nplain\n* star",
+    "tail...\nkeep\nalso...",
+    "mixed 123 abc42 99 zz",
+    "\x0b vertical \x0b tab \x0b edges",
+    "word " * 60 + "the of and",
+    QUALITY_FIXTURE_ROWS[0][1],
+]
+
+
+@pytest.fixture(scope="module")
+def quality_rows(spark):
+    from web_template_forensics_spark.operators.text_pipeline import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CRAFTED)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    return rows
+
+
+def test_gopher_column_face_matches_python_twin(quality_rows):
+    for i, text in enumerate(CRAFTED):
+        expect = gopher_rules_py(text)
+        got = {k: v for k, v in quality_rows[i].items() if k != "doc_id"}
+        assert got == expect, f"doc {i} ({text!r}): {got} != {expect}"
+
+
+def test_gopher_envelope_every_rule_fires(spark):
+    """Each fixture row was built to trip exactly the rule it names —
+    assert the trip via the Python twin (== the Column face per the
+    parity test above), so the fixture stays honest as specs evolve."""
+    by_id = {i: gopher_rules_py(t) for i, t in QUALITY_FIXTURE_ROWS}
+    assert by_id[1000000]["gopher_keep"] == 1  # the pass-all row
+    assert by_id[1000000]["n_words"] >= 50
+    assert by_id[1000000]["stopword_kinds"] >= 2
+    assert by_id[1000001]["n_words"] < 50
+    assert by_id[1000002]["bullet_line_frac"] == 0.8  # 4 of 5 lines
+    assert by_id[1000003]["ellipsis_line_frac"] == 0.5
+    assert by_id[1000004]["symbol_ratio"] >= 0.1
+    assert by_id[1000005]["alpha_word_frac"] == 0.0
+    assert by_id[1000006]["mean_word_len"] > 10.0
+    assert by_id[1000007]["mean_word_len"] < 3.0
+    assert by_id[1000008] == {
+        "n_words": 0,
+        "mean_word_len": 0.0,
+        "alpha_word_frac": 0.0,
+        "stopword_kinds": 0,
+        "symbol_ratio": 0.0,
+        "bullet_line_frac": 0.0,
+        "ellipsis_line_frac": 0.0,
+        "gopher_keep": 0,
+    }
+    assert by_id[1000009]["bullet_line_frac"] == 0.5  # '* ' form counts
+    # exactly one keep among the fixture rows
+    assert sum(v["gopher_keep"] for v in by_id.values()) == 1
+
+
+def test_stopword_set_is_gopher_table_a1():
+    assert GOPHER_STOPWORDS == ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def test_pii_column_face_matches_python_twin(spark):
+    from web_template_forensics_spark.operators.text_pipeline import pii_stats
+
+    texts = [t for _, t in PII_FIXTURE_ROWS] + CRAFTED[:5]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pii_stats(df).collect()}
+    for i, text in enumerate(texts):
+        expect = pii_py(text)
+        got = {k: v for k, v in rows[i].items() if k != "doc_id"}
+        assert got == expect, f"doc {i} ({text!r})"
+
+
+def test_pii_envelope():
+    by_id = {i: pii_py(t) for i, t in PII_FIXTURE_ROWS}
+    assert by_id[1000100]["email_count"] == 2
+    assert by_id[1000101]["ipv4_count"] == 2
+    assert by_id[1000102]["phone_count"] == 2
+    assert (
+        by_id[1000103]["email_count"],
+        by_id[1000103]["ipv4_count"],
+        by_id[1000103]["phone_count"],
+    ) == (1, 1, 2)
+    # replacement-order row: the dotted host is consumed by the EMAIL
+    # match; only the standalone 8.8.8.8 remains an IP in the REDACTED
+    # text (counts run on the raw text, where both IPv4 shapes appear)
+    import re
+
+    from web_template_forensics_spark.functions.text_quality import PII_REPLACEMENTS
+
+    red = PII_FIXTURE_ROWS[4][1]
+    for pat, token in PII_REPLACEMENTS:
+        red = re.sub(pat, token, red)
+    assert red == "<EMAIL> plus a bare <IP>"
+    assert by_id[1000105]["email_count"] == 0
+    assert by_id[1000106]["email_count"] == 0
+
+
+def test_repetition_stats_exact_values(spark):
+    from web_template_forensics_spark.operators.text_pipeline import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),  # top2gram 'a b' x3 (overlap counts), clen=11
+        (1, "x y z"),  # no 5-grams -> dup5 = 0.0
+        (2, "w w w w w w w w w w"),  # every 5-gram identical
+        (3, ""),  # nothing at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # doc 0: 2-grams at 5 positions: 'a b','b a','a b','b a','a b' ->
+    # top 'a b' cnt 3, len 3, clen 11 -> 9/11
+    assert got[0]["top2gram_frac"] == round(9 / 11, 6)
+    # dup mass: all 5 positions duplicated -> 1.0
+    assert got[0]["dup5gram_frac"] == 0.0  # only 2 5-gram positions, distinct
+    assert got[1]["dup5gram_frac"] == 0.0 and got[1]["dup10gram_frac"] == 0.0
+    assert got[2]["dup5gram_frac"] == 1.0
+    # 'w w' x9, len 3, clen 19 -> 27/19 > 1 under overlap -> capped
+    assert got[2]["top2gram_frac"] == 1.0
+    assert got[3] == {
+        "doc_id": 3,
+        "top2gram_frac": 0.0,
+        "top3gram_frac": 0.0,
+        "dup5gram_frac": 0.0,
+        "dup10gram_frac": 0.0,
+    }
+
+
+def test_window_span_dedup_fixture_geometry(spark):
+    """The crafted span fixture: A(1000200) and B(1000201) share the
+    16-word run R at stride-aligned offsets -> 3 shared window hashes;
+    D(1000203) is an exact copy of A -> all of A's windows duplicated;
+    C unrelated; E too short to shingle."""
+    from web_template_forensics_spark.operators.text_pipeline import window_span_dedup
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in window_span_dedup(fixture_df(spark, SPAN_FIXTURE_ROWS)).collect()
+    }
+    a, b, c, d, e = (out[1000200 + i] for i in range(5))
+    # A: 24 words -> windows at 1,5,9,13,17 = 5; all 5 dup'd (D copies A;
+    # windows 1,5,9 additionally shared with B)
+    assert (a["n_windows"], a["dup_windows"], a["dup_frac"]) == (5, 5, 1.0)
+    assert (d["n_windows"], d["dup_windows"], d["dup_frac"]) == (5, 5, 1.0)
+    # B: 22 words -> windows at 1,5,9,13 = 4; positions 5,9,13 carry
+    # R-words 1-8/5-12/9-16 == A's windows at 1/5/9
+    assert (b["n_windows"], b["dup_windows"], b["dup_frac"]) == (4, 3, 0.75)
+    assert (c["dup_windows"], c["dup_frac"]) == (0, 0.0)
+    assert (e["n_windows"], e["dup_windows"], e["dup_frac"]) == (0, 0, 0.0)

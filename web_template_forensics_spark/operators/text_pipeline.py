@@ -1,0 +1,282 @@
+"""Training-data text-pipeline operators: quality rules, repetition
+statistics, cross-document span dedup, PII accounting.
+
+All four operators are pure DataFrame compositions (zero Python UDFs;
+every expression is whole-stage-codegen-able), each with a DuckDB
+oracle face built from the same spec so the correctness gate replays
+them verbatim.
+
+Reference parity: no text-pipeline surface exists in the reference
+(SURVEY.md §2 — LLM-pipeline graft components). Rule definitions come
+from public work: Gopher quality/repetition filters (Rae et al. 2021,
+Table A1) and exact-substring training-data dedup (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better"), both
+re-specified deterministically over this repo's ASCII whitespace class.
+
+100 TB shapes:
+- ``gopher_quality`` / ``pii_stats``: scalar projections — no shuffle;
+  column pruning reads only (id, text).
+- ``repetition_stats``: per-document n-gram groupBys. Every shuffle key
+  starts with the document id, so partial aggregation combines map-side
+  and the per-doc reducers never see cross-document data; the joins that
+  reassemble the per-n statistics are id-equi-joins that AQE plans
+  (at gate scale they broadcast). Gram strings shuffle, but only within
+  a doc-keyed agg whose cardinality is bounded by the document length.
+- ``window_span_dedup``: the Lee-et-al. shape — only (doc_id, 16-byte
+  span hash) pairs ever shuffle; document text never leaves the map
+  side. Duplicate-span detection is a hash groupBy (map-side
+  combinable) followed by an ids-only equi-join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_quality import (
+    collapsed_text_col,
+    collapsed_text_sql,
+    gopher_rule_cols,
+    gopher_rule_sqls,
+    pii_cols,
+    pii_sqls,
+    words_col,
+    words_sql,
+)
+
+TOP_NGRAM_NS = (2, 3)
+DUP_NGRAM_NS = (5, 10)
+SPAN_WORDS = 8
+SPAN_STRIDE = 4
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality rule columns + keep flag."""
+    cols = gopher_rule_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
+
+
+def gopher_quality_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    sqls = gopher_rule_sqls(text_col)
+    sel = ", ".join(f"{expr} AS {name}" for name, expr in sqls.items())
+    return f"SELECT {id_col}, {sel} FROM {table}"
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII counts + md5 of the redacted text."""
+    cols = pii_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
+
+
+def pii_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    sqls = pii_sqls(text_col)
+    sel = ", ".join(f"{expr} AS {name}" for name, expr in sqls.items())
+    return f"SELECT {id_col}, {sel} FROM {table}"
+
+
+def _grams_col(words, n: int):
+    """Overlapping word n-grams joined by ' '; empty array when the doc
+    has fewer than n words. Spark's sequence(1, k) DESCENDS when k < 1
+    (unlike DuckDB's generate_series, which returns []), so the short-doc
+    case must be guarded explicitly."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _grams_sql(words: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({words}) - {n - 1}, 0)),"
+        f" i -> array_to_string(({words})[i:i+{n - 1}], ' '))"
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher repetition filters, exactly specified:
+
+    - ``top{n}gram_frac`` (n in TOP_NGRAM_NS): occurrences of the
+      modal word n-gram × its character length ÷ length of the
+      whitespace-collapsed trimmed text, capped at 1.0 (overlapping
+      occurrences can push count×len past the text length; ties →
+      lexicographically smallest gram; 0.0 when the doc has no
+      n-grams). Gopher's "fraction of characters contained within the
+      most frequently occurring n-gram", with overlap resolved by the
+      capped count×len spec.
+    - ``dup{n}gram_frac`` (n in DUP_NGRAM_NS): fraction of n-gram
+      positions whose gram occurs more than once in the document
+      (0.0 when no positions). A position-mass restatement of Gopher's
+      duplicate-n-gram filter that stays in [0, 1] under overlap.
+
+    All fractions rounded to 6 dp in both faces.
+    """
+    words = words_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("words"),
+        F.length(collapsed_text_col(F.col(text_col))).cast("long").alias("clen"),
+    )
+    out = base.select("doc_id")
+    for n in TOP_NGRAM_NS:
+        counts = (
+            base.select("doc_id", "clen", F.explode(_grams_col(F.col("words"), n)).alias("gram"))
+            .groupBy("doc_id", "clen", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("cnt").cast("double")
+                        * F.length("gram").cast("double")
+                        / F.greatest(F.col("clen"), F.lit(1)).cast("double"),
+                    ),
+                    6,
+                ).alias(f"top{n}gram_frac"),
+            )
+        )
+        out = out.join(top, "doc_id", "left")
+    for n in DUP_NGRAM_NS:
+        counts = (
+            base.select("doc_id", F.explode(_grams_col(F.col("words"), n)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        dup = counts.groupBy("doc_id").agg(
+            F.round(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias(f"dup{n}gram_frac")
+        )
+        out = out.join(dup, "doc_id", "left")
+    fill = {f"top{n}gram_frac": 0.0 for n in TOP_NGRAM_NS}
+    fill.update({f"dup{n}gram_frac": 0.0 for n in DUP_NGRAM_NS})
+    return out.fillna(fill)
+
+
+def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    words = words_sql(text_col)
+    clen = f"length({collapsed_text_sql(text_col)})"
+    ctes = [f"base AS (SELECT {id_col} AS doc_id, {words} AS words, cast({clen} as bigint) AS clen FROM {table})"]
+    joins, sels = [], []
+    for n in TOP_NGRAM_NS:
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, clen, unnest({_grams_sql('words', n)}) AS gram FROM base)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, clen, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"t{n} AS (SELECT doc_id, round(least(1.0, cast(cnt as double) * cast(length(gram) as double)"
+            f" / cast(greatest(clen, 1) as double)), 6) AS top{n}gram_frac FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c{n})"
+            f" WHERE rn = 1)"
+        )
+        joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+        sels.append(f"coalesce(top{n}gram_frac, 0.0) AS top{n}gram_frac")
+    for n in DUP_NGRAM_NS:
+        ctes.append(f"h{n} AS (SELECT doc_id, unnest({_grams_sql('words', n)}) AS gram FROM base)")
+        ctes.append(f"d{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM h{n} GROUP BY 1, 2)")
+        ctes.append(
+            f"u{n} AS (SELECT doc_id, round(cast(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) as double)"
+            f" / cast(sum(cnt) as double), 6) AS dup{n}gram_frac FROM d{n} GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN u{n} USING (doc_id)")
+        sels.append(f"coalesce(dup{n}gram_frac, 0.0) AS dup{n}gram_frac")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT base.doc_id, " + ", ".join(sels)
+        + "\nFROM base " + " ".join(joins)
+    )
+
+
+def window_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS,
+    stride: int = SPAN_STRIDE,
+) -> DataFrame:
+    """Cross-document duplicated-span accounting (Lee et al. 2021 shape).
+
+    Each document is shingled into ``span_words``-word windows starting
+    every ``stride`` words (positions 1, 1+stride, ... while the full
+    window fits). A window is a DUPLICATED SPAN iff its md5 appears in
+    at least two DISTINCT documents. Output per document: window count,
+    duplicated-window count, and their ratio (6 dp; 0.0 for docs too
+    short to shingle).
+
+    Scale: text never shuffles — each row emits (doc_id, md5-hex) pairs;
+    duplicate detection is a count-distinct-docs groupBy on the hash and
+    an equi-join back. md5 (not xxhash) so DuckDB recomputes the exact
+    same keys.
+    """
+    words = words_col(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= span_words,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(span_words - 1), F.lit(stride)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, span_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("span")).select(
+        "doc_id", F.md5("span").alias("h")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_h = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
+    dup_per_doc = (
+        spans.join(dup_h.select("h"), "h").groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_windows"))
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
+        .fillna({"n_windows": 0, "dup_windows": 0})
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("dup_windows").cast("long").alias("dup_windows"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(F.col("dup_windows").cast("double") / F.col("n_windows").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+
+
+def window_span_dedup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS,
+    stride: int = SPAN_STRIDE,
+) -> str:
+    words = words_sql(text_col)
+    grams = (
+        f"list_transform(generate_series(1, greatest(len(words) - {span_words - 1}, 0), {stride}),"
+        f" i -> array_to_string(words[i:i+{span_words - 1}], ' '))"
+    )
+    return f"""
+  WITH base AS (SELECT {id_col} AS doc_id, {words} AS words FROM {table}),
+  raw_spans AS (SELECT doc_id, unnest({grams}) AS span FROM base),
+  spans AS (SELECT doc_id, md5(span) AS h FROM raw_spans),
+  per_doc AS (SELECT doc_id, count(*) AS n_windows FROM spans GROUP BY doc_id),
+  dup_h AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+  dup_per_doc AS (SELECT doc_id, count(*) AS dup_windows FROM spans JOIN dup_h USING (h) GROUP BY doc_id)
+  SELECT base.doc_id,
+         cast(coalesce(n_windows, 0) as bigint) AS n_windows,
+         cast(coalesce(dup_windows, 0) as bigint) AS dup_windows,
+         CASE WHEN coalesce(n_windows, 0) > 0
+              THEN round(cast(coalesce(dup_windows, 0) as double) / cast(n_windows as double), 6)
+              ELSE 0.0 END AS dup_frac
+  FROM base LEFT JOIN per_doc USING (doc_id) LEFT JOIN dup_per_doc USING (doc_id)
+"""

@@ -2549,3 +2549,108 @@ def q_audio_fp_near_dup_compressed(spark, sf_dir):
 
 QUERIES["audio_fp_near_dup_compressed"] = q_audio_fp_near_dup_compressed
 _AUDIO_FP_COMPRESSED_ORACLE_CACHE: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# text-pipeline operators (round 6): Gopher quality/repetition rules,
+# cross-doc span dedup, PII accounting
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality_rules(spark, sf_dir):
+    """Gopher-style quality filter (Rae et al. 2021 Table A1, exactly
+    re-specified in functions/text_quality.py) over documents UNION a
+    crafted fixture exercising every rule branch — bullets, ellipses,
+    symbols, numeric words, word-length extremes, empty text — that the
+    synthetic word-soup cannot trigger. Pure scalar projection: zero
+    Python, zero shuffle. Reference parity: no text-quality surface in
+    the reference (SURVEY.md §2, LLM-pipeline graft)."""
+    from ..operators.text_pipeline import gopher_quality
+    from .text_fixture import QUALITY_FIXTURE_ROWS, fixture_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality(d.unionByName(fixture_df(spark, QUALITY_FIXTURE_ROWS)))
+
+
+def _q_doc_quality_rules_sql() -> str:
+    from ..operators.text_pipeline import gopher_quality_sql
+    from .text_fixture import QUALITY_FIXTURE_ROWS, union_table_sql
+
+    return gopher_quality_sql(table=union_table_sql(QUALITY_FIXTURE_ROWS))
+
+
+QUERIES["doc_quality_rules"] = q_doc_quality_rules
+ORACLE_SQL["doc_quality_rules"] = _q_doc_quality_rules_sql()
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters (top-2/3-gram character fraction,
+    duplicate-5/10-gram position fraction; spec in
+    operators/text_pipeline.repetition_stats) over the documents table.
+    Word-soup repeats heavily, so every statistic discriminates on the
+    real table — no fixture needed. All shuffles are doc_id-prefixed
+    groupBys (map-side combinable, bounded per-doc cardinality)."""
+    from ..operators.text_pipeline import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_doc_repetition_stats_sql() -> str:
+    from ..operators.text_pipeline import repetition_stats_sql
+
+    return repetition_stats_sql()
+
+
+QUERIES["doc_repetition_stats"] = q_doc_repetition_stats
+ORACLE_SQL["doc_repetition_stats"] = _q_doc_repetition_stats_sql()
+
+
+def q_window_span_dedup(spark, sf_dir):
+    """Cross-document duplicated-span accounting (Lee et al. 2021
+    exact-substring dedup shape): 8-word windows at stride 4, a span is
+    duplicated iff its md5 appears in >= 2 distinct docs. documents has
+    no cross-doc spans at gate scale, so a crafted fixture (shared
+    16-word run at different stride-aligned offsets, an exact copy, an
+    unshingleable short doc) pins the positive paths. Only
+    (doc_id, md5) pairs shuffle — text never leaves the map side."""
+    from ..operators.text_pipeline import window_span_dedup
+    from .text_fixture import SPAN_FIXTURE_ROWS, fixture_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return window_span_dedup(d.unionByName(fixture_df(spark, SPAN_FIXTURE_ROWS)))
+
+
+def _q_window_span_dedup_sql() -> str:
+    from ..operators.text_pipeline import window_span_dedup_sql
+    from .text_fixture import SPAN_FIXTURE_ROWS, union_table_sql
+
+    return window_span_dedup_sql(table=union_table_sql(SPAN_FIXTURE_ROWS))
+
+
+QUERIES["window_span_dedup"] = q_window_span_dedup
+ORACLE_SQL["window_span_dedup"] = _q_window_span_dedup_sql()
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII accounting + redaction digest: email/IPv4/phone counts via
+    RE2-and-Java-safe explicit-class patterns, and the md5 of the
+    redacted text (fixed replacement order email -> IP -> phone, so an
+    email whose domain embeds an IPv4-shaped host redacts as ONE
+    <EMAIL>). documents carries no PII, so the crafted fixture pins all
+    positive paths. Scalar projection — zero shuffle."""
+    from ..operators.text_pipeline import pii_stats
+    from .text_fixture import PII_FIXTURE_ROWS, fixture_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_stats(d.unionByName(fixture_df(spark, PII_FIXTURE_ROWS)))
+
+
+def _q_pii_stats_sql() -> str:
+    from ..operators.text_pipeline import pii_stats_sql
+    from .text_fixture import PII_FIXTURE_ROWS, union_table_sql
+
+    return pii_stats_sql(table=union_table_sql(PII_FIXTURE_ROWS))
+
+
+QUERIES["pii_stats"] = q_pii_stats
+ORACLE_SQL["pii_stats"] = _q_pii_stats_sql()
