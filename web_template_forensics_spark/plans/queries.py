@@ -2654,3 +2654,70 @@ def _q_pii_stats_sql() -> str:
 
 QUERIES["pii_stats"] = q_pii_stats
 ORACLE_SQL["pii_stats"] = _q_pii_stats_sql()
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup CLUSTER assignment (round 6): consensus near-dup pairs ->
+    connected components (alternating large-star/small-star,
+    operators/components.py) -> every document labelled with its
+    cluster id (the component-min canonical survivor), cluster size and
+    an is_canonical flag. Near-dup similarity is not transitive, so the
+    consensus cliques are augmented with a crafted edge fixture
+    (chain / triangle+tail / reversed orientation / self-loop / bridge
+    — plans/graph_fixture.py) whose nodes join the doc set; without it
+    the gate would never exercise a multi-hop merge. Oracle face:
+    recursive transitive closure + min over the SAME composed edge SQL.
+
+    Scale shape: consensus pair generation keeps its banded ids-only
+    shuffles; the component loop is O(log n) rounds of groupBy-min +
+    equi-join over an edge set that only shrinks (one tiny signature
+    action per round); the final size/canonical joins are broadcastable
+    id-equi-joins."""
+    from ..operators.components import dedup_clusters
+    from .graph_fixture import edges_df, nodes_df
+
+    d = _t(spark, sf_dir, "documents")
+    consensus = q_near_dup_consensus(spark, sf_dir).select("id_a", "id_b")
+    edges = consensus.unionByName(edges_df(spark))
+    docs = d.select("doc_id").unionByName(nodes_df(spark))
+    return dedup_clusters(docs, edges)
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+
+
+def _q_dedup_clusters_sql() -> str:
+    from .graph_fixture import edges_values_sql, nodes_values_sql
+
+    return f"""
+WITH RECURSIVE
+edges0 AS (
+  SELECT id_a AS a, id_b AS b FROM ({ORACLE_SQL["near_dup_consensus"]})
+  UNION
+  SELECT id_a, id_b FROM {edges_values_sql()}
+),
+nodes AS (
+  SELECT doc_id FROM documents
+  UNION
+  SELECT doc_id FROM {nodes_values_sql()}
+),
+sym AS (
+  SELECT a, b FROM edges0 WHERE a <> b
+  UNION
+  SELECT b, a FROM edges0 WHERE a <> b
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id,
+       cast(sizes.cluster_size as bigint) AS cluster_size,
+       cast(CASE WHEN comp.doc_id = comp.cluster_id THEN 1 ELSE 0 END as bigint) AS is_canonical
+FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id
+"""
+
+
+ORACLE_SQL["dedup_clusters"] = _q_dedup_clusters_sql()
