@@ -10,9 +10,6 @@ from __future__ import annotations
 
 import random
 
-import pytest
-from pyspark.sql import functions as F
-
 from web_template_forensics_spark.operators.components import (
     connected_components,
     dedup_clusters,
@@ -145,3 +142,26 @@ def test_fixture_cluster_shapes(spark):
     assert rows[2000031]["cluster_size"] == 1      # self-loop singleton
     assert rows[2000044]["cluster_id"] == 2000041  # bridge merge
     assert rows[2000044]["cluster_size"] == 4
+
+
+def test_corpus_curation_decision_consistency(spark):
+    from web_template_forensics_spark.plans.queries import (
+        CURATION_MAX_TOP2GRAM,
+        CURATION_MIN_WORDS,
+        q_corpus_curation,
+    )
+
+    rows = q_corpus_curation(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        bad_q = r["n_words"] < CURATION_MIN_WORDS
+        bad_r = r["top2gram_frac"] > CURATION_MAX_TOP2GRAM
+        dup = r["is_canonical"] == 0
+        assert r["keep"] == (0 if (bad_q or bad_r or dup) else 1)
+        want = (
+            "quality" if bad_q
+            else "repetition" if bad_r
+            else "duplicate" if dup
+            else "none"
+        )
+        assert r["drop_reason"] == want

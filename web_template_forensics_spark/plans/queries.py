@@ -2686,21 +2686,15 @@ def q_dedup_clusters(spark, sf_dir):
 QUERIES["dedup_clusters"] = q_dedup_clusters
 
 
-def _q_dedup_clusters_sql() -> str:
-    from .graph_fixture import edges_values_sql, nodes_values_sql
-
+def _components_sql(edges_sql: str, nodes_sql: str) -> str:
+    """DuckDB twin of operators/components.dedup_clusters: recursive
+    transitive closure (terminates because the recursive UNION dedups)
+    + min-label per node. ``edges_sql``/``nodes_sql`` are SELECTs
+    yielding (a, b) / (doc_id)."""
     return f"""
 WITH RECURSIVE
-edges0 AS (
-  SELECT id_a AS a, id_b AS b FROM ({ORACLE_SQL["near_dup_consensus"]})
-  UNION
-  SELECT id_a, id_b FROM {edges_values_sql()}
-),
-nodes AS (
-  SELECT doc_id FROM documents
-  UNION
-  SELECT doc_id FROM {nodes_values_sql()}
-),
+edges0 AS ({edges_sql}),
+nodes AS ({nodes_sql}),
 sym AS (
   SELECT a, b FROM edges0 WHERE a <> b
   UNION
@@ -2720,4 +2714,105 @@ FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id
 """
 
 
+def _q_dedup_clusters_sql() -> str:
+    from .graph_fixture import edges_values_sql, nodes_values_sql
+
+    return _components_sql(
+        f"""
+  SELECT id_a AS a, id_b AS b FROM ({ORACLE_SQL["near_dup_consensus"]})
+  UNION
+  SELECT id_a, id_b FROM {edges_values_sql()}""",
+        f"""
+  SELECT doc_id FROM documents
+  UNION
+  SELECT doc_id FROM {nodes_values_sql()}""",
+    )
+
+
 ORACLE_SQL["dedup_clusters"] = _q_dedup_clusters_sql()
+
+
+CURATION_MIN_WORDS = 50
+CURATION_MAX_TOP2GRAM = 0.1
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation decision (round 6) — the
+    composition a real pipeline runs: quality gate -> repetition gate
+    -> cluster dedup, each stage reusing this repo's oracled operators,
+    emitting one keep/drop row per document with the FIRST failing
+    stage as the drop reason.
+
+    The strict Gopher profile is its own query (doc_quality_rules);
+    curation thresholds are corpus-tuned as in production (the
+    synthetic word-soup fails strict stopword_kinds universally, which
+    would make the composition degenerate): quality = n_words >=
+    CURATION_MIN_WORDS, repetition = top2gram_frac <=
+    CURATION_MAX_TOP2GRAM, dedup = consensus-component canonical. All
+    three stages discriminate at gate scale.
+
+    Scale shape: pure composition — each stage keeps its own 100 TB
+    shape (scalar projection / doc-keyed aggs / banded pair generation
+    + star-contraction components), and the final assembly is three
+    doc_id equi-joins."""
+    from ..operators.components import dedup_clusters
+    from ..operators.text_pipeline import gopher_quality, repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    quality = gopher_quality(d).select("doc_id", "n_words")
+    rep = repetition_stats(d).select("doc_id", "top2gram_frac")
+    consensus = q_near_dup_consensus(spark, sf_dir).select("id_a", "id_b")
+    clusters = dedup_clusters(d.select("doc_id"), consensus).select(
+        "doc_id", "is_canonical"
+    )
+    bad_quality = F.col("n_words") < CURATION_MIN_WORDS
+    bad_rep = F.col("top2gram_frac") > CURATION_MAX_TOP2GRAM
+    dup = F.col("is_canonical") == 0
+    return (
+        quality.join(rep, "doc_id")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "top2gram_frac",
+            "is_canonical",
+            F.when(bad_quality | bad_rep | dup, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("keep"),
+            F.when(bad_quality, F.lit("quality"))
+            .when(bad_rep, F.lit("repetition"))
+            .when(dup, F.lit("duplicate"))
+            .otherwise(F.lit("none"))
+            .alias("drop_reason"),
+        )
+    )
+
+
+QUERIES["corpus_curation"] = q_corpus_curation
+
+
+def _q_corpus_curation_sql() -> str:
+    from ..operators.text_pipeline import gopher_quality_sql, repetition_stats_sql
+
+    cc = _components_sql(
+        f"SELECT id_a AS a, id_b AS b FROM ({ORACLE_SQL['near_dup_consensus']})",
+        "SELECT doc_id FROM documents",
+    )
+    return f"""
+SELECT q.doc_id, q.n_words, r.top2gram_frac, c.is_canonical,
+       cast(CASE WHEN q.n_words < {CURATION_MIN_WORDS}
+                   OR r.top2gram_frac > {CURATION_MAX_TOP2GRAM}
+                   OR c.is_canonical = 0
+            THEN 0 ELSE 1 END as bigint) AS keep,
+       CASE WHEN q.n_words < {CURATION_MIN_WORDS} THEN 'quality'
+            WHEN r.top2gram_frac > {CURATION_MAX_TOP2GRAM} THEN 'repetition'
+            WHEN c.is_canonical = 0 THEN 'duplicate'
+            ELSE 'none' END AS drop_reason
+FROM (SELECT doc_id, n_words FROM ({gopher_quality_sql()})) q
+JOIN (SELECT doc_id, top2gram_frac FROM ({repetition_stats_sql()})) r USING (doc_id)
+JOIN (SELECT doc_id, is_canonical FROM ({cc})) c USING (doc_id)
+"""
+
+
+ORACLE_SQL["corpus_curation"] = _q_corpus_curation_sql()
