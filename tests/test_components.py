@@ -165,3 +165,39 @@ def test_corpus_curation_decision_consistency(spark):
             else "none"
         )
         assert r["drop_reason"] == want
+
+
+def test_semantic_fixture_topology(spark):
+    # fixture ids: A=1000000 B=1000001 C=1000002 D=copy-of-A=1000003
+    # E=isolate F=1000005 G=1000006 (F~G below threshold)
+    from web_template_forensics_spark.plans.queries import (
+        q_semantic_dedup_clusters,
+        q_semantic_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q_semantic_near_dup(spark, sf).collect()
+        if r["id_a"] >= 1000000
+    }
+    assert set(pairs) == {
+        (1000000, 1000001),
+        (1000000, 1000003),
+        (1000001, 1000002),
+        (1000001, 1000003),
+    }
+    assert pairs[(1000000, 1000003)] == 1.0  # exact copy
+    # A~C and F~G are candidates but below 0.95: must NOT appear
+    clusters = {
+        r["vec_id"]: r
+        for r in q_semantic_dedup_clusters(spark, sf).collect()
+        if r["vec_id"] >= 1000000
+    }
+    # the chain merges A,B,C,D into one cluster rooted at A
+    for vid in (1000000, 1000001, 1000002, 1000003):
+        assert clusters[vid]["cluster_id"] == 1000000
+        assert clusters[vid]["cluster_size"] == 4
+    assert clusters[1000000]["is_canonical"] == 1
+    for vid in (1000004, 1000005, 1000006):
+        assert clusters[vid]["cluster_size"] == 1

@@ -318,3 +318,74 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate PAIRS (SemDeDup shape — Abbas et al.
+    2023 prune embedding-space duplicates the same way): (id_a, id_b,
+    cosine) for every unordered pair whose exact cosine clears
+    ``threshold``, candidates generated by the sign-LSH bucket family
+    ``cosine_topk_lsh`` uses (bucket equi-join within ``probe_hamming``
+    bit flips — never all pairs).
+
+    Each unordered pair is examined at most once: only the smaller id's
+    bucket expands, the join demands ``id_a < id_b``, and at most one
+    flip mask maps bucket(a) onto bucket(b), so no dedup pass is
+    needed. The threshold compares a 1e-9-quantized cosine so the
+    BLAS-ordered Spark sum and the sequential SQL-oracle sum cannot
+    disagree at the knife edge (the repo-wide determinization rule).
+
+    100 TB shape: buckets + ids + vectors shuffle once through the
+    bucket equi-join; fan-out is bounded by bucket collision counts
+    (bits sizes the buckets to the corpus), and the exact cosine runs
+    only on candidates.
+    """
+    import itertools
+    import math
+
+    if probe_hamming > bits:
+        raise ValueError(f"probe_hamming={probe_hamming} exceeds bits={bits}")
+    fan_out = sum(math.comb(bits, h) for h in range(probe_hamming + 1))
+    if fan_out > 4096:
+        raise ValueError(
+            f"probe expansion of {fan_out} buckets (bits={bits}, "
+            f"probe_hamming={probe_hamming}) — lower probe_hamming or "
+            f"raise this guard deliberately"
+        )
+    flips = [
+        sum(1 << b for b in combo)
+        for h in range(probe_hamming + 1)
+        for combo in itertools.combinations(range(bits), h)
+    ]
+    bucket = _sign_lsh_udf(dim if dim is not None else 4096, bits)
+    left = (
+        vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
+            bucket(F.col(vec_col)).alias("ba"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("ba").bitwiseXOR(F.lit(fl)) for fl in flips])),
+        )
+        .drop("ba")
+    )
+    right = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = with_cosine(pairs, "va", "vb")
+    return (
+        scored.filter(F.round(F.col("cosine"), 9) >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

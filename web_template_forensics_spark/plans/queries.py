@@ -2816,3 +2816,130 @@ JOIN (SELECT doc_id, is_canonical FROM ({cc})) c USING (doc_id)
 
 
 ORACLE_SQL["corpus_curation"] = _q_corpus_curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) near-dup + clusters (round 6)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_NEAR_DUP_THRESHOLD = 0.95
+_SEM_BITS = 8
+_SEM_DIM = 64
+
+
+def _semantic_vectors(spark, sf_dir):
+    from .embedding_fixture import fixture_df
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.unionByName(fixture_df(spark))
+
+
+def q_semantic_near_dup(spark, sf_dir):
+    """Semantic near-dup pairs (SemDeDup shape) at cosine >= 0.95 over
+    embeddings UNION a crafted vector fixture (the real synthetic
+    corpus tops out at cosine 0.513, so the fixture supplies the
+    transitive chain / exact copy / below-threshold candidate the gate
+    must prove — plans/embedding_fixture.py). Candidates via the same
+    oracled sign-LSH bucket family as ann_lsh_topk; exact cosine only
+    on bucket collisions; 1e-9-quantized threshold compare."""
+    from ..operators.similarity_search import semantic_near_dup_pairs
+
+    return semantic_near_dup_pairs(
+        _semantic_vectors(spark, sf_dir),
+        threshold=SEMANTIC_NEAR_DUP_THRESHOLD,
+        bits=_SEM_BITS,
+        probe_hamming=1,
+    )
+
+
+QUERIES["semantic_near_dup"] = q_semantic_near_dup
+
+
+def _semantic_pairs_sql() -> str:
+    """DuckDB replica of q_semantic_near_dup: same hyperplane literals,
+    bucketing, hamming<=1 expansion, exact cosine, quantized threshold."""
+    from ..operators.similarity_search import lsh_plane_signs
+    from .embedding_fixture import union_table_sql
+
+    planes = lsh_plane_signs(_SEM_DIM, _SEM_BITS)
+    plane_rows = ",\n      ".join(
+        "({}, [{}])".format(
+            b, ", ".join(f"{planes[d, b]:.1f}" for d in range(_SEM_DIM))
+        )
+        for b in range(_SEM_BITS)
+    )
+    flips = [0] + [1 << b for b in range(_SEM_BITS)]  # probe_hamming = 1
+    return f"""
+  WITH dimchk AS (
+    SELECT CASE WHEN min(len(embedding)) = {_SEM_DIM} AND max(len(embedding)) = {_SEM_DIM} THEN 1
+                ELSE CAST(error('semantic_near_dup oracle: embeddings width <> {_SEM_DIM} — '
+                                || 'regenerate the hyperplane literals') AS INT)
+           END AS ok FROM {union_table_sql()}),
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {union_table_sql()}, dimchk WHERE dimchk.ok = 1),
+  planes(b, s) AS (VALUES
+      {plane_rows}),
+  sb AS (
+    SELECT e.vec_id, e.v,
+           cast(sum(CASE WHEN round(list_dot_product(e.v, p.s), 9) > 0
+                         THEN 1 << p.b ELSE 0 END) as bigint) AS bucket
+    FROM e, planes p GROUP BY e.vec_id, e.v),
+  pe AS (
+    SELECT vec_id, v, xor(bucket, f.f) AS bucket
+    FROM sb, (SELECT unnest({flips}) AS f) f),
+  pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS av, b.v AS bv
+    FROM pe a JOIN sb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+  scored AS (
+    SELECT id_a, id_b,
+           CASE WHEN sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)) > 0
+                THEN list_dot_product(av, bv) /
+                     (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))
+                ELSE 0.0 END AS cosine
+    FROM pairs)
+  SELECT id_a, id_b, round(cosine, 6) AS cosine
+  FROM scored WHERE round(cosine, 9) >= {SEMANTIC_NEAR_DUP_THRESHOLD}
+"""
+
+
+ORACLE_SQL["semantic_near_dup"] = _semantic_pairs_sql()
+
+
+def q_semantic_dedup_clusters(spark, sf_dir):
+    """Semantic dedup clusters: the near-dup pairs above through
+    connected components (operators/components.py) — the fixture's
+    A~B~C chain (A~C below threshold) must land in ONE cluster, which
+    no pairwise filter can do. Every vector gets cluster_id (component
+    min = canonical), cluster_size, is_canonical."""
+    from ..operators.components import dedup_clusters
+    from ..operators.similarity_search import semantic_near_dup_pairs
+
+    vecs = _semantic_vectors(spark, sf_dir)
+    pairs = semantic_near_dup_pairs(
+        vecs,
+        threshold=SEMANTIC_NEAR_DUP_THRESHOLD,
+        bits=_SEM_BITS,
+        probe_hamming=1,
+    ).select("id_a", "id_b")
+    out = dedup_clusters(vecs.select(F.col("vec_id").alias("doc_id")), pairs)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
+QUERIES["semantic_dedup_clusters"] = q_semantic_dedup_clusters
+
+
+def _q_semantic_clusters_sql() -> str:
+    from .embedding_fixture import union_table_sql
+
+    cc = _components_sql(
+        f"SELECT id_a AS a, id_b AS b FROM ({_semantic_pairs_sql()})",
+        f"SELECT vec_id AS doc_id FROM {union_table_sql()}",
+    )
+    return (
+        "SELECT doc_id AS vec_id, cluster_id, cluster_size, is_canonical"
+        f" FROM ({cc})"
+    )
+
+
+ORACLE_SQL["semantic_dedup_clusters"] = _q_semantic_clusters_sql()
