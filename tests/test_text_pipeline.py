@@ -180,3 +180,21 @@ def test_window_span_dedup_fixture_geometry(spark):
     assert (b["n_windows"], b["dup_windows"], b["dup_frac"]) == (4, 3, 0.75)
     assert (c["dup_windows"], c["dup_frac"]) == (0, 0.0)
     assert (e["n_windows"], e["dup_windows"], e["dup_frac"]) == (0, 0, 0.0)
+
+
+def test_decontamination_fixture_hits(spark):
+    from web_template_forensics_spark.plans.queries import q_benchmark_decontamination
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_benchmark_decontamination(spark, "/root/testdata/sf0.001").collect()
+    }
+    # A, B, D each contain the eval doc's three 8-grams exactly once, at
+    # different window offsets (stride-1 any-alignment rule)
+    for did in (1000200, 1000201, 1000203):
+        assert rows[did]["n_hits"] == 3 and rows[did]["contaminated"] == 1
+    assert rows[1000202]["contaminated"] == 0  # unrelated words
+    assert rows[1000204]["n_windows"] == 0     # too short to shingle
+    # the word-soup corpus must be clean
+    real = [r for d, r in rows.items() if d < 1000000]
+    assert real and all(r["contaminated"] == 0 for r in real)

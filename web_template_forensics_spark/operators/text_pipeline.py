@@ -280,3 +280,89 @@ def window_span_dedup_sql(
               ELSE 0.0 END AS dup_frac
   FROM base LEFT JOIN per_doc USING (doc_id) LEFT JOIN dup_per_doc USING (doc_id)
 """
+
+
+DECONTAM_NGRAM = 8
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Benchmark decontamination (the Lee/Brown-et-al. eval-overlap
+    rule): a training document is CONTAMINATED iff any of its word
+    ``n``-grams (stride 1 — every alignment) appears in the benchmark
+    set's n-grams. Output per train doc: window count, hit count,
+    contaminated 0/1.
+
+    100 TB shape: the eval side is a benchmark suite — thousands of
+    docs, not billions — so its distinct gram hashes BROADCAST; the
+    train side computes md5 grams map-side and the probe is a broadcast
+    LEFT SEMI-style join with no shuffle of train text (only the
+    per-doc count groupBy shuffles (doc_id, counts)). md5, not
+    xxhash64, so DuckDB recomputes identical keys."""
+    t_words = words_col(F.col(text_col))
+    t_grams = _grams_col(t_words, n)
+    spans = train.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(t_grams).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("h"))
+    e_words = words_col(F.col(text_col))
+    eval_h = (
+        eval_set.select(F.explode(_grams_col(e_words, n)).alias("gram"))
+        .select(F.md5("gram").alias("h"))
+        .distinct()
+    )
+    hits = (
+        spans.join(F.broadcast(eval_h), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.col("h")).alias("n_windows")
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .fillna({"n_hits": 0})
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.when(F.col("n_hits") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    train_table: str = "documents",
+    eval_table: str = "eval_docs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> str:
+    words = words_sql(text_col)
+    grams = _grams_sql("words", n)
+    return f"""
+WITH tbase AS (SELECT {id_col} AS doc_id, {words} AS words FROM {train_table}),
+tspans AS (
+  SELECT doc_id, md5(g.gram) AS h
+  FROM tbase, LATERAL unnest({grams}) AS g(gram)),
+ebase AS (SELECT {words} AS words FROM {eval_table}),
+eh AS (SELECT DISTINCT md5(g.gram) AS h FROM ebase, LATERAL unnest({grams}) AS g(gram)),
+per_doc AS (SELECT doc_id, count(*) AS n_windows FROM tspans GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM tspans WHERE h IN (SELECT h FROM eh) GROUP BY doc_id)
+SELECT t.doc_id,
+       cast(coalesce(p.n_windows, 0) as bigint) AS n_windows,
+       cast(coalesce(hits.n_hits, 0) as bigint) AS n_hits,
+       cast(CASE WHEN coalesce(hits.n_hits, 0) > 0 THEN 1 ELSE 0 END as bigint) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM tbase) t
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+"""

@@ -2943,3 +2943,43 @@ def _q_semantic_clusters_sql() -> str:
 
 
 ORACLE_SQL["semantic_dedup_clusters"] = _q_semantic_clusters_sql()
+
+
+def q_benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination (round 6): flag training documents
+    sharing ANY word-8-gram (stride 1 — every alignment) with an eval
+    set. Train = documents UNION the span fixture (the only docs that
+    can overlap a crafted benchmark deterministically); eval = a
+    3-doc fixture whose middle row embeds words 3..12 of the shared run
+    _R, hitting fixture docs A/B/D at different window offsets. Eval
+    gram hashes BROADCAST (a benchmark suite is thousands of docs);
+    train text never shuffles — only (doc_id, md5) pairs and per-doc
+    counts."""
+    from ..operators.text_pipeline import decontaminate
+    from .text_fixture import EVAL_FIXTURE_ROWS, SPAN_FIXTURE_ROWS, fixture_df
+
+    train = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        fixture_df(spark, SPAN_FIXTURE_ROWS)
+    )
+    return decontaminate(train, fixture_df(spark, EVAL_FIXTURE_ROWS))
+
+
+QUERIES["benchmark_decontamination"] = q_benchmark_decontamination
+
+
+def _q_benchmark_decontamination_sql() -> str:
+    from ..operators.text_pipeline import decontaminate_sql
+    from .text_fixture import (
+        EVAL_FIXTURE_ROWS,
+        SPAN_FIXTURE_ROWS,
+        fixture_values_sql,
+        union_table_sql,
+    )
+
+    return decontaminate_sql(
+        train_table=union_table_sql(SPAN_FIXTURE_ROWS),
+        eval_table=fixture_values_sql(EVAL_FIXTURE_ROWS),
+    )
+
+
+ORACLE_SQL["benchmark_decontamination"] = _q_benchmark_decontamination_sql()

@@ -93,3 +93,15 @@ def union_table_sql(rows: tuple[tuple[int, str], ...], table: str = "documents")
 
 def fixture_df(spark, rows: tuple[tuple[int, str], ...]):
     return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+
+# Benchmark-decontamination eval set (decontaminate: n=8, stride 1).
+# The middle doc carries words 3..12 of _R, so its three 8-grams hit the
+# SPAN fixture docs A (1000200), B (1000201) and D (1000203) — at
+# DIFFERENT window offsets, proving the stride-1 any-alignment rule —
+# while C/E and the word-soup corpus stay clean.
+EVAL_FIXTURE_ROWS: tuple[tuple[int, str], ...] = (
+    (1000300, "charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+    (1000301, "a benchmark question about nothing the corpus contains at all"),
+    (1000302, "too short to shingle"),
+)
