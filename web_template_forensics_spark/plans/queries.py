@@ -2983,3 +2983,36 @@ def _q_benchmark_decontamination_sql() -> str:
 
 
 ORACLE_SQL["benchmark_decontamination"] = _q_benchmark_decontamination_sql()
+
+
+# per-language rebalancing quotas for the sampling gate query: every
+# stratum present in the synthetic corpus, spread across the fraction
+# range so each threshold branch both keeps and drops rows at gate scale
+SAMPLE_FRACTIONS = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.125}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample (round 6): keep a
+    row iff the first 8 md5 bytes of (doc_id || salt), read as a u64,
+    clear the language's EXACT integer threshold floor(frac * 2^64) —
+    no RNG, no float division; identical row sets at any parallelism
+    and in both engines. Pure scalar scan predicate — zero shuffle,
+    pushes down beside the parquet reader (operators/sampling.py)."""
+    from ..operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, SAMPLE_FRACTIONS).select("doc_id", "lang", "source")
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+
+
+def _q_stratified_sample_sql() -> str:
+    from ..operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "documents", SAMPLE_FRACTIONS, select="doc_id, lang, source"
+    )
+
+
+ORACLE_SQL["stratified_sample"] = _q_stratified_sample_sql()
