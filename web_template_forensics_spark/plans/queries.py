@@ -3016,3 +3016,44 @@ def _q_stratified_sample_sql() -> str:
 
 
 ORACLE_SQL["stratified_sample"] = _q_stratified_sample_sql()
+
+
+def q_curation_by_source(spark, sf_dir):
+    """Curation yield report (round 6): drop-reason counts and keep
+    rate per source with a ROLLUP grand total — the dashboard a
+    curation run ships with. Composes corpus_curation with the
+    documents dim (broadcast doc_id equi-join) and a two-level
+    grouping-sets aggregate; the rollup itself is one map-side
+    combinable partial agg."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    cur = q_corpus_curation(spark, sf_dir).select("doc_id", "keep", "drop_reason")
+    return (
+        cur.join(d, "doc_id")
+        .rollup("source", "drop_reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("drop_reason"), F.lit("ALL")).alias("drop_reason"),
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+QUERIES["curation_by_source"] = q_curation_by_source
+ORACLE_SQL["curation_by_source"] = f"""
+SELECT coalesce(d.source, 'ALL') AS source,
+       coalesce(c.drop_reason, 'ALL') AS drop_reason,
+       count(*) AS n_docs,
+       cast(sum(c.keep) as bigint) AS n_kept,
+       round(cast(sum(c.keep) as double) / cast(count(*) as double), 6) AS keep_rate
+FROM ({ORACLE_SQL["corpus_curation"]}) c
+JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+GROUP BY ROLLUP (d.source, c.drop_reason)
+"""
