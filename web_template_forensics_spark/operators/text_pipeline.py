@@ -95,7 +95,13 @@ def _grams_sql(words: str, n: int) -> str:
     )
 
 
-def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = TOP_NGRAM_NS,
+    dup_ns: tuple[int, ...] = DUP_NGRAM_NS,
+) -> DataFrame:
     """Gopher repetition filters, exactly specified:
 
     - ``top{n}gram_frac`` (n in TOP_NGRAM_NS): occurrences of the
@@ -120,7 +126,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.length(collapsed_text_col(F.col(text_col))).cast("long").alias("clen"),
     )
     out = base.select("doc_id")
-    for n in TOP_NGRAM_NS:
+    for n in top_ns:
         counts = (
             base.select("doc_id", "clen", F.explode(_grams_col(F.col("words"), n)).alias("gram"))
             .groupBy("doc_id", "clen", "gram")
@@ -144,7 +150,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             )
         )
         out = out.join(top, "doc_id", "left")
-    for n in DUP_NGRAM_NS:
+    for n in dup_ns:
         counts = (
             base.select("doc_id", F.explode(_grams_col(F.col("words"), n)).alias("gram"))
             .groupBy("doc_id", "gram")
@@ -158,17 +164,23 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             ).alias(f"dup{n}gram_frac")
         )
         out = out.join(dup, "doc_id", "left")
-    fill = {f"top{n}gram_frac": 0.0 for n in TOP_NGRAM_NS}
-    fill.update({f"dup{n}gram_frac": 0.0 for n in DUP_NGRAM_NS})
+    fill = {f"top{n}gram_frac": 0.0 for n in top_ns}
+    fill.update({f"dup{n}gram_frac": 0.0 for n in dup_ns})
     return out.fillna(fill)
 
 
-def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+def repetition_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = TOP_NGRAM_NS,
+    dup_ns: tuple[int, ...] = DUP_NGRAM_NS,
+) -> str:
     words = words_sql(text_col)
     clen = f"length({collapsed_text_sql(text_col)})"
     ctes = [f"base AS (SELECT {id_col} AS doc_id, {words} AS words, cast({clen} as bigint) AS clen FROM {table})"]
     joins, sels = [], []
-    for n in TOP_NGRAM_NS:
+    for n in top_ns:
         ctes.append(
             f"g{n} AS (SELECT doc_id, clen, unnest({_grams_sql('words', n)}) AS gram FROM base)"
         )
@@ -183,7 +195,7 @@ def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id", text_
         )
         joins.append(f"LEFT JOIN t{n} USING (doc_id)")
         sels.append(f"coalesce(top{n}gram_frac, 0.0) AS top{n}gram_frac")
-    for n in DUP_NGRAM_NS:
+    for n in dup_ns:
         ctes.append(f"h{n} AS (SELECT doc_id, unnest({_grams_sql('words', n)}) AS gram FROM base)")
         ctes.append(f"d{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM h{n} GROUP BY 1, 2)")
         ctes.append(
