@@ -198,3 +198,41 @@ def test_decontamination_fixture_hits(spark):
     # the word-soup corpus must be clean
     real = [r for d, r in rows.items() if d < 1000000]
     assert real and all(r["contaminated"] == 0 for r in real)
+
+
+def test_redaction_surgery(spark):
+    import hashlib
+
+    from web_template_forensics_spark.plans.queries import q_decontaminate_redacted
+    from web_template_forensics_spark.plans.text_fixture import (
+        EVAL_FIXTURE_ROWS,
+        SPAN_FIXTURE_ROWS,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_decontaminate_redacted(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    # Python twin over the fixture: remove words covered by any 8-gram
+    # shared with the eval set, at every alignment
+    eval_grams = set()
+    for _, text in EVAL_FIXTURE_ROWS:
+        w = text.split()
+        for i in range(len(w) - 7):
+            eval_grams.add(" ".join(w[i : i + 8]))
+    for did, text in SPAN_FIXTURE_ROWS:
+        w = text.split()
+        covered = set()
+        for i in range(len(w) - 7):
+            if " ".join(w[i : i + 8]) in eval_grams:
+                covered.update(range(i, i + 8))
+        clean = " ".join(x for j, x in enumerate(w) if j not in covered)
+        r = rows[did]
+        assert r["n_words"] == len(w)
+        assert r["n_removed"] == len(covered)
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    # contaminated docs lose exactly the shared 10-word run
+    assert rows[1000200]["n_removed"] == 10
+    assert rows[1000203]["n_removed"] == 10
+    assert rows[1000202]["n_removed"] == 0

@@ -378,3 +378,100 @@ FROM (SELECT DISTINCT doc_id FROM tbase) t
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN hits USING (doc_id)
 """
+
+
+def decontaminate_redact(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Span-LEVEL decontamination (the surgical variant of
+    ``decontaminate``): instead of flagging whole documents, remove
+    every word covered by a contaminated ``n``-gram window and emit the
+    cleaned text's digest + removal accounting. Output per train doc:
+    n_words, n_removed (covered word count), clean_md5 (md5 of the
+    surviving words joined by single spaces — i.e. of the
+    whitespace-COLLAPSED clean text; the join normalizes whitespace by
+    construction, identically in both faces).
+
+    Same 100 TB shape as ``decontaminate`` — eval hashes broadcast,
+    train text never shuffles; the only additions are a per-doc covered-
+    index aggregation (doc-keyed, bounded by doc length) and the final
+    id-equi-join back."""
+    words = words_col(F.col(text_col))
+    base = train.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    grams = F.when(
+        F.size(F.col("words")) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("words")) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+    e_words = words_col(F.col(text_col))
+    eval_h = (
+        eval_set.select(F.explode(_grams_col(e_words, n)).alias("gram"))
+        .select(F.md5("gram").alias("h"))
+        .distinct()
+    )
+    hits = spans.withColumn("h", F.md5("gram")).join(
+        F.broadcast(eval_h), "h", "left_semi"
+    )
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos0") + 1, F.col("pos0") + n)).alias("wi"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("wi")).alias("covered"))
+    )
+    out = base.join(cov, "doc_id", "left").withColumn(
+        "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    )
+    clean_words = F.filter(
+        F.col("words"), lambda w, i: ~F.array_contains(F.col("covered"), i + F.lit(1))
+    )
+    return out.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size("covered").cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", clean_words)).alias("clean_md5"),
+    )
+
+
+def decontaminate_redact_sql(
+    train_table: str = "documents",
+    eval_table: str = "eval_docs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> str:
+    words = words_sql(text_col)
+    grams = _grams_sql("words", n)
+    return f"""
+WITH base AS (SELECT {id_col} AS doc_id, {words} AS words FROM {train_table}),
+spans AS (
+  SELECT doc_id, s.i AS start1,
+         md5(array_to_string(words[s.i:s.i+{n - 1}], ' ')) AS h
+  FROM base, LATERAL unnest(generate_series(1, greatest(len(words) - {n - 1}, 0))) s(i)),
+ebase AS (SELECT {words} AS words FROM {eval_table}),
+eh AS (SELECT DISTINCT md5(g.gram) AS h FROM ebase, LATERAL unnest({grams}) AS g(gram)),
+hits AS (SELECT doc_id, start1 FROM spans WHERE h IN (SELECT h FROM eh)),
+cov AS (
+  SELECT DISTINCT doc_id, start1 + o.off AS wi
+  FROM hits, LATERAL unnest(generate_series(0, {n - 1})) o(off)),
+cova AS (SELECT doc_id, list(wi ORDER BY wi) AS covered FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       cast(len(b.words) as bigint) AS n_words,
+       cast(coalesce(len(c.covered), 0) as bigint) AS n_removed,
+       md5(array_to_string(
+         list_filter(
+           list_transform(generate_series(1, len(b.words)),
+                          i -> CASE WHEN NOT list_contains(coalesce(c.covered, []), i)
+                               THEN b.words[i] END),
+           x -> x IS NOT NULL), ' ')) AS clean_md5
+FROM base b LEFT JOIN cova c USING (doc_id)
+"""

@@ -3057,3 +3057,41 @@ FROM ({ORACLE_SQL["corpus_curation"]}) c
 JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
 GROUP BY ROLLUP (d.source, c.drop_reason)
 """
+
+
+def q_decontaminate_redacted(spark, sf_dir):
+    """Span-level decontamination (round 6): remove every word covered
+    by an eval-overlapping 8-gram window instead of dropping whole
+    docs; emit removal accounting + the cleaned text's md5. Same
+    train/eval fixture as benchmark_decontamination, so the three
+    contaminated fixture docs lose exactly their shared-run words at
+    DIFFERENT offsets while the word-soup corpus passes through
+    untouched (clean_md5 = md5 of the collapsed original)."""
+    from ..operators.text_pipeline import decontaminate_redact
+    from .text_fixture import EVAL_FIXTURE_ROWS, SPAN_FIXTURE_ROWS, fixture_df
+
+    train = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        fixture_df(spark, SPAN_FIXTURE_ROWS)
+    )
+    return decontaminate_redact(train, fixture_df(spark, EVAL_FIXTURE_ROWS))
+
+
+QUERIES["decontaminate_redacted"] = q_decontaminate_redacted
+
+
+def _q_decontaminate_redacted_sql() -> str:
+    from ..operators.text_pipeline import decontaminate_redact_sql
+    from .text_fixture import (
+        EVAL_FIXTURE_ROWS,
+        SPAN_FIXTURE_ROWS,
+        fixture_values_sql,
+        union_table_sql,
+    )
+
+    return decontaminate_redact_sql(
+        train_table=union_table_sql(SPAN_FIXTURE_ROWS),
+        eval_table=fixture_values_sql(EVAL_FIXTURE_ROWS),
+    )
+
+
+ORACLE_SQL["decontaminate_redacted"] = _q_decontaminate_redacted_sql()
