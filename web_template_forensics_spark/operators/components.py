@@ -77,17 +77,25 @@ def _small_star(sym: DataFrame) -> DataFrame:
 
 
 def _signature(edges: DataFrame):
-    """(row_count, sum-of-xxhash64) fixpoint signature — one driver
-    action; a hash-sum collision on CHANGED edge sets is ~2^-64 per
-    round and the star-shape of the converged state is what the
-    downstream min-label join consumes, so a (vanishingly unlikely)
-    early stop would surface as a visible label mismatch, not silent
-    corruption."""
+    """(row_count, sum-of-xxhash64) fixpoint signature over the
+    ORIENTATION-CANONICAL edge form (least, greatest) — one driver
+    action per round. Canonical form is sound AND saves a round: the
+    next iteration's input is ``_sym(e)``, which depends only on the
+    canonical edge set, so canonical-set equality proves
+    transform(e_new) == e_new — a fixpoint — even when the oriented
+    rows differ (e.g. a pair flips (1,2) -> (2,1) on its first pass).
+    A hash-sum collision on CHANGED edge sets is ~2^-64 per round."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal(38,0) sum: immune to ANSI-mode long overflow
         F.coalesce(
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            F.sum(
+                F.xxhash64(
+                    F.least(F.col("a"), F.col("b")),
+                    F.greatest(F.col("a"), F.col("b")),
+                ).cast("decimal(38,0)")
+            ),
+            F.lit(0),
         ).cast("decimal(38,0)").alias("h"),
     ).collect()[0]
     return row["n"], row["h"]
