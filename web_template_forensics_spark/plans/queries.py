@@ -3095,3 +3095,67 @@ def _q_decontaminate_redacted_sql() -> str:
 
 
 ORACLE_SQL["decontaminate_redacted"] = _q_decontaminate_redacted_sql()
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (round 6): top-100 tokens by occurrence
+    count with document frequency — the vocab-building pass of a
+    tokenizer pipeline, over documents UNION all three text fixtures
+    (the word-soup vocabulary alone is 31 tokens, so without them the
+    LIMIT would never bind). Deterministic total order (count desc,
+    token asc) makes the LIMIT stable. 100 TB shape: one map-side-combinable
+    (token) agg whose cardinality is the VOCABULARY (not the corpus);
+    the top-k is orderBy+limit, which Spark executes as TakeOrdered —
+    per-partition heaps, no global sort shuffle."""
+    from ..functions.text_quality import words_col
+    from .text_fixture import (
+        PII_FIXTURE_ROWS,
+        QUALITY_FIXTURE_ROWS,
+        SPAN_FIXTURE_ROWS,
+        fixture_df,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    for rows in (QUALITY_FIXTURE_ROWS, PII_FIXTURE_ROWS, SPAN_FIXTURE_ROWS):
+        d = d.unionByName(fixture_df(spark, rows))
+    toks = d.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+QUERIES["vocab_topk"] = q_vocab_topk
+
+
+def _q_vocab_topk_sql() -> str:
+    from ..functions.text_quality import words_sql
+    from .text_fixture import (
+        PII_FIXTURE_ROWS,
+        QUALITY_FIXTURE_ROWS,
+        SPAN_FIXTURE_ROWS,
+        fixture_values_sql,
+    )
+
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, text FROM {fixture_values_sql(rows)}"
+        for rows in (QUALITY_FIXTURE_ROWS, PII_FIXTURE_ROWS, SPAN_FIXTURE_ROWS)
+    )
+    return f"""
+WITH docs_u AS (SELECT doc_id, text FROM documents UNION ALL {unions}),
+toks AS (
+  SELECT doc_id, unnest({words_sql("text")}) AS token FROM docs_u)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 100
+"""
+
+
+ORACLE_SQL["vocab_topk"] = _q_vocab_topk_sql()
