@@ -3159,3 +3159,70 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 100
 
 
 ORACLE_SQL["vocab_topk"] = _q_vocab_topk_sql()
+
+
+def q_doc_quality_stream(spark, sf_dir):
+    """STREAM face of the Gopher quality rules (round 6): the same
+    gopher_quality projection run as a real micro-batched Structured
+    Streaming job — three file-source batches (documents split by
+    doc_id parity, then the fixture rows as their own batch;
+    maxFilesPerTrigger=1 forces genuinely incremental triggers) into an
+    append memory sink, answered by the SAME DuckDB oracle as
+    doc_quality_rules. Stateless scalar streaming: no watermark or
+    sentinel needed — every batch emits completely, proving the text
+    rules are streaming-safe expressions (no aggregation, no state)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.text_pipeline import gopher_quality
+    from .text_fixture import QUALITY_FIXTURE_ROWS, fixture_df
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    work = tempfile.mkdtemp(prefix="docq_stream_")
+    try:
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+        batch = spark.read.parquet(src).select("doc_id", "text")
+        parts = (
+            batch.filter(F.col("doc_id") % 2 == 0),
+            batch.filter(F.col("doc_id") % 2 == 1),
+            fixture_df(spark, QUALITY_FIXTURE_ROWS),
+        )
+        for i, p in enumerate(parts):
+            bdir = os.path.join(work, f"b{i}")
+            p.coalesce(1).write.mode("overwrite").parquet(bdir)
+            (part,) = _glob.glob(os.path.join(bdir, "part-*.parquet"))
+            shutil.copy(part, os.path.join(indir, f"b{i}.parquet"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        qn = f"docq_stream_{next(_STREAM_GATE_SEQ)}_{os.getpid()}"
+        q = (
+            gopher_quality(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # 3 input files at one file per trigger = at least 3 batches
+            n_batches = len(q.recentProgress)
+            if n_batches < 3:
+                raise AssertionError(
+                    f"doc_quality_stream: expected >=3 micro-batches, saw {n_batches}"
+                )
+        finally:
+            q.stop()
+        return spark.table(qn)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["doc_quality_stream"] = q_doc_quality_stream
+ORACLE_SQL["doc_quality_stream"] = ORACLE_SQL["doc_quality_rules"]
