@@ -69,10 +69,17 @@ def main() -> None:
         master, cc = cluster_conf(cores)
         extra_conf.update(cc)
 
+    # Shuffle partitions sized to the CORPUS, identical at every level
+    # (fairness preserved): the gram-explode aggs put ~140 gram-rows per
+    # doc through the reducers, and a 3 GB executor heap OOMs above
+    # ~2M gram-rows per partition (measured: 500k docs at 32 partitions
+    # died in the explode agg; 250k passed) — exactly the
+    # "size shuffle partitions so partitions fit executor memory" knob,
+    # exercised for real.
     spark = get_spark(
         "curation-scaling",
         cores=cores,
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=max(32, n_docs // 8000),
         master=master,
         extra_conf=extra_conf,
     )

@@ -23,10 +23,12 @@ Spark results:
   headline; the unconditioned one is kept so nothing is hidden.
 
 Usage:
-    python BENCH/run_scaling_pairs.py <n_pairs> <pages_rows> [lo] [hi]
-defaults lo=2 hi=8 (one-core executor JVMs, local-cluster substrate).
-Appends one JSON line per pair to BENCH/scaling_runs_r5.jsonl and
-prints the summary JSON last.
+    python BENCH/run_scaling_pairs.py <n_pairs> <rows> [lo] [hi] [job]
+defaults lo=2 hi=8 (one-core executor JVMs, local-cluster substrate);
+job = pipeline (BENCH/scaling.py, rows = pages) or curation
+(BENCH/curation_scaling.py, rows = docs; round 6). Appends one JSON
+line per pair to BENCH/scaling_runs_r6[_<job>].jsonl and prints the
+summary JSON last.
 """
 
 from __future__ import annotations
@@ -40,8 +42,13 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RUNS_PATH = os.path.join(REPO, "BENCH", "scaling_runs_r6.jsonl")
 PROBE_DEGRADED_BELOW = 0.85
+
+JOBS = {
+    # script, throughput key, level-invariant output keys
+    "pipeline": ("scaling.py", "pages_per_sec", ("geocoded", "pip_assignments", "tiles")),
+    "curation": ("curation_scaling.py", "docs_per_sec", ("reasons",)),
+}
 
 
 def _burn(_: int) -> float:
@@ -72,12 +79,13 @@ def probe_pair_efficiency(lo: int, hi: int) -> dict:
     }
 
 
-def run_level(cores: int, pages: int) -> dict:
-    """One fresh-process scaling.py run at one level; parses its one
-    JSON line (stdout is clean of Spark noise since round 5 — progress
-    bars off, deploy loggers at ERROR, JSON printed after stop)."""
+def run_level(cores: int, pages: int, script: str = "scaling.py") -> dict:
+    """One fresh-process run of the job script at one level; parses its
+    one JSON line (stdout is clean of Spark noise since round 5 —
+    progress bars off, deploy loggers at ERROR, JSON printed after
+    stop)."""
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "BENCH", "scaling.py"),
+        [sys.executable, os.path.join(REPO, "BENCH", script),
          str(cores), str(pages), "cluster"],
         capture_output=True, text=True, timeout=3600,
     )
@@ -98,6 +106,13 @@ def main() -> None:
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    job = sys.argv[5] if len(sys.argv) > 5 else "pipeline"
+    script, tkey, okeys = JOBS[job]
+    runs_path = os.path.join(
+        REPO, "BENCH",
+        "scaling_runs_r6.jsonl" if job == "pipeline"
+        else f"scaling_runs_r6_{job}.jsonl",
+    )
 
     # r5 verdict ask #6: the session's FIRST pair read 0.584 in a clean
     # probe window — cold page-cache / JIT asymmetry between the two
@@ -110,7 +125,7 @@ def main() -> None:
         file=sys.stderr,
     )
     for cores in (lo, hi):
-        run_level(cores, warm_pages)
+        run_level(cores, warm_pages, script)
 
     pairs = []
     for i in range(n_pairs):
@@ -120,9 +135,9 @@ def main() -> None:
         order = [lo, hi] if i % 2 == 0 else [hi, lo]
         results = {}
         for cores in order:
-            results[cores] = run_level(cores, pages)
+            results[cores] = run_level(cores, pages, script)
         probe_post = probe_pair_efficiency(lo, hi)
-        t_lo, t_hi = results[lo]["pages_per_sec"], results[hi]["pages_per_sec"]
+        t_lo, t_hi = results[lo][tkey], results[hi][tkey]
         eff = (t_hi / t_lo) / (hi / lo)
         min_probe = min(probe_pre["pair_eff"], probe_post["pair_eff"])
         rec = {
@@ -138,12 +153,11 @@ def main() -> None:
             "probe_post": probe_post,
             "host_degraded": min_probe < PROBE_DEGRADED_BELOW,
             "outputs": {
-                k: {kk: results[k][kk] for kk in ("geocoded", "pip_assignments", "tiles")}
-                for k in results
+                k: {kk: results[k][kk] for kk in okeys} for k in results
             },
         }
         pairs.append(rec)
-        with open(RUNS_PATH, "a") as fh:
+        with open(runs_path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
 
@@ -153,6 +167,7 @@ def main() -> None:
     hi_med = statistics.median(p["pps_hi"] for p in pairs)
     summary = {
         "metric": "scaling_efficiency",
+        "job": job,
         "pages": pages,
         "levels": [lo, hi],
         "n_pairs": n_pairs,
@@ -163,7 +178,7 @@ def main() -> None:
         "median_of_levels_eff": round((hi_med / lo_med) / (hi / lo), 3),
         "probe_threshold": PROBE_DEGRADED_BELOW,
     }
-    with open(RUNS_PATH, "a") as fh:
+    with open(runs_path, "a") as fh:
         fh.write(json.dumps(summary) + "\n")
     print(json.dumps(summary), flush=True)
 
