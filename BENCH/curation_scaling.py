@@ -58,9 +58,13 @@ def main() -> None:
     from web_template_forensics_spark.session import get_spark
     from web_template_forensics_spark.functions.text_udfs import token_count_udf
 
+    # AQE partition coalescing stays ON for this job (unlike the pages
+    # pipeline leg): shuffle width is sized for the gram-explode aggs'
+    # heap footprint, and every OTHER shuffle (cluster assign, decision
+    # joins) moves tiny rows — coalescing collapses those to real sizes
+    # at runtime, identically at both levels.
     extra_conf = {
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
     master = None
     if mode == "cluster":

@@ -30,7 +30,7 @@ re-specified deterministically over this repo's ASCII whitespace class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_quality import (
@@ -132,18 +132,32 @@ def repetition_stats(
             .groupBy("doc_id", "clen", "gram")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        # modal gram via struct-MIN on (-cnt, gram): highest count wins,
+        # ties break to the lexicographically smallest gram — the same
+        # total order the oracle's row_number window uses, but as a
+        # map-side-combinable hash aggregate instead of a full
+        # doc-partitioned sort of every distinct gram row (the sort was
+        # this operator's scaling leak: 0.73 efficiency 2->8 executors
+        # at 1M docs vs 0.93 for the minhash stage)
         top = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            counts.groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("_negcnt"),
+                        F.col("gram").alias("_gram"),
+                        F.col("clen").alias("_clen"),
+                    )
+                ).alias("_m")
+            )
             .select(
                 "doc_id",
                 F.round(
                     F.least(
                         F.lit(1.0),
-                        F.col("cnt").cast("double")
-                        * F.length("gram").cast("double")
-                        / F.greatest(F.col("clen"), F.lit(1)).cast("double"),
+                        (-F.col("_m._negcnt")).cast("double")
+                        * F.length(F.col("_m._gram")).cast("double")
+                        / F.greatest(F.col("_m._clen"), F.lit(1)).cast("double"),
                     ),
                     6,
                 ).alias(f"top{n}gram_frac"),
