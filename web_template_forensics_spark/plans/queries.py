@@ -3226,3 +3226,28 @@ def q_doc_quality_stream(spark, sf_dir):
 
 QUERIES["doc_quality_stream"] = q_doc_quality_stream
 ORACLE_SQL["doc_quality_stream"] = ORACLE_SQL["doc_quality_rules"]
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """TF-IDF sparse top-k similar documents (round 6) — the third
+    candidate-generation family next to signature banding and vector
+    LSH: inverted-index join with document-frequency pruning (tokens in
+    > 60% of the corpus leave the vectors entirely, bounding every
+    token's pair fan-out). Weights quantized at 1e-9 before every
+    aggregation (ln is the only transcendental; both engines call libm)
+    so the faces sum identical values. operators/tfidf.py."""
+    from ..operators.tfidf import tfidf_topk_pairs
+
+    return tfidf_topk_pairs(_t(spark, sf_dir, "documents"), k=3)
+
+
+QUERIES["tfidf_topk"] = q_tfidf_topk
+
+
+def _q_tfidf_topk_sql() -> str:
+    from ..operators.tfidf import tfidf_topk_sql
+
+    return tfidf_topk_sql("SELECT count(*) FROM documents", k=3)
+
+
+ORACLE_SQL["tfidf_topk"] = _q_tfidf_topk_sql()
