@@ -236,3 +236,21 @@ def test_redaction_surgery(spark):
     assert rows[1000200]["n_removed"] == 10
     assert rows[1000203]["n_removed"] == 10
     assert rows[1000202]["n_removed"] == 0
+
+
+def test_unigram_logprob_semantics(spark):
+    import math
+
+    from web_template_forensics_spark.operators.text_pipeline import unigram_logprob
+
+    docs = [(1, "a a b"), (2, "a c"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: a=3, b=1, c=1, total=5
+    lp = {t: round(math.log(c / 5), 9) for t, c in (("a", 3), ("b", 1), ("c", 1))}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["mean_logprob"] == round((2 * lp["a"] + lp["b"]) / 3, 6)
+    assert rows[2]["mean_logprob"] == round((lp["a"] + lp["c"]) / 2, 6)
+    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_logprob"] == 0.0
+    # the common-token doc scores higher than the rare-token doc
+    assert rows[1]["mean_logprob"] > rows[2]["mean_logprob"]

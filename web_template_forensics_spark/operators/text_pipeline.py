@@ -489,3 +489,78 @@ SELECT b.doc_id,
            x -> x IS NOT NULL), ' ')) AS clean_md5
 FROM base b LEFT JOIN cova c USING (doc_id)
 """
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    honest relational analog of the CCNet/KenLM perplexity filter
+    (Wenzek et al. 2020): documents whose tokens are improbable under
+    the corpus' own unigram distribution score low (boilerplate and
+    in-distribution text scores high). Per doc: token count and the
+    mean log-probability  mean_t ln(count(t) / total_tokens), quantized
+    at 1e-9 per token before the mean (ln is the only transcendental)
+    and rounded to 6 dp — empty docs emit 0.0.
+
+    Self-trained on the INPUT corpus in the same plan (no model file):
+    the unigram table is a (token) groupBy whose cardinality is the
+    vocabulary; scoring is a broadcast-sized join at real vocab sizes.
+    100 TB shape: two map-side-combinable aggs (token counts, per-doc
+    sums) and one token-keyed equi-join; text never shuffles beyond its
+    exploded tokens."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_col(F.col(text_col))).alias("token")
+    )
+    totals = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # grand total via a window-free scalar: sum over the unigram table,
+    # joined in as a literal-free crossJoin of ONE row (broadcast)
+    grand = totals.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(totals, "token")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 9
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("lp").alias("mean_lp")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce(F.col("mean_lp"), F.lit(0.0)), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    words = words_sql(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, t.token FROM {table}, LATERAL unnest({words}) AS t(token)),
+totals AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+grand AS (SELECT sum(cnt) AS total FROM totals),
+scored AS (
+  SELECT doc_id,
+         round(ln(cast(cnt as double) / cast((SELECT total FROM grand) as double)), 9) AS lp
+  FROM toks JOIN totals USING (token)),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(lp) AS mean_lp FROM scored GROUP BY doc_id)
+SELECT b.doc_id,
+       cast(coalesce(p.n_tokens, 0) as bigint) AS n_tokens,
+       round(coalesce(p.mean_lp, 0.0), 6) AS mean_logprob
+FROM (SELECT {id_col} AS doc_id FROM {table}) b LEFT JOIN per_doc p USING (doc_id)
+"""

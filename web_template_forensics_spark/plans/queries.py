@@ -3251,3 +3251,31 @@ def _q_tfidf_topk_sql() -> str:
 
 
 ORACLE_SQL["tfidf_topk"] = _q_tfidf_topk_sql()
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality score (round 6): the relational analog of the
+    CCNet perplexity filter, self-trained on the input corpus in the
+    same plan. Runs over documents UNION the quality fixture so the
+    empty-document path (n_tokens = 0, score 0.0) is pinned by the
+    gate. operators/text_pipeline.unigram_logprob."""
+    from ..operators.text_pipeline import unigram_logprob
+    from .text_fixture import QUALITY_FIXTURE_ROWS, fixture_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        fixture_df(spark, QUALITY_FIXTURE_ROWS)
+    )
+    return unigram_logprob(d)
+
+
+QUERIES["unigram_logprob"] = q_unigram_logprob
+
+
+def _q_unigram_logprob_sql() -> str:
+    from ..operators.text_pipeline import unigram_logprob_sql
+    from .text_fixture import QUALITY_FIXTURE_ROWS, union_table_sql
+
+    return unigram_logprob_sql(table=union_table_sql(QUALITY_FIXTURE_ROWS))
+
+
+ORACLE_SQL["unigram_logprob"] = _q_unigram_logprob_sql()
