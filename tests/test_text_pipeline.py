@@ -254,3 +254,35 @@ def test_unigram_logprob_semantics(spark):
     assert rows[3]["n_tokens"] == 0 and rows[3]["mean_logprob"] == 0.0
     # the common-token doc scores higher than the rare-token doc
     assert rows[1]["mean_logprob"] > rows[2]["mean_logprob"]
+
+
+def test_self_dedup_surgery(spark):
+    import hashlib
+
+    from web_template_forensics_spark.plans.queries import q_self_dedup_redacted
+    from web_template_forensics_spark.plans.text_fixture import SPAN_FIXTURE_ROWS
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_self_dedup_redacted(spark, "/root/testdata/sf0.001").collect()
+    }
+    texts = dict(SPAN_FIXTURE_ROWS)
+    # A (1000200) is the canonical keeper: its text survives untouched
+    a = rows[1000200]
+    assert a["n_removed"] == 0
+    assert a["clean_md5"] == hashlib.md5(texts[1000200].encode()).hexdigest()
+    # D (1000203) is an exact copy of A: every window duplicated, FULL
+    # removal — clean text is empty (pins the DuckDB array_to_string([])
+    # NULL-vs-'' trap in the oracle face)
+    d = rows[1000203]
+    assert d["n_removed"] == d["n_words"] == 24
+    assert d["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # B (1000201) shares the 16-word run at stride-aligned offset 5:
+    # its windows at 5/9/13 are duplicated -> words 5..20 removed
+    b = rows[1000201]
+    assert b["n_removed"] == 16
+    bw = texts[1000201].split()
+    clean_b = " ".join(w for i, w in enumerate(bw) if not (4 <= i <= 19))
+    assert b["clean_md5"] == hashlib.md5(clean_b.encode()).hexdigest()
+    # C unrelated: untouched
+    assert rows[1000202]["n_removed"] == 0

@@ -481,12 +481,13 @@ cova AS (SELECT doc_id, list(wi ORDER BY wi) AS covered FROM cov GROUP BY doc_id
 SELECT b.doc_id,
        cast(len(b.words) as bigint) AS n_words,
        cast(coalesce(len(c.covered), 0) as bigint) AS n_removed,
-       md5(array_to_string(
+       -- coalesce: DuckDB array_to_string([], sep) is NULL, Spark concat_ws is ''
+       md5(coalesce(array_to_string(
          list_filter(
            list_transform(generate_series(1, len(b.words)),
                           i -> CASE WHEN NOT list_contains(coalesce(c.covered, []), i)
                                THEN b.words[i] END),
-           x -> x IS NOT NULL), ' ')) AS clean_md5
+           x -> x IS NOT NULL), ' '), '')) AS clean_md5
 FROM base b LEFT JOIN cova c USING (doc_id)
 """
 
@@ -563,4 +564,112 @@ SELECT b.doc_id,
        cast(coalesce(p.n_tokens, 0) as bigint) AS n_tokens,
        round(coalesce(p.mean_lp, 0.0), 6) AS mean_logprob
 FROM (SELECT {id_col} AS doc_id FROM {table}) b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def self_dedup_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS,
+    stride: int = SPAN_STRIDE,
+) -> DataFrame:
+    """Corpus SELF-dedup surgery — the removal step Lee et al. 2021
+    apply after detection (window_span_dedup is the detection face):
+    a span (``span_words``-word window at ``stride``) duplicated across
+    >= 2 distinct documents is KEPT only in its canonical document (the
+    MIN doc_id containing that span hash) and surgically removed from
+    every other document's text. Output per doc: n_words, n_removed
+    (covered word count), clean_md5 (md5 of surviving words joined by
+    single spaces — whitespace-collapsed by construction, both faces).
+
+    100 TB shape: only (doc_id, md5, start-position) triples shuffle;
+    the keeper choice is a per-hash min (map-side combinable); the
+    covered-index agg is doc-keyed and bounded by doc length. Text
+    never leaves the map side until the final per-doc surgery."""
+    words = words_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    grams = F.when(
+        F.size(F.col("words")) >= span_words,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("words")) - F.lit(span_words - 1), F.lit(stride)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, span_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # stride-s grams: array slot j (0-based) starts at word 1 + j*stride
+    spans = base.select("doc_id", F.posexplode(grams).alias("j", "gram")).select(
+        "doc_id",
+        (F.lit(1) + F.col("j") * F.lit(stride)).alias("start1"),
+        F.md5("gram").alias("h"),
+    )
+    keepers = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keep_doc")
+    )
+    victims = spans.join(keepers, "h").filter(F.col("doc_id") != F.col("keep_doc"))
+    cov = (
+        victims.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start1"), F.col("start1") + F.lit(span_words - 1))
+            ).alias("wi"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("wi")).alias("covered"))
+    )
+    out = base.join(cov, "doc_id", "left").withColumn(
+        "covered", F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    )
+    clean_words = F.filter(
+        F.col("words"), lambda w, i: ~F.array_contains(F.col("covered"), i + F.lit(1))
+    )
+    return out.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size("covered").cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", clean_words)).alias("clean_md5"),
+    )
+
+
+def self_dedup_redact_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS,
+    stride: int = SPAN_STRIDE,
+) -> str:
+    words = words_sql(text_col)
+    return f"""
+WITH base AS (SELECT {id_col} AS doc_id, {words} AS words FROM {table}),
+spans AS (
+  SELECT doc_id, s.i AS start1,
+         md5(array_to_string(words[s.i:s.i+{span_words - 1}], ' ')) AS h
+  FROM base, LATERAL unnest(generate_series(1, greatest(len(words) - {span_words - 1}, 0), {stride})) s(i)),
+keepers AS (
+  SELECT h, min(doc_id) AS keep_doc FROM spans
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+victims AS (
+  SELECT spans.doc_id, spans.start1 FROM spans JOIN keepers USING (h)
+  WHERE spans.doc_id <> keepers.keep_doc),
+cov AS (
+  SELECT DISTINCT doc_id, start1 + o.off AS wi
+  FROM victims, LATERAL unnest(generate_series(0, {span_words - 1})) o(off)),
+cova AS (SELECT doc_id, list(wi ORDER BY wi) AS covered FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       cast(len(b.words) as bigint) AS n_words,
+       cast(coalesce(len(c.covered), 0) as bigint) AS n_removed,
+       -- coalesce: DuckDB array_to_string([], sep) is NULL, Spark concat_ws is ''
+       md5(coalesce(array_to_string(
+         list_filter(
+           list_transform(generate_series(1, len(b.words)),
+                          i -> CASE WHEN NOT list_contains(coalesce(c.covered, []), i)
+                               THEN b.words[i] END),
+           x -> x IS NOT NULL), ' '), '')) AS clean_md5
+FROM base b LEFT JOIN cova c USING (doc_id)
 """

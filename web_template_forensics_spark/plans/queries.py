@@ -3279,3 +3279,32 @@ def _q_unigram_logprob_sql() -> str:
 
 
 ORACLE_SQL["unigram_logprob"] = _q_unigram_logprob_sql()
+
+
+def q_self_dedup_redacted(spark, sf_dir):
+    """Corpus self-dedup surgery (round 6): spans duplicated across
+    documents keep only their canonical (min doc_id) occurrence; every
+    other document has the covered words removed. Same span fixture as
+    window_span_dedup — A (1000200) is the canonical keeper of the
+    shared 16-word run, B and the exact copy D lose their instances,
+    the word-soup corpus passes through untouched."""
+    from ..operators.text_pipeline import self_dedup_redact
+    from .text_fixture import SPAN_FIXTURE_ROWS, fixture_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        fixture_df(spark, SPAN_FIXTURE_ROWS)
+    )
+    return self_dedup_redact(d)
+
+
+QUERIES["self_dedup_redacted"] = q_self_dedup_redacted
+
+
+def _q_self_dedup_redacted_sql() -> str:
+    from ..operators.text_pipeline import self_dedup_redact_sql
+    from .text_fixture import SPAN_FIXTURE_ROWS, union_table_sql
+
+    return self_dedup_redact_sql(table=union_table_sql(SPAN_FIXTURE_ROWS))
+
+
+ORACLE_SQL["self_dedup_redacted"] = _q_self_dedup_redacted_sql()
