@@ -71,3 +71,46 @@ def test_nested_fractions_are_subsets(spark):
     s25 = {r["doc_id"] for r in stratified_sample(df, {"en": 0.25}).collect()}
     s50 = {r["doc_id"] for r in stratified_sample(df, {"en": 0.5}).collect()}
     assert s25 < s50
+
+
+def test_weighted_sample_matches_hashlib_twin(spark):
+    import math
+
+    from web_template_forensics_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de", (i % 7) + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, wt long")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in weighted_sample_per_stratum(
+            df, n=5, weight_col="wt", salt="t1"
+        ).collect()
+    }
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}:t1".encode()).digest()[:8]
+        u = (int.from_bytes(h, "big") + 1) / _U64
+        return round(math.log(u) / w, 9)
+
+    want = set()
+    for lang in ("en", "de"):
+        member = [(i, l, w) for i, l, w in rows if l == lang]
+        member.sort(key=lambda t: (-key(t[0], t[2]), t[0]))
+        want |= {(i, l) for i, l, _ in member[:5]}
+    assert got == want
+    assert len(got) == 10
+
+
+def test_weighted_sample_zero_weight_never_wins(spark):
+    from web_template_forensics_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", 5), (3, "en", -2)],
+        "doc_id long, lang string, wt long",
+    )
+    rows = weighted_sample_per_stratum(df, n=3, weight_col="wt").collect()
+    assert [r["doc_id"] for r in rows] == [2]

@@ -85,3 +85,68 @@ def stratified_sample_sql(
         f"SELECT {select} FROM {table} WHERE {_hash_u64_sql(key_col, salt)}"
         f" < (CASE {stratum_col} {cases} ELSE 0::UBIGINT END)"
     )
+
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "wsample_v1",
+) -> DataFrame:
+    """EXACT-size weighted sampling without replacement, per stratum —
+    the Efraimidis-Spirakis A-Res scheme made deterministic: each row
+    draws u in (0, 1] from the same md5 hash ``stratified_sample``
+    uses, and the top ``n`` rows per stratum by the key ln(u) / w win
+    (equivalent ordering to the classic u^(1/w) — larger weight pulls
+    the negative key toward zero). Hash-threshold sampling cannot
+    produce fixed-size samples; this is the complementary primitive
+    (quota sampling per language, weighted by document length or
+    quality score).
+
+    Determinism: u is exact (integer hash / 2^64), the key is
+    quantized at 1e-9 (ln is the only transcendental) and ties break
+    on the id, so both engines pick identical winners. Rows with
+    weight <= 0 never win (key -infinity stand-in: excluded up front).
+
+    100 TB shape: one scan + a per-stratum top-n window (Spark runs
+    rank-limited windows with partial top-n pushdown; strata are the
+    partition keys, so no global sort)."""
+    from pyspark.sql import Window
+
+    u = (_hash_u64_col(F.col(key_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(_U64)
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_skey").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_skey", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_skey", "_rn")
+    )
+
+
+def weighted_sample_per_stratum_sql(
+    table: str,
+    n: int,
+    weight_col: str,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "wsample_v1",
+    select: str = "*",
+) -> str:
+    u = f"(cast({_hash_u64_sql(key_col, salt)} as double) + 1) / {float(_U64)!r}"
+    key = f"round(ln({u}) / cast({weight_col} as double), 9)"
+    return f"""
+SELECT {select} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {stratum_col}
+    ORDER BY {key} DESC, {key_col} ASC) AS _rn
+  FROM {table} WHERE {weight_col} > 0)
+WHERE _rn <= {n}
+"""

@@ -3308,3 +3308,31 @@ def _q_self_dedup_redacted_sql() -> str:
 
 
 ORACLE_SQL["self_dedup_redacted"] = _q_self_dedup_redacted_sql()
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sample (round 6): 10 documents per language,
+    weight = n_chars (longer docs proportionally likelier), via the
+    deterministic Efraimidis-Spirakis scheme in
+    operators/sampling.weighted_sample_per_stratum — the fixed-quota
+    complement of the hash-threshold stratified_sample."""
+    from ..operators.sampling import weighted_sample_per_stratum
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample_per_stratum(d, n=10, weight_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+
+
+def _q_weighted_sample_sql() -> str:
+    from ..operators.sampling import weighted_sample_per_stratum_sql
+
+    return weighted_sample_per_stratum_sql(
+        "documents", n=10, weight_col="n_chars", select="doc_id, lang, n_chars"
+    )
+
+
+ORACLE_SQL["weighted_sample"] = _q_weighted_sample_sql()
