@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--explain-dir", default=None)
     ap.add_argument("--suffix", default="")
+    ap.add_argument("--explain-after", action="store_true",
+                    help="dump the plan AFTER one execution (AQE final plan incl. ReusedExchange)")
     ap.add_argument("--mode", default="cluster", choices=["cluster", "threads"])
     args = ap.parse_args()
 
@@ -64,6 +66,8 @@ def main() -> None:
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
             df = fn(spark, args.sf)
+            if args.explain_after:
+                df.write.format("noop").mode("overwrite").save()
             with open(os.path.join(args.explain_dir, f"{name}{args.suffix}.txt"), "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))

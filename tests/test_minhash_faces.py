@@ -95,3 +95,73 @@ def test_numpy_face_is_uint64_wrap_semantics():
             for h in hv
         )
         assert int(sig[i]) == expect
+
+
+# ---------------------------------------------------------------------------
+# round 7: the pandas UDFs moved to batch-vectorized twins (md5 once per
+# batch-distinct token via factorize, Mersenne shift-add replacing the
+# uint64 division). Pin the batch faces bitwise against the scalar faces
+# on every edge shape: empty, whitespace-only, < k tokens, unicode,
+# duplicate tokens, and the Zipf-like common case.
+# ---------------------------------------------------------------------------
+
+EDGE_DOCS = DOCS + [
+    "",
+    "   \t\n  ",
+    "one",
+    "one two",
+    "same same same",
+    "\x0b vertical \x0b tab \x0b",
+]
+
+
+def test_batch_shingle_hashes_match_scalar():
+    from web_template_forensics_spark.functions.text_udfs import _shingle_hash_batch
+
+    batch = _shingle_hash_batch(EDGE_DOCS)
+    for doc, got in zip(EDGE_DOCS, batch):
+        ref = shingle_hashes(doc)
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, ref), doc[:40]
+
+
+def test_batch_minhash_matches_scalar():
+    from web_template_forensics_spark.functions.text_udfs import (
+        _minhash_from_shingles,
+        _shingle_hash_batch,
+    )
+
+    batch = _shingle_hash_batch(EDGE_DOCS)
+    for doc, hv in zip(EDGE_DOCS, batch):
+        got = _minhash_from_shingles(hv)
+        ref = minhash_signature(doc)
+        assert np.array_equal(got, ref), doc[:40]
+
+
+def test_mod_m61_is_exact_on_uint64_edges():
+    from web_template_forensics_spark.functions.text_udfs import _mod_m61
+
+    m61 = np.uint64(_MERSENNE61)
+    edges = np.array(
+        [0, 1, _MERSENNE61 - 1, _MERSENNE61, _MERSENNE61 + 1,
+         (1 << 62), (1 << 63), _T64 - 1, 7 * _MERSENNE61, 8 * _MERSENNE61 - 9],
+        dtype=np.uint64,
+    )
+    rng = np.random.RandomState(7)
+    rand = rng.randint(0, 1 << 62, size=4096, dtype=np.int64).astype(np.uint64) * np.uint64(5)
+    for arr in (edges, rand):
+        got = _mod_m61(arr)
+        ref = arr % m61
+        assert np.array_equal(got, ref)
+
+
+def test_batch_simhash_matches_scalar(spark):
+    import pandas as pd
+
+    from web_template_forensics_spark.functions.text_udfs import simhash64, simhash64_udf
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": [d for d in EDGE_DOCS]})
+    ).select(simhash64_udf("text").alias("h"))
+    got = [r.h for r in df.collect()]
+    assert got == [simhash64(d) for d in EDGE_DOCS]

@@ -236,6 +236,116 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     return prod.min(axis=0)
 
 
+# --------------------------------------------------------------------------
+# Batch-vectorized twins of the signature functions (round-7 optimization,
+# guide §4.2: the UDFs above were per-doc Python loops — per-token md5-cache
+# dict lookups via np.fromiter dominated the minhash_pairs map stage).
+# These compute BITWISE-identical values (pytest-pinned against the scalar
+# faces): md5 runs once per batch-distinct token (pd.factorize), the window
+# combine / SplitMix64 finalize / permutation mod-mul keep the exact uint64
+# wrap semantics, and `_mod_m61` is the Mersenne shift-add identity for
+# `% (2**61-1)` on the ALREADY-WRAPPED 64-bit value (y = q*2^61 + r with
+# 2^61 ≡ 1, q <= 7, so one conditional subtract suffices) — replacing the
+# uint64 division with shifts.
+# --------------------------------------------------------------------------
+
+_SH_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_C3 = np.uint64(0x165667B19E3779F9)
+_M61_U = np.uint64(_MERSENNE61)
+
+
+def _splitmix_fin(z: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer (same uint64 wrap ops as the scalar
+    shingle_hashes body)."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """x % (2**61 - 1) for uint64 x without division: x = q*2^61 + r and
+    2^61 ≡ 1 (mod M61) so x ≡ q + r; q <= 7 means one conditional
+    subtract is exact for every uint64 input (including r == M61)."""
+    r = (x >> np.uint64(61)) + (x & _M61_U)
+    return r - _M61_U * (r >= _M61_U)
+
+
+def _token_code_arrays(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch tokenization: (codes, uh, offs) where ``codes`` are
+    factorize codes of the concatenated token stream, ``uh[code]`` is the
+    token's md5[:8] hash (md5 runs once per batch-DISTINCT token, reusing
+    the per-worker `_md5_token_cache` across batches), and ``offs`` are
+    per-doc offsets into ``codes``."""
+    tok_lists = [ASCII_TOKEN_RE.findall(t) for t in texts]
+    offs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists)),
+        out=offs[1:],
+    )
+    total = int(offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64), offs
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in tok_lists:
+        flat[pos : pos + len(ts)] = ts
+        pos += len(ts)
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (_md5_hash64(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    return codes, uh, offs
+
+
+def _token_hash_arrays(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated md5[:8] token hashes for a batch of texts + per-doc
+    offsets (positional stream — duplicates preserved)."""
+    codes, uh, offs = _token_code_arrays(texts)
+    if codes.size == 0:
+        return np.empty(0, dtype=np.uint64), offs
+    return uh[codes], offs
+
+
+def _shingle_hash_batch(texts: list, k: int = 3) -> list[np.ndarray]:
+    """Batch twin of ``shingle_hashes`` — one list entry per text, each a
+    sorted-distinct uint64 array, bitwise equal to the scalar face."""
+    th_all, offs = _token_hash_arrays(texts)
+    out: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        for i in range(len(offs) - 1):
+            th = th_all[offs[i] : offs[i + 1]]
+            n = th.size
+            if n == 0:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            if n < k:
+                acc = np.uint64(0xCBF29CE484222325)
+                for v in th:
+                    acc = acc * np.uint64(0x100000001B3) ^ v
+                combined = np.array([acc], dtype=np.uint64)
+            else:
+                combined = (
+                    th[: n - k + 1] * _SH_C1
+                    + th[1 : n - k + 2] * _SH_C2
+                    + th[2 : n - k + 3] * _SH_C3
+                )
+            out.append(np.unique(_splitmix_fin(combined)))
+    return out
+
+
+def _minhash_from_shingles(hv: np.ndarray) -> np.ndarray:
+    """Batchable core of ``minhash_signature`` over precomputed shingle
+    hashes; `_mod_m61` replaces both uint64 divisions (identical values)."""
+    if hv.size == 0:
+        return np.full(N_MINHASH, _M61_U, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        hv = _mod_m61(hv)
+        prod = _mod_m61(hv[:, None] * _MH_A[None, :] + _MH_B[None, :])
+    return prod.min(axis=0)
+
+
 # THE whitespace spec, shared by every face of every text operator:
 # Python re.ASCII \s == Java regex \s == this explicit class, but RE2
 # (DuckDB) \s EXCLUDES \x0B — so SQL faces must spell the class out,
@@ -296,8 +406,32 @@ def doc_fingerprint(text: str) -> int:
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(
-        lambda t: minhash_signature(t or "").astype(np.int64).tolist()
+    shs = _shingle_hash_batch([(t or "") for t in text])
+    return pd.Series(
+        [_minhash_from_shingles(hv).astype(np.int64).tolist() for hv in shs]
+    )
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+)
+def minhash_and_shingles_udf(text: pd.Series) -> pd.DataFrame:
+    """Signature AND distinct-shingle-hash array in ONE tokenize+md5 pass
+    (round 7): minhash_lsh_pairs previously ran minhash_udf and
+    shingle_hashes_udf as separate plan branches, so the text was
+    scanned and shingled twice (and, with broadcast build sides, four
+    times). Values are bitwise those of the two separate UDFs."""
+    shs = _shingle_hash_batch([(t or "") for t in text])
+    return pd.DataFrame(
+        {
+            "sig": [_minhash_from_shingles(hv).astype(np.int64).tolist() for hv in shs],
+            "sh": [hv.astype(np.int64).tolist() for hv in shs],
+        }
     )
 
 
@@ -307,12 +441,28 @@ def shingle_hashes_udf(text: pd.Series) -> pd.Series:
     these arrays == Jaccard over the shingle-string sets (collision
     probability ~ n^2/2^64), computable JVM-side via array_intersect —
     the verification path never re-shingles text in Python per pair."""
-    return text.map(lambda t: shingle_hashes(t or "").astype(np.int64).tolist())
+    shs = _shingle_hash_batch([(t or "") for t in text])
+    return pd.Series([hv.astype(np.int64).tolist() for hv in shs])
 
 
 @F.pandas_udf(T.LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: simhash64(t or ""))
+    # batch face: md5 once per batch-distinct token; per doc the ±1 bit
+    # sums run over the hashes of np.unique(factorize codes) — distinct by
+    # token STRING exactly like the scalar simhash64's set() (which is
+    # order-insensitive here: the sums commute), so values are identical
+    # even under an md5[:8] collision between distinct tokens
+    codes, uh, offs = _token_code_arrays([(t or "") for t in text])
+    out = np.zeros(len(offs) - 1, dtype=np.int64)
+    for i in range(len(offs) - 1):
+        th = uh[np.unique(codes[offs[i] : offs[i + 1]])]
+        if th.size == 0:
+            continue
+        bits = (th[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        v = int(((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum(dtype=np.uint64))
+        out[i] = v - (1 << 64) if v >= (1 << 63) else v
+    return pd.Series(out)
 
 
 @F.pandas_udf(T.LongType())

@@ -17,8 +17,6 @@ from pyspark.sql.window import Window
 from ..functions.text_udfs import (
     ASCII_WS_REGEX,
     N_MINHASH,
-    minhash_udf,
-    shingle_hashes_udf,
     simhash64_udf,
 )
 
@@ -81,16 +79,31 @@ def minhash_lsh_pairs(
     # empty doc. JVM-side predicate, same ASCII-\S semantics as the
     # shingle tokenizer (Java \s is ASCII-only, matching ASCII_TOKEN_RE).
     df = df.filter(F.regexp_count(F.col(text_col), F.lit(r"\S")) > 0)
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_udf(F.col(text_col)).alias("_sig")
+    # ONE tokenize+md5+signature pass materialized behind ONE exchange
+    # (round 7): signature and shingle arrays come from a single combined
+    # UDF, and the repartition("_id") puts an Exchange ABOVE the Python
+    # stage that every consumer (band-join probe AND build, both
+    # verification sides) reuses — the r6 shape computed the UDFs below
+    # the join/broadcast boundaries, so the text was scanned and shingled
+    # once per consumer (4x with broadcast build sides). At 100 TB this
+    # is the §2.4 move: the corpus text is read once; only the ~1 KB/doc
+    # signature rows pass through the shared exchange.
+    from ..functions.text_udfs import minhash_and_shingles_udf
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            minhash_and_shingles_udf(F.col(text_col)).alias("_mh"),
+        )
+        .select("_id", F.col("_mh.sig").alias("_sig"), F.col("_mh.sh").alias("_sh"))
+        # explicit count: AQE would coalesce a bare repartition("_id") of
+        # this small exchange to 1 partition and serialize the band join
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "_id")
     )
-    banded = sig.select(
+    banded = base.select(
         "_id",
         F.explode(F.array(*_band_cols("_sig", bands, rows_per_band))).alias("band_key"),
     )
-    # aliases of ONE plan, rename after the join (same exchange-reuse
-    # move as hamming_band_pairs): the 64-perm signature UDF runs once,
-    # not once per join side
     ba, bb = banded.alias("_ba"), banded.alias("_bb")
     cand = (
         ba.join(
@@ -101,11 +114,7 @@ def minhash_lsh_pairs(
         .select(F.col("_ba._id").alias("id_a"), F.col("_bb._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes_udf(F.col(text_col)).alias("_sh")
-    )
-    # same treatment for the verification arrays: both probes shuffle
-    # the ONE shingle-hash plan on _id, so the second is a ReusedQueryStage
+    sh = base.select("_id", "_sh")
     sa, sb = sh.alias("_sa"), sh.alias("_sb")
     paired = (
         cand.join(sa, F.col("id_a") == F.col("_sa._id"))
@@ -196,15 +205,24 @@ def hamming_band_pairs(
     equi-join has exact recall. Verification is JVM-side
     bit_count(a XOR b). Shuffle carries (id, hash, band) only."""
     band_structs = band_struct_cols(max_hamming, n_bands)
-    banded = hashed.select(
+    # repartition("_id") materializes the upstream hash computation
+    # (cheap for simhash, a FULL IMAGE DECODE for pHash) behind one
+    # 16-byte/row Exchange that both join sides reuse. The r1-r6 shape
+    # relied on the two aliased sides producing byte-identical shuffle
+    # Exchanges — which holds for a sort-merge/shuffled-hash band join,
+    # but when the planner picks a BROADCAST band join the build side is
+    # a BroadcastExchange over the raw subtree and the decode re-ran per
+    # side (measured: the bench-scale pHash plans decoded every image
+    # twice). The explicit tiny exchange makes single-execution
+    # unconditional at every scale and join strategy.
+    # explicit partition count (REPARTITION_BY_NUM): a bare
+    # repartition("_id") lets AQE coalesce this ~24-byte/row exchange to
+    # ONE partition, which then serializes the expensive candidate
+    # fan-out of the band join downstream (measured 4x slower)
+    n_parts = hashed.sparkSession.sparkContext.defaultParallelism
+    banded = hashed.repartition(n_parts, "_id").select(
         "_id", "_sh", F.explode(F.array(*band_structs)).alias("band")
     ).select("_id", "_sh", "band.band_no", "band.band_val")
-    # Self-join via ALIASES of one plan, renaming only AFTER the join:
-    # both sides then shuffle through byte-identical Exchanges, and AQE
-    # replaces the second with a ReusedExchange — the upstream hash
-    # computation (cheap for simhash, a full image decode for pHash)
-    # runs ONCE instead of once per side. Renaming before the join (the
-    # r1-r4 shape) broke that reuse.
     a, b = banded.alias("_a"), banded.alias("_b")
     cand = (
         a.join(
@@ -475,7 +493,11 @@ def av_fingerprint_pairs(
 
     n_bands = max(audio_hamming, video_hamming) + 1
     band_structs = band_struct_cols(n_bands - 1, n_bands)
-    banded = hashed.select(
+    # same tiny-exchange materialization as hamming_band_pairs: the demux
+    # + decode + hash stage executes once regardless of join strategy
+    # (explicit count so AQE can't coalesce-then-serialize, see there)
+    n_parts = hashed.sparkSession.sparkContext.defaultParallelism
+    banded = hashed.repartition(n_parts, "_id").select(
         "_id", "family", "_sh", F.explode(F.array(*band_structs)).alias("band")
     ).select("_id", "family", "_sh", "band.band_no", "band.band_val")
     a, b = banded.alias("_a"), banded.alias("_b")
