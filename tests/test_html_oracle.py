@@ -196,3 +196,70 @@ def test_seq_ratio_is_difflib():
 
     for a, b in [("foo", "bar"), ("index.html", "index2.html"), ("", "")]:
         assert seq_ratio(a, b) == difflib.SequenceMatcher(None, a, b).ratio()
+
+
+# ---------------------------------------------------------------------------
+# round 7: extract_text's default path is the event-equivalent
+# _TextOnlyBuilder (no tree materialization). Pin it bytewise against the
+# tree-walking path on every edge the tree semantics encode.
+# ---------------------------------------------------------------------------
+
+_R7_EDGE_DOCS = [
+    "",
+    "plain text only",
+    "<html><body><p>a</p><p>b</p></body></html>",
+    "before <body>inside</body> after",          # body rooting excludes outside
+    "<div>no body anywhere</div> tail",
+    "<body/>text after self-closed body",        # <body/> -> empty subtree
+    "<body></body><body>second body</body>",     # only FIRST body roots
+    "<div><body>nested body</body></div> out",   # body at depth
+    "<p>x<!-- comment --><b>y</b></p>",          # pseudo-text separate node
+    "<body><p>a</p><!--c--></body>",
+    "<!DOCTYPE html><p>t</p>",
+    "<body><script>var a = '<div>not a tag</div>';</script></body>",
+    "<body><style>p > a { color: red }</style>text</body>",
+    "<body>a &amp; b &lt;tag&gt; &#65;</body>",  # charrefs decoded
+    "<body><div unclosed <p>recover</p></body>",  # broken markup
+    "<body><b><i>deep</b>after-i</i></body>",     # mismatched nesting pops
+    "<body><br><img src=x><input>void tags</body>",
+    "<body><p/>startend<div/>any tag</body>",
+    "<body><![CDATA[raw cdata]]></body>",
+    "<body><?php echo 1 ?></body>",               # processing instruction
+    "<body>   \n\t  </body>",                     # whitespace-only dropped
+    "<body>a</body><body>b</body>",               # text after first body close
+    "<BODY><P>Upper Case</P></BODY>",             # lowercasing
+    "<body da-bare dup='1' dup='2'>attrs</body>",
+    "text<body>",                                 # body never closed
+    "<body>tail trailing <b>bold",                # EOF inside elements
+    "&#x48;&#x49; bare refs no tags",
+    "<body> nbsp kept </body>",         # unicode strip semantics
+]
+
+
+def _tree_path_extract(html: str) -> str:
+    from web_template_forensics_spark.oracle.html_oracle import (
+        _collect_text,
+        parse_html_tree,
+    )
+
+    tree = parse_html_tree(html, keep_meta_flag=False)
+    out: list[str] = []
+    _collect_text(tree, out, False)
+    return "\n".join(out)
+
+
+def test_fast_extract_matches_tree_path_on_edges():
+    from web_template_forensics_spark.oracle.html_oracle import extract_text
+
+    for doc in _R7_EDGE_DOCS:
+        assert extract_text(doc) == _tree_path_extract(doc), doc[:60]
+
+
+def test_fast_extract_matches_tree_path_on_generated_pages():
+    from web_template_forensics_spark.oracle.html_oracle import extract_text
+    from web_template_forensics_spark.sources.pages import gen_pages_pdf
+
+    pdf = gen_pages_pdf(0, 300, seed=7, rich=8)
+    for _, row in pdf.iterrows():
+        html = bytes(row["html"]).decode("utf-8", errors="replace")
+        assert extract_text(html) == _tree_path_extract(html), row["url"]

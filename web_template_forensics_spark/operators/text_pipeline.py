@@ -520,7 +520,14 @@ def unigram_logprob(
     # joined in as a literal-free crossJoin of ONE row (broadcast)
     grand = totals.agg(F.sum("cnt").alias("total"))
     scored = (
-        toks.join(totals, "token")
+        # broadcast the vocabulary side (round 7, verdict ask): the token
+        # equi-join otherwise shuffles the exploded token stream AND lands
+        # hot tokens ("the" ~5% of rows) on one reducer until AQE splits;
+        # a vocab table is broadcast-sized at any realistic corpus, and
+        # broadcasting it removes both the shuffle and the skew surface.
+        # AQE skew-join remains the documented fallback if a vocab ever
+        # exceeds broadcast limits (drop the hint, not the operator).
+        toks.join(F.broadcast(totals), "token")
         .crossJoin(F.broadcast(grand))
         .select(
             "doc_id",

@@ -261,17 +261,124 @@ def _collect_text(node: dict[str, Any], out: list[str], clean: bool) -> None:
         _collect_text(child, out, clean)
 
 
+class _TextOnlyBuilder(_StdHTMLParser):
+    """Round-7 fast path for :func:`extract_text` (clean=False): consumes
+    the SAME stdlib event stream as ``_RawTreeBuilder`` but collects only
+    text, skipping node dicts, attribute processing and the
+    ``_to_reference_node`` pass (~20% of extract_text's profile — the
+    tokenizer itself is the other ~80% and is shared verbatim).
+
+    Faithfulness to the tree path, rule by rule:
+      * data runs are coalesced between flush points and pseudo-text
+        (comments/doctypes/PIs/CDATA) flushes first and lands as its own
+        node — identical node boundaries, hence identical strip() results;
+      * each node's content is ``.strip()``-ed, empty dropped, '\\n'-joined
+        in document order;
+      * the open-tag stack replicates bs4 pop-to-nearest-matching /
+        void-element / ``<tag/>`` semantics, so "inside the first <body>
+        subtree" is decided exactly as the tree's ``first_body`` rooting:
+        when a body element exists, only text whose flush happens while the
+        FIRST body frame is on the stack is kept (text before <body>, after
+        its close, or under a later body-after-close is excluded, and
+        ``<body/>`` yields an empty extraction) — matching
+        ``parse_html_tree``'s root selection.
+    Pinned bytewise against the tree path in tests/test_html_oracle.py.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._tags: list[str] = ["[document]"]
+        self._data: list[str] = []
+        self._texts: list[str] = []
+        self._in_body: list[bool] = []
+        self._body_idx: int | None = None  # stack index of the OPEN first body
+        self.body_seen = False
+
+    def _flush(self) -> None:
+        if self._data:
+            content = "".join(self._data)
+            self._data = []
+            if content:
+                s = content.strip()
+                if s:
+                    self._texts.append(s)
+                    self._in_body.append(self._body_idx is not None)
+
+    def _emit_pseudo_text(self, content: str) -> None:
+        self._flush()
+        if content:
+            s = content.strip()
+            if s:
+                self._texts.append(s)
+                self._in_body.append(self._body_idx is not None)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush()
+        first_body = tag == "body" and not self.body_seen
+        if first_body:
+            self.body_seen = True
+        if tag not in EMPTY_ELEMENT_TAGS:
+            self._tags.append(tag)
+            if first_body:
+                self._body_idx = len(self._tags) - 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._flush()
+        if tag == "body" and not self.body_seen:
+            self.body_seen = True  # <body/> closes immediately: empty subtree
+
+    def handle_endtag(self, tag: str) -> None:
+        self._flush()
+        for i in range(len(self._tags) - 1, 0, -1):
+            if self._tags[i] == tag:
+                if self._body_idx is not None and i <= self._body_idx:
+                    self._body_idx = None
+                del self._tags[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        self._data.append(data)
+
+    def handle_comment(self, data: str) -> None:
+        self._emit_pseudo_text(data)
+
+    def handle_decl(self, decl: str) -> None:
+        self._emit_pseudo_text(decl)
+
+    def handle_pi(self, data: str) -> None:
+        self._emit_pseudo_text(data)
+
+    def unknown_decl(self, data: str) -> None:
+        if data.startswith("CDATA["):
+            self._emit_pseudo_text(data[len("CDATA["):])
+        else:
+            self._emit_pseudo_text(data)
+
+    def extracted(self) -> str:
+        self.close()
+        self._flush()
+        if self.body_seen:
+            return "\n".join(t for t, b in zip(self._texts, self._in_body) if b)
+        return "\n".join(self._texts)
+
+
 def extract_text(html_content: str, clean: bool = False) -> str:
     """Extracted text per the north-rule oracle.
 
     In-document-order concatenation ('\\n'-joined) of the stripped,
     non-empty text-node contents of :func:`parse_html_tree` — exactly the
-    reference's text surface (core/html_parser.py:52,68-73).
+    reference's text surface (core/html_parser.py:52,68-73). The default
+    path runs the event-equivalent ``_TextOnlyBuilder`` (no tree
+    materialization; bytewise-pinned against the tree path).
 
     ``clean=True`` (engine extension, NOT the oracle): additionally skips
     script/style/template/noscript subtrees and comment/doctype/PI
     pseudo-text — the variant a training-data pipeline actually wants.
     """
+    if not clean:
+        builder = _TextOnlyBuilder()
+        builder.feed(html_content)
+        return builder.extracted()
     tree = parse_html_tree(html_content, keep_meta_flag=clean)
     out: list[str] = []
     _collect_text(tree, out, clean)
