@@ -114,10 +114,18 @@ def _css_rule_count(css: str) -> int:
     return css.count("{")  # file_matcher.py:227 (crude, replicated)
 
 
-def structure_match(files1, files2, contents1, contents2, filetype, threshold=0.5):
-    """file_matcher.py:186-323 under quirks Q9-Q11: only CSS is live."""
+def structure_match(
+    files1, files2, contents1, contents2, filetype, threshold=0.5, compare_fn=None
+):
+    """file_matcher.py:186-323 under quirks Q9-Q11: only CSS is live.
+
+    ``compare_fn`` (round 7): optional compare_css-compatible callable so
+    replay_cascade can inject a per-replay content-memoized variant — the
+    O(n1*n2) loop below otherwise re-parses each css file once per
+    candidate comparison."""
     if filetype != "css":
         return []
+    cmp_css = compare_fn or compare_css
     matches, used2 = [], set()
     for f1 in files1:
         best, best_f2 = 0.0, None
@@ -130,12 +138,12 @@ def structure_match(files1, files2, contents1, contents2, filetype, threshold=0.
             n2 = _css_rule_count(css2)
             if n1 < 2 or n2 < 2:
                 score = (
-                    compare_css(css1, css2)["css_similarity"]
+                    cmp_css(css1, css2)["css_similarity"]
                     if n1 == 1 and n2 == 1
                     else 0.0
                 )
             else:
-                score = compare_css(css1, css2)["css_similarity"]
+                score = cmp_css(css1, css2)["css_similarity"]
             if score > best:
                 best, best_f2 = score, f2
         if best >= threshold and best_f2:
@@ -192,8 +200,12 @@ def content_match_css(files1, files2, contents1, contents2, threshold=0.6):
     return matches
 
 
-def _compare_pair(filetype: str, c1: str, c2: str) -> dict:
-    """The E1 pairwise-comparison step (file_matcher.py:468-526)."""
+def _compare_pair(filetype: str, c1: str, c2: str, css_compare=None) -> dict:
+    """The E1 pairwise-comparison step (file_matcher.py:468-526).
+
+    ``css_compare`` (round 7): optional memoized compare_css injected by
+    replay_cascade so a content pair already scored during structure_match
+    is not parsed and compared again here."""
     if filetype == "html":
         r = compare_structures(parse_html_tree(c1), parse_html_tree(c2))
         return {
@@ -205,7 +217,7 @@ def _compare_pair(filetype: str, c1: str, c2: str) -> dict:
         # Q12: compare_structures on the raw {'ast','call_graph'} wrappers
         return {"similarity": 1.0, "matching": 1, "different": 0, "missing": 0, "extra": 0}
     if filetype == "css":
-        r = compare_css(c1, c2)
+        r = (css_compare or compare_css)(c1, c2)
         return {
             "similarity": r["css_similarity"],
             "matching": r["matching_selectors"], "different": r["different_selectors"],
@@ -226,10 +238,25 @@ def _compare_pair(filetype: str, c1: str, c2: str) -> dict:
     }
 
 
-def tailwind_compare(c1: str, c2: str, filetype: str) -> dict:
-    """C17 per-pair payload (tailwind_analyzer.py:71-109)."""
-    ext = class_counts_from_tree if filetype == "html" else class_counts_from_markup
-    o, u = Counter(ext(c1)), Counter(ext(c2))
+def tailwind_compare(c1: str, c2: str, filetype: str, ext_cache: dict | None = None) -> dict:
+    """C17 per-pair payload (tailwind_analyzer.py:71-109).
+
+    ``ext_cache`` (round 7): optional per-replay {(is_html, content):
+    class-count dict} memo — the extractor re-parses the whole document
+    per comparison otherwise. Counters are rebuilt per call from the
+    cached dict, so the cached value is never mutated (callers annotate
+    the RETURNED dict, which is always fresh)."""
+    is_html = filetype == "html"
+    ext = class_counts_from_tree if is_html else class_counts_from_markup
+    if ext_cache is None:
+        o, u = Counter(ext(c1)), Counter(ext(c2))
+    else:
+        k1, k2 = (is_html, c1), (is_html, c2)
+        if k1 not in ext_cache:
+            ext_cache[k1] = ext(c1)
+        if k2 not in ext_cache:
+            ext_cache[k2] = ext(c2)
+        o, u = Counter(ext_cache[k1]), Counter(ext_cache[k2])
     inter = sum((o & u).values())
     union = sum((o | u).values())
     freq = inter / union if union else 1.0
@@ -276,13 +303,41 @@ def replay_cascade(rows: list[tuple[str, str, str, str]]) -> dict[str, Any]:
     all_sims: list[float] = []
     total_files = 0
 
+    # Round-7 per-replay memos (guide §1.2 per-task work). The compare
+    # functions are pure over their content arguments (they only build new
+    # local structures — audited), so content-keyed memoization inside ONE
+    # replay is a pure dedup of repeated work: measured 17.9 css parses
+    # per pair for 7.0 distinct css contents (structure_match's O(n1*n2)
+    # candidate loop re-parses per comparison), 8.0 html parses for 5.0
+    # distinct (tailwind extraction re-parses per matched pair), plus
+    # duplicate unchanged-file contents across sides (17.6% of rows).
+    # Scope is ONE replay call — no cross-pair or cross-run state.
+    _css_memo: dict[tuple[str, str], dict] = {}
+    _pair_memo: dict[tuple[str, str, str], dict] = {}
+    _ext_memo: dict[tuple[bool, str], dict] = {}
+
+    def _cmp_css(a: str, b: str) -> dict:
+        r = _css_memo.get((a, b))
+        if r is None:
+            r = compare_css(a, b)
+            _css_memo[(a, b)] = r
+        return r
+
+    def _cmp_pair(ft: str, a: str, b: str) -> dict:
+        k = (ft, a, b)
+        r = _pair_memo.get(k)
+        if r is None:
+            r = _compare_pair(ft, a, b, css_compare=_cmp_css)
+            _pair_memo[k] = r
+        return r
+
     for filetype in ("html", "css", "jsx", "js"):
         files1 = by_type["original"].get(filetype, [])
         files2 = by_type["modified"].get(filetype, [])
         c1s, c2s = contents["original"], contents["modified"]
         exact, rem1, rem2 = exact_path_match(files1, files2)
         fuzzy, rem1, rem2 = fuzzy_filename_match(rem1, rem2)
-        structure = structure_match(rem1, rem2, c1s, c2s, filetype)
+        structure = structure_match(rem1, rem2, c1s, c2s, filetype, compare_fn=_cmp_css)
         contextual = contextual_match(rem1, rem2, exact + [m[:2] for m in fuzzy] + [m[:2] for m in structure])
         content_matches = []
         if filetype == "css":
@@ -317,7 +372,7 @@ def replay_cascade(rows: list[tuple[str, str, str, str]]) -> dict[str, Any]:
         sims = []
         for o, m, score, mtype in pairs:
             matched_rows.append((filetype, o, m, mtype, score))
-            d = _compare_pair(filetype, c1s[o], c2s[m])
+            d = _cmp_pair(filetype, c1s[o], c2s[m])
             sims.append(d["similarity"])
             pair_rows.append(
                 (filetype, o, m, d["similarity"], d["matching"], d["different"],
@@ -330,7 +385,7 @@ def replay_cascade(rows: list[tuple[str, str, str, str]]) -> dict[str, Any]:
                      d["call_graph_similarity"], d["total_functions"])
                 )
             if filetype in ("html", "jsx"):
-                tw = tailwind_compare(c1s[o], c2s[m], filetype)
+                tw = tailwind_compare(c1s[o], c2s[m], filetype, ext_cache=_ext_memo)
                 if tw["original_classes"] or tw["user_classes"]:
                     tw["original"], tw["modified"] = o, m
                     tailwind_rows.append(tw)

@@ -30,7 +30,28 @@ from dataclasses import dataclass
 from typing import Any
 
 
+_SEQ_RATIO_CACHE: dict[tuple[str, str], float] = {}
+_SEQ_RATIO_CACHE_MAX = 1 << 16
+
+
 def seq_ratio(a: str, b: str) -> float:
+    """difflib ratio (THE reference comparator — pure and deterministic).
+
+    Short inputs (filename/basename comparisons, the cascade's fuzzy
+    matcher hot path) are memoized per worker: basenames repeat across
+    millions of project pairs, so the same SequenceMatcher runs
+    re-execute constantly. Long inputs (whole-file content ratios) are
+    not cached — unbounded memory for a near-zero hit rate. Bounded at
+    2^16 entries; pure-function cache, value identical by construction.
+    """
+    if len(a) <= 80 and len(b) <= 80:
+        key = (a, b)
+        r = _SEQ_RATIO_CACHE.get(key)
+        if r is None:
+            r = difflib.SequenceMatcher(None, a, b).ratio()
+            if len(_SEQ_RATIO_CACHE) < _SEQ_RATIO_CACHE_MAX:
+                _SEQ_RATIO_CACHE[key] = r
+        return r
     return difflib.SequenceMatcher(None, a, b).ratio()
 
 
