@@ -121,3 +121,51 @@ def test_mp4_declared_sample_count_guard():
     struct.pack_into(">I", p, stsz_at + 4 + 8, 1 << 27)  # sample_count
     with pytest.raises(Mp4FormatError, match="declares"):
         demux_mp4(bytes(p))
+
+
+# ---------------------------------------------------------------------------
+# round 7: ADVICE r6 hardening pins
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_tables_raise_mp4formaterror_not_struct_error():
+    import struct as _struct
+
+    import pytest
+
+    from web_template_forensics_spark.functions.mp4_codec import (
+        Mp4FormatError,
+        _parse_stsc,
+        _parse_stsz,
+        demux_mp4,
+        encode_mp4,
+    )
+
+    with pytest.raises(Mp4FormatError):
+        _parse_stsz(b"\x00\x00\x00\x00\x00")  # shorter than the 12-byte header
+    with pytest.raises(Mp4FormatError):
+        _parse_stsc(b"\x00\x00\x00\x00\x00\x00")  # shorter than 8
+    # first_chunk=0 must be rejected, not silently read offsets[-1]
+    bad_stsc = b"\x00\x00\x00\x00" + _struct.pack(">I", 1) + _struct.pack(">III", 0, 1, 1)
+    with pytest.raises(Mp4FormatError):
+        _parse_stsc(bad_stsc)
+    # a syntactically-plausible prefix of a real file must never leak
+    # struct.error through demux_mp4
+    full = encode_mp4(_frames(1), np.zeros((64, 1), dtype=np.int16), 8000)
+    for cut in (10, 40, 80, 120, len(full) - 5):
+        try:
+            demux_mp4(full[:cut])
+        except Mp4FormatError:
+            pass  # the documented contract
+        except NotImplementedError:
+            pass  # unsupported-entry seam is also in-contract
+
+
+def test_encode_mp4_hi_res_rate_roundtrip():
+    from web_template_forensics_spark.functions.mp4_codec import demux_mp4, encode_mp4
+
+    pcm = np.zeros((96, 1), dtype=np.int16)
+    payload = encode_mp4(_frames(1), pcm, 96000)
+    _vf, samples, rate = demux_mp4(payload)
+    assert rate == 96000  # was (96000 & 0xFFFF) = 30464 before the fix
+    assert samples.shape[0] == 96

@@ -223,7 +223,12 @@ def encode_mp4(
         + struct.pack(">H", 1)
         + struct.pack(">HHI", 0, 0, 0)
         + struct.pack(">HHHH", ch, 16, 0, 0)
-        + struct.pack(">I", (sample_rate & 0xFFFF) << 16),  # 16.16 fixed
+        # 16.16 fixed; rates > 65535 Hz don't fit — write 0 and rely on
+        # the mdhd timescale (which demux_mp4 already falls back to),
+        # instead of silently truncating to a wrong nonzero rate
+        + struct.pack(
+            ">I", (sample_rate << 16) if sample_rate <= 0xFFFF else 0
+        ),
     )
     trak_a = _box(
         b"trak",
@@ -277,18 +282,26 @@ def _find(data: bytes, pos: int, end: int, fourcc: bytes) -> tuple[int, int] | N
 
 
 def _parse_stsc(body: bytes) -> list[tuple[int, int]]:
+    if len(body) < 8:
+        raise Mp4FormatError("truncated stsc header")
     (n,) = struct.unpack(">I", body[4:8])
     if len(body) < 8 + 12 * n:
         raise Mp4FormatError("truncated stsc")
     out = []
     for i in range(n):
         first, per, _sdi = struct.unpack(">III", body[8 + 12 * i : 20 + 12 * i])
+        if first < 1:
+            # chunk numbering is 1-based; first_chunk=0 would make
+            # offsets[c - 1] silently read offsets[-1] downstream
+            raise Mp4FormatError("stsc first_chunk < 1")
         out.append((first, per))
     return out
 
 
 def _parse_stsz(body: bytes) -> tuple[int, int, list[int]]:
     """stsz full-box body -> (n_samples, const_size, per-sample sizes)."""
+    if len(body) < 12:
+        raise Mp4FormatError("truncated stsz header")
     const, n = struct.unpack(">II", body[4:12])
     if n > _MAX_SAMPLES:
         raise Mp4FormatError(f"stsz declares {n} samples (> {_MAX_SAMPLES})")
@@ -370,7 +383,19 @@ def demux_mp4(
     seam); ``skip_unsupported=True`` skips them instead and returns
     whatever IS decodable — the near-dup posture, where an H.264 file
     with a PCM soundtrack should still fingerprint its audio. A
-    structurally broken file raises ``Mp4FormatError`` either way."""
+    structurally broken file raises ``Mp4FormatError`` either way —
+    including hostile/truncated tables whose short slices would
+    otherwise surface as ``struct.error`` (ADVICE r6 medium: that
+    escaped the documented contract and the operators' handlers)."""
+    try:
+        return _demux_mp4_impl(payload, skip_unsupported)
+    except struct.error as exc:
+        raise Mp4FormatError(f"truncated/malformed MP4 structure: {exc}") from exc
+
+
+def _demux_mp4_impl(
+    payload: bytes, skip_unsupported: bool = False
+) -> tuple[list[bytes], np.ndarray, int]:
     if not is_mp4(payload):
         raise Mp4FormatError("not an ISO-BMFF payload")
     moov = _find(payload, 0, len(payload), b"moov")

@@ -382,7 +382,10 @@ def video_phash_pairs(
                 payload = bytes(r[1]) if r[1] is not None else b""
                 try:
                     h = video_payload_hash64(payload, max_frames)
-                except ValueError:
+                except (ValueError, NotImplementedError):
+                    # lossy-codec seams (e.g. lossy WebP frames) drop the
+                    # row instead of crashing the task — same contract as
+                    # image_phash_pairs / av_fingerprint_pairs
                     continue
                 ids.append(int(r[0]))
                 hs.append(phash_to_signed(h))
@@ -473,7 +476,11 @@ def av_fingerprint_pairs(
                         # MJPEG / animated GIF / WebP magic dispatch;
                         # anything else raises ValueError -> dropped
                         emitted.append(("video", video_payload_hash64(payload)))
-                except ValueError:
+                except (ValueError, NotImplementedError):
+                    # NotImplementedError too (ADVICE r6 high): demux_avi
+                    # raises it for non-MJPG/non-PCM AVIs (XviD, MP3-in-
+                    # AVI) — the drop/partial-fingerprint contract, like
+                    # image_phash_pairs
                     continue
                 for fam, h in emitted:
                     ids.append(int(r[0]))
