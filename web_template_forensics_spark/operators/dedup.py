@@ -599,10 +599,17 @@ def ngram_jaccard_pairs(
             .select("_blk", "gram")
         )
         join_grams = grams.join(hot, ["_blk", "gram"], "left_anti")
+    # ONE materialized gram stage (round 7, same move as minhash/banding):
+    # the gram explosion feeds three consumers (both intersection-join
+    # sides and the sizes aggregate); an explicit exchange keyed on the
+    # join key makes all of them reuse a single scan+explode execution —
+    # and already satisfies the intersection join's distribution, so it
+    # adds no exchange to that path. Explicit partition count so AQE
+    # cannot coalesce-and-serialize the candidate fan-out downstream.
+    join_grams = join_grams.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "_blk", "gram"
+    )
     sizes = join_grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    # aliases of one plan, rename after the join (exchange-reuse move,
-    # see hamming_band_pairs): gram extraction and the sizes aggregate
-    # each execute once, not once per join side
     ga, gb = join_grams.alias("_ga"), join_grams.alias("_gb")
     inter = (
         ga.join(

@@ -439,11 +439,19 @@ def semantic_near_dup_pairs(
         for combo in itertools.combinations(range(bits), h)
     ]
     bucket = _sign_lsh_udf(dim if dim is not None else 4096, bits)
+    # ONE materialized scan+bucket-UDF stage (round 7): both join sides
+    # derive from the same (id, vec, bucket) frame; without an explicit
+    # exchange above the UDF, each side re-scans and re-buckets the whole
+    # corpus (a broadcast build side cannot reuse the other side's plan).
+    # Explicit count so AQE can't coalesce-and-serialize the pair fan-out.
+    base = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        bucket(F.col(vec_col)).alias("_b"),
+    ).repartition(vectors.sparkSession.sparkContext.defaultParallelism, "_vid")
     left = (
-        vectors.select(
-            F.col(id_col).alias("id_a"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
-            bucket(F.col(vec_col)).alias("ba"),
+        base.select(
+            F.col("_vid").alias("id_a"), F.col("_v").alias("va"), F.col("_b").alias("ba")
         )
         .withColumn(
             "bucket",
@@ -451,10 +459,8 @@ def semantic_near_dup_pairs(
         )
         .drop("ba")
     )
-    right = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
-        bucket(F.col(vec_col)).alias("bucket"),
+    right = base.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("vb"), F.col("_b").alias("bucket")
     )
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = with_cosine(pairs, "va", "vb")
