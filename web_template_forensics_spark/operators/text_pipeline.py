@@ -257,6 +257,12 @@ def window_span_dedup(
     spans = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("span")).select(
         "doc_id", F.md5("span").alias("h")
     )
+    # ONE materialized span stage (round 7): three consumers below
+    # (window counts, duplicate-hash detection, the join back) otherwise
+    # each re-scan the text and re-explode the windows. Keyed on ``h`` so
+    # the dup-hash aggregate and the equi-join reuse the exchange with no
+    # further shuffle; explicit count so AQE can't coalesce-and-serialize.
+    spans = spans.repartition(df.sparkSession.sparkContext.defaultParallelism, "h")
     per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
     dup_h = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
     dup_per_doc = (
@@ -341,26 +347,29 @@ def decontaminate(
         .select(F.md5("gram").alias("h"))
         .distinct()
     )
-    hits = (
-        spans.join(F.broadcast(eval_h), "h", "left_semi")
+    # ONE pass (round 7): the old shape ran a broadcast semi-join +
+    # groupBy for hits AND a separate groupBy for window counts — two
+    # full scan+explode executions of the train side. A broadcast LEFT
+    # join with a marker column computes both in one aggregation:
+    # count(h) counts the non-null grams (explode_outer's empty-doc row
+    # has h NULL and can never match), count(_hit) counts matches.
+    marked = eval_h.withColumn("_hit", F.lit(1))
+    per_doc = (
+        spans.join(F.broadcast(marked), "h", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.col("h")).alias("n_windows")
-    )
-    return (
-        per_doc.join(hits, "doc_id", "left")
-        .fillna({"n_hits": 0})
-        .select(
-            "doc_id",
-            F.col("n_windows").cast("long").alias("n_windows"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.when(F.col("n_hits") > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("contaminated"),
+        .agg(
+            F.count(F.col("h")).alias("n_windows"),
+            F.count(F.col("_hit")).alias("n_hits"),
         )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.when(F.col("n_hits") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("contaminated"),
     )
 
 
@@ -609,6 +618,11 @@ def self_dedup_redact(
         (F.lit(1) + F.col("j") * F.lit(stride)).alias("start1"),
         F.md5("gram").alias("h"),
     )
+    # ONE materialized span stage (round 7): the keeper aggregate and the
+    # victims join below otherwise each re-scan and re-explode the text.
+    # Keyed on ``h`` so both reuse the exchange with no further shuffle;
+    # only (doc_id, start1, md5) triples cross it, never text.
+    spans = spans.repartition(df.sparkSession.sparkContext.defaultParallelism, "h")
     keepers = (
         spans.groupBy("h")
         .agg(
