@@ -125,6 +125,14 @@ def repetition_stats(
         words.alias("words"),
         F.length(collapsed_text_col(F.col(text_col))).cast("long").alias("clen"),
     )
+    # ONE materialized tokenization (round 7): the four n-gram branches
+    # below each re-scanned the corpus and re-split the text. A single
+    # doc_id-keyed exchange is reused by every branch AND pre-satisfies
+    # every downstream distribution — (doc_id, gram) counts, the per-doc
+    # rollups and the doc_id equi-joins all cluster by doc_id — so the
+    # whole operator becomes 1 scan + 1 exchange + in-partition work.
+    # Explicit count so AQE can't coalesce-and-serialize the gram work.
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
     out = base.select("doc_id")
     for n in top_ns:
         counts = (
