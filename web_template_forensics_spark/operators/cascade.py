@@ -697,33 +697,68 @@ def cascade_reports_per_pair(files: DataFrame, pair_col: str = "pair_id") -> Dat
     one-huge-pair path and the oracle target.
 
     Input columns: (pair_id, side, path, filetype, content).
+
+    Round-7 shape: ``repartition(pair_col) + sortWithinPartitions +
+    mapInPandas`` instead of ``groupBy().applyInPandas`` — semantically
+    identical (hash partitioning co-locates each pair; the sort makes
+    its rows contiguous; a carried tail handles groups spanning Arrow
+    batch boundaries), but the replay runs over WHOLE batches of pairs:
+    the old path paid per-group Arrow framing plus a one-row pandas
+    DataFrame construction per pair (~8% of the leg at 34-file pairs,
+    and worse the smaller the pairs).
     """
     from ..oracle.cascade_oracle import replay_cascade
 
-    def one_pair(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf[pair_col].iloc[0])
+    def _report(pid: int, pdf: pd.DataFrame) -> dict:
         rows = sorted(
             (r.side, r.path, r.filetype, r.content)
             for r in pdf.itertuples(index=False)
         )
         rep = replay_cascade(rows)
         per = rep["per_type"]
-        return pd.DataFrame(
-            [
-                {
-                    "pair_id": pid,
-                    "overall_similarity": rep["overall_similarity"],
-                    "total_files": rep["total_files"],
-                    "prediction": rep["overall_prediction"],
-                    "html_score": per["html"]["aggregate_score"],
-                    "css_score": per["css"]["aggregate_score"],
-                    "jsx_score": per["jsx"]["aggregate_score"],
-                    "js_score": per["js"]["aggregate_score"],
-                    "tailwind_class_similarity": rep["tailwind_aggregate"]["class_similarity"],
-                    "files_matched": sum(v["files_matched"] for v in per.values()),
-                    "files_unmatched": sum(v["files_unmatched"] for v in per.values()),
-                }
-            ]
-        )
+        return {
+            "pair_id": pid,
+            "overall_similarity": rep["overall_similarity"],
+            "total_files": rep["total_files"],
+            "prediction": rep["overall_prediction"],
+            "html_score": per["html"]["aggregate_score"],
+            "css_score": per["css"]["aggregate_score"],
+            "jsx_score": per["jsx"]["aggregate_score"],
+            "js_score": per["js"]["aggregate_score"],
+            "tailwind_class_similarity": rep["tailwind_aggregate"]["class_similarity"],
+            "files_matched": sum(v["files_matched"] for v in per.values()),
+            "files_unmatched": sum(v["files_unmatched"] for v in per.values()),
+        }
 
-    return files.groupBy(pair_col).applyInPandas(one_pair, schema=_REPORT_SCHEMA)
+    def many_pairs(batches):
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if len(pdf) == 0:
+                continue
+            pids = pdf[pair_col].to_numpy()
+            # hold back the trailing group: it may continue in the next batch
+            last = pids[-1]
+            cut = int((pids != last).nonzero()[0][-1]) + 1 if (pids != last).any() else 0
+            if cut < len(pdf):
+                tail = pdf.iloc[cut:]
+                pdf = pdf.iloc[:cut]
+            if len(pdf) == 0:
+                continue
+            out = [
+                _report(int(pid), g) for pid, g in pdf.groupby(pair_col, sort=False)
+            ]
+            yield pd.DataFrame(out)
+        if tail is not None and len(tail):
+            yield pd.DataFrame(
+                [_report(int(pid), g) for pid, g in tail.groupby(pair_col, sort=False)]
+            )
+
+    n_parts = files.sparkSession.sparkContext.defaultParallelism
+    return (
+        files.repartition(n_parts, pair_col)
+        .sortWithinPartitions(pair_col)
+        .mapInPandas(many_pairs, schema=_REPORT_SCHEMA)
+    )
