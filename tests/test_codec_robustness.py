@@ -454,3 +454,87 @@ def test_sample_video_frames_null_duration_meta(spark):
     )
     rows = sample_video_frames(media, every_ms=1000, fake_decode=True).collect()
     assert rows == []  # null duration -> 0 positions, no crash
+
+
+# ------------------------------------------- fast histogram equivalence
+
+
+def test_hist8_u8_matches_np_histogram_exhaustively():
+    """_hist8_u8 must equal np.histogram(bins=8, range=(0, 255)) for
+    every uint8 value (the map is additive, so per-value equality over
+    the whole domain proves equality on any input) plus random arrays."""
+    from web_template_forensics_spark.operators.multimodal import _hist8_u8
+
+    all_values = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        _hist8_u8(all_values),
+        np.histogram(all_values, bins=8, range=(0, 255))[0],
+    )
+    for v in range(256):  # per-value: the additivity basis
+        one = np.array([v], dtype=np.uint8)
+        assert np.array_equal(
+            _hist8_u8(one), np.histogram(one, bins=8, range=(0, 255))[0]
+        ), f"value {v}"
+    rng = np.random.RandomState(7)
+    for shape in [(0,), (5,), (24, 40, 3), (1, 1, 3)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(
+            _hist8_u8(arr), np.histogram(arr, bins=8, range=(0, 255))[0]
+        )
+
+
+def test_hist8_pcm_matches_np_histogram_exhaustively():
+    """_hist8_pcm_int must equal np.histogram(bins=8,
+    range=(-32768.0, 32768.0)) over the ENTIRE in-range integer domain
+    (incl. the closed top edge 32768) and drop out-of-range int32
+    values exactly as np.histogram drops them."""
+    from web_template_forensics_spark.operators.multimodal import _hist8_pcm_int
+
+    domain = np.arange(-32768, 32769, dtype=np.int64)  # every in-range value
+    assert np.array_equal(
+        _hist8_pcm_int(domain),
+        np.histogram(
+            domain.astype(np.float64), bins=8, range=(-32768.0, 32768.0)
+        )[0],
+    )
+    # per-value equality on the edges of every bin + out-of-range values
+    edges = [-32769, -32768, -32767, -24577, -24576, -1, 0, 32767, 32768, 32769, 10**6, -(10**6)]
+    for v in edges:
+        one = np.array([v], dtype=np.int64)
+        assert np.array_equal(
+            _hist8_pcm_int(one),
+            np.histogram(
+                one.astype(np.float64), bins=8, range=(-32768.0, 32768.0)
+            )[0],
+        ), f"value {v}"
+    rng = np.random.RandomState(11)
+    for dtype, lo, hi in [
+        (np.int16, -32768, 32768),
+        (np.int32, -(1 << 20), 1 << 20),  # FLAC >16-bps shape incl. out-of-range
+    ]:
+        arr = rng.randint(lo, hi, size=(3000, 2)).astype(dtype)
+        assert np.array_equal(
+            _hist8_pcm_int(arr),
+            np.histogram(
+                arr.astype(np.float64).reshape(-1),
+                bins=8,
+                range=(-32768.0, 32768.0),
+            )[0],
+        )
+
+
+def test_audio_features_unchanged_by_fast_histogram():
+    """audio_features output is bitwise identical to the reference
+    np.histogram formulation for int16 and int32 (FLAC) inputs."""
+    from web_template_forensics_spark.operators.multimodal import audio_features
+
+    rng = np.random.RandomState(3)
+    for dtype in (np.int16, np.int32):
+        samples = rng.randint(-32768, 32768, size=(4000, 2)).astype(dtype)
+        feat, summ = audio_features(samples)
+        flat = samples.astype(np.float64).reshape(-1)
+        ref = np.histogram(flat, bins=8, range=(-32768.0, 32768.0))[0].astype(
+            np.float64
+        )
+        ref = ref / max(1.0, ref.sum())
+        assert np.array_equal(feat, ref)

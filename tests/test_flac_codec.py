@@ -225,3 +225,114 @@ def test_flac_decode_never_returns_garbage(junk):
         decode_flac(b"fLaC" + junk)
     except FlacFormatError:
         pass
+
+
+# ---------------------------------------- vectorized rice decode parity
+
+
+def _write_rice(bw, values, k):
+    for v in values:
+        u = (-v - 1) * 2 + 1 if v < 0 else v * 2  # zigzag
+        q, r = u >> k, u & ((1 << k) - 1)
+        bw.write_unary(q)
+        if k:
+            bw.write(r, k)
+
+
+def test_rice_partition_vec_matches_scalar_reader():
+    """_rice_partition_vec must be bitwise-identical to decoding the
+    same stream with the scalar _BitReader primitives (read_unary +
+    read), across params 0..14, mid-byte start offsets, hot/cold q
+    distributions, and n around the 48-sample dispatch threshold."""
+    import numpy as np
+
+    from web_template_forensics_spark.functions.flac_codec import (
+        _BitReader,
+        _BitWriter,
+        _rice_partition_vec,
+    )
+
+    rng = np.random.RandomState(99)
+    for trial in range(40):
+        k = int(rng.randint(0, 15))
+        n = int(rng.choice([48, 49, 50, 63, 200, 1000, 4096]))
+        spread = int(rng.choice([1, 3, 8]))
+        vals = [
+            int(v)
+            for v in (rng.geometric(1.0 / spread, size=n) - 1)
+            * rng.choice([-1, 1], size=n)
+        ]
+        lead_bits = int(rng.randint(0, 8))
+        bw = _BitWriter()
+        if lead_bits:
+            bw.write(int(rng.randint(0, 1 << lead_bits)), lead_bits)
+        _write_rice(bw, vals, k)
+        bw.align()
+        data = bw.bytes()
+
+        br = _BitReader(data)
+        br.pos = lead_bits
+        got = _rice_partition_vec(br, n, k)
+        assert got == vals, f"trial {trial} k={k} n={n}"
+
+        # scalar reference off the independently-tested reader primitives
+        br2 = _BitReader(data)
+        br2.pos = lead_bits
+        ref = []
+        for _ in range(n):
+            q = br2.read_unary()
+            u = (q << k) | (br2.read(k) if k else 0)
+            ref.append((u >> 1) ^ -(u & 1))
+        assert got == ref
+        assert br.pos == br2.pos  # consumed-bit parity
+
+
+def test_rice_partition_vec_truncation_errors():
+    """Truncated unary run and truncated trailing remainder raise the
+    same FlacFormatError family the scalar loop raises."""
+    import pytest as _pytest
+
+    from web_template_forensics_spark.functions.flac_codec import (
+        _BitReader,
+        _BitWriter,
+        FlacFormatError,
+        _rice_partition_vec,
+    )
+
+    # 60 codes promised, stream holds only 10: unary run truncated
+    bw = _BitWriter()
+    _write_rice(bw, list(range(10)), 3)
+    bw.align()
+    br = _BitReader(bw.bytes())
+    with _pytest.raises(FlacFormatError):
+        _rice_partition_vec(br, 60, 3)
+
+    # last code's remainder cut off: bitstream truncated
+    bw = _BitWriter()
+    _write_rice(bw, [1] * 60, 7)
+    bw.align()
+    data = bw.bytes()[:-1]
+    br = _BitReader(data)
+    with _pytest.raises(FlacFormatError):
+        _rice_partition_vec(br, 60, 7)
+
+
+def test_read_residual_dispatch_parity_via_roundtrip():
+    """Whole-file parity: blocks sized to land partitions BOTH below and
+    above the vectorized-dispatch threshold decode to the exact PCM."""
+    import numpy as np
+
+    from web_template_forensics_spark.functions.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(5)
+    for n_samp, ch in [(100, 1), (4096, 2), (7000, 2), (47, 1), (48, 1)]:
+        samples = rng.randint(-32768, 32768, size=(n_samp, ch)).astype(np.int16)
+        payload = encode_flac(
+            samples, 16000, stereo_mode="mid_side" if ch == 2 else "independent"
+        )
+        out, rate = decode_flac(payload)
+        assert rate == 16000
+        assert np.array_equal(out, samples.astype(out.dtype))

@@ -51,20 +51,34 @@ class _BitReader:
     and unary runs advance by whole zero-windows — the same LUT-window
     discipline as the WebP and JPEG readers."""
 
-    __slots__ = ("w32", "pos", "n")
+    __slots__ = ("w32", "pos", "n", "_u8", "_w32np", "_ones")
 
     def __init__(self, data):
-        buf = np.frombuffer(
-            bytes(data) + b"\x00\x00\x00\x00", dtype=np.uint8
-        ).astype(np.uint32)
-        self.w32 = (
-            (buf[:-3] << np.uint32(24))
-            | (buf[1:-2] << np.uint32(16))
-            | (buf[2:-1] << np.uint32(8))
-            | buf[3:]
-        ).tolist()
+        buf = np.frombuffer(bytes(data) + b"\x00\x00\x00\x00", dtype=np.uint8)
+        w = buf.astype(np.uint32)
+        w32np = (
+            (w[:-3] << np.uint32(24))
+            | (w[1:-2] << np.uint32(16))
+            | (w[2:-1] << np.uint32(8))
+            | w[3:]
+        )
+        self.w32 = w32np.tolist()
         self.pos = 0
         self.n = (len(buf) - 4) * 8
+        # kept for the VECTORIZED rice path (_rice_partition_vec):
+        # the numpy window for batched remainder gathers, and the
+        # lazily-built sorted positions of every 1 bit (unary
+        # terminators live in this array)
+        self._u8 = buf
+        self._w32np = w32np
+        self._ones = None
+
+    def ones_positions(self) -> np.ndarray:
+        """Sorted bit positions (MSB-first, matching ``pos``) of every
+        1 bit in the real data — built once per reader, lazily."""
+        if self._ones is None:
+            self._ones = np.flatnonzero(np.unpackbits(self._u8[:-4]))
+        return self._ones
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
@@ -276,6 +290,69 @@ _SAMPLE_RATES = {
 # -------------------------------------------------------------- decoder
 
 
+def _rice_partition_vec(br: _BitReader, n: int, param: int) -> list[int]:
+    """Decode ``n`` Rice(``param``) codes starting at ``br.pos`` —
+    bitwise-identical to the scalar loop in ``_read_residual`` (pinned
+    against it in tests/test_flac_codec.py), but resolved with numpy.
+
+    A Rice code is q zero bits, a 1 terminator, then ``param`` raw
+    remainder bits, so terminator i+1 is the FIRST 1 bit at position
+    >= t_i + param + 1. Over the sorted 1-bit positions that successor
+    is one vectorized searchsorted, and the terminator chain is its
+    orbit, extracted by pointer doubling (out[f+i] = succ^f(out[i])) in
+    O(log n) gathers instead of n Python loop iterations. Remainders
+    are then one batched gather from the 32-bit window. ~5x the scalar
+    loop on real partitions; truncation raises the same
+    FlacFormatError messages at the same stream states."""
+    k = param
+    pos = br.pos
+    bits_n = br.n
+    ones = br.ones_positions()
+    j0 = int(np.searchsorted(ones, pos, side="left"))
+    # slice of candidate 1 bits: n terminators + ~n*k/2 expected 1s
+    # inside remainder fields, doubled on the rare undershoot
+    need = n + ((n * k) >> 1) + 64
+    while True:
+        js = ones[j0 : j0 + need].astype(np.int64, copy=False)
+        m = js.size
+        if m >= n:
+            succ = np.searchsorted(js, js + (k + 1), side="left")
+            succ = np.append(succ, m)  # sentinel: past-slice is a fixed point
+            t_idx = np.empty(n, dtype=np.int64)
+            t_idx[0] = 0
+            filled = 1
+            jump = succ
+            while filled < n:
+                take = min(filled, n - filled)
+                t_idx[filled : filled + take] = jump[t_idx[:take]]
+                filled += take
+                if filled < n:
+                    jump = jump[np.minimum(jump, m)]
+            if int(t_idx[-1]) < m:
+                t = js[t_idx]
+                break
+        if j0 + need >= ones.size:
+            # no further 1 bits exist: the stream ends inside a unary run
+            raise FlacFormatError("unary run truncated")
+        need *= 2
+    if k:
+        if int(t[-1]) + 1 + k > bits_n:
+            raise FlacFormatError("bitstream truncated")
+        p1 = t + 1
+        rem = (
+            br._w32np[p1 >> 3] >> (np.uint32(32 - k) - (p1 & 7).astype(np.uint32))
+        ).astype(np.int64) & ((1 << k) - 1)
+    else:
+        rem = 0
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = pos
+    if n > 1:
+        starts[1:] = t[:-1] + (k + 1)
+    u = ((t - starts) << k) | rem
+    br.pos = int(t[-1]) + k + 1
+    return ((u >> 1) ^ -(u & 1)).tolist()
+
+
 def _read_residual(br: _BitReader, block_size: int, order: int) -> list[int]:
     method = br.read(2)
     if method > 1:
@@ -309,6 +386,10 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> list[int]:
                 q = br.read_unary()
                 u = (q << param) | br.read(param)
                 append((u >> 1) ^ -(u & 1))
+        elif n >= 48:
+            # vectorized terminator-chain decode (bitwise-identical to
+            # the scalar loop below; pinned in tests/test_flac_codec.py)
+            out.extend(_rice_partition_vec(br, n, param))
         else:
             pos = br.pos
             mask = (1 << param) - 1

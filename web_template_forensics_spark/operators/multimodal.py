@@ -79,6 +79,52 @@ FEATURE_SCHEMA = (
 )
 
 
+# The 8-bin feature histograms sit on the per-row decode hot path.
+# np.histogram re-derives edges and float-transforms the data on every
+# call (~150 us per thumb-sized image — ~9% of the whole media-decode
+# leg profiled); for INTEGER-valued input over a fixed range the counts
+# are a pure function of the per-value counts, so a one-time
+# value->bin map + bincount fold returns bitwise-identical counts at a
+# fraction of the cost. The u8 map is extracted from np.histogram
+# itself (exact by construction); the PCM power-of-two binning is
+# pinned exhaustively over the full in-range domain in
+# tests/test_codec_robustness.py.
+_U8_BIN_STARTS: np.ndarray | None = None
+
+
+def _hist8_u8(arr: np.ndarray) -> np.ndarray:
+    """Exactly ``np.histogram(arr, bins=8, range=(0, 255))[0]`` for
+    uint8 input."""
+    global _U8_BIN_STARTS
+    if _U8_BIN_STARTS is None:
+        per_value = np.array(
+            [
+                int(
+                    np.histogram(
+                        np.array([v], dtype=np.uint8), bins=8, range=(0, 255)
+                    )[0].argmax()
+                )
+                for v in range(256)
+            ]
+        )
+        if np.any(np.diff(per_value) < 0):  # fold below needs monotone bins
+            raise AssertionError("np.histogram value->bin map not monotone")
+        _U8_BIN_STARTS = np.searchsorted(per_value, np.arange(8), side="left")
+    counts = np.bincount(arr.reshape(-1), minlength=256)
+    return np.add.reduceat(counts, _U8_BIN_STARTS)
+
+
+def _hist8_pcm_int(v: np.ndarray) -> np.ndarray:
+    """Exactly ``np.histogram(v, bins=8, range=(-32768.0, 32768.0))[0]``
+    for integer sample values: the bins are uniform with power-of-two
+    width 8192, so the bin index is (v + 32768) >> 13 (the closed top
+    edge 32768 folds into bin 7) and out-of-range values are excluded
+    just as np.histogram excludes them."""
+    v = v.astype(np.int64, copy=False).reshape(-1)
+    v = v[(v >= -32768) & (v <= 32768)]
+    return np.bincount(np.minimum((v + 32768) >> 13, 7), minlength=8)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """bytes -> (h, w, 3) uint8.
 
@@ -189,7 +235,12 @@ def audio_features(samples: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     absolute amplitude by the int16 full scale, zero-crossing rate as the
     fraction of adjacent first-channel sample pairs changing sign."""
     flat = samples.astype(np.float64).reshape(-1)
-    feat = np.histogram(flat, bins=8, range=(-32768.0, 32768.0))[0].astype(np.float64)
+    if np.issubdtype(samples.dtype, np.integer):
+        feat = _hist8_pcm_int(samples).astype(np.float64)
+    else:  # non-integer callers keep the reference formulation verbatim
+        feat = np.histogram(flat, bins=8, range=(-32768.0, 32768.0))[0].astype(
+            np.float64
+        )
     feat = feat / max(1.0, feat.sum())
     rms = float(np.sqrt(np.mean(flat * flat))) / 32768.0 if flat.size else 0.0
     ch0 = samples[:, 0].astype(np.int32)
@@ -237,7 +288,7 @@ def _byte_histogram_features(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     Also the deterministic fallback when a sniffed-but-malformed payload
     fails real decode — ONE bad row must degrade, not kill the job."""
     arr = np.frombuffer(payload, dtype=np.uint8)
-    feat = np.histogram(arr, bins=8, range=(0, 255))[0].astype(np.float64)
+    feat = _hist8_u8(arr).astype(np.float64)
     return feat / max(1.0, feat.sum()), np.zeros(3)
 
 
@@ -257,9 +308,7 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
             try:
                 img = decode_image(payload, fake=fake_decode)
                 thumb = img.reshape(-1, 3).mean(axis=0) / 255.0
-                feat = np.histogram(img, bins=8, range=(0, 255))[0].astype(
-                    np.float64
-                )
+                feat = _hist8_u8(img).astype(np.float64)
                 feat = feat / max(1.0, feat.sum())
             except ValueError:
                 feat, thumb = _byte_histogram_features(payload)
@@ -293,9 +342,7 @@ def _features_chunk(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
                 feats = []
                 means = []
                 for img in _sampled_video_frames(payload, VIDEO_FEATURE_FRAMES):
-                    h = np.histogram(img, bins=8, range=(0, 255))[0].astype(
-                        np.float64
-                    )
+                    h = _hist8_u8(img).astype(np.float64)
                     feats.append(h / max(1.0, h.sum()))
                     means.append(img.reshape(-1, 3).mean(axis=0) / 255.0)
                 feat = np.mean(feats, axis=0)
@@ -492,9 +539,7 @@ def sample_video_frames(
                     if img is None:
                         feat, _ = _byte_histogram_features(chunk)
                     else:
-                        feat = np.histogram(img, bins=8, range=(0, 255))[
-                            0
-                        ].astype(np.float64)
+                        feat = _hist8_u8(img).astype(np.float64)
                         feat = feat / max(1.0, feat.sum())
                     rows.append((int(r.media_id), fno, int(pos), feat.astype(np.float32).tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "position_ms", "feat"])
