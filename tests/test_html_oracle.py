@@ -263,3 +263,40 @@ def test_fast_extract_matches_tree_path_on_generated_pages():
     for _, row in pdf.iterrows():
         html = bytes(row["html"]).decode("utf-8", errors="replace")
         assert extract_text(html) == _tree_path_extract(html), row["url"]
+
+
+def test_updatepos_noop_is_event_neutral():
+    """r7: both builders override _markupbase.updatepos with `return j`
+    (skips lineno/offset newline counting, ~9% of extract_text). Positions
+    never influence tokenization, so the event stream — and therefore the
+    extraction AND the tree — must be identical with the stdlib version
+    restored. Pin that over every edge doc and a generated rich corpus."""
+    import _markupbase
+
+    from web_template_forensics_spark.oracle import html_oracle as ho
+    from web_template_forensics_spark.sources.pages import gen_pages_pdf
+
+    class _SlowText(ho._TextOnlyBuilder):
+        updatepos = _markupbase.ParserBase.updatepos
+
+    class _SlowTree(ho._RawTreeBuilder):
+        updatepos = _markupbase.ParserBase.updatepos
+
+    def slow_extract(html: str) -> str:
+        b = _SlowText()
+        b.feed(html)
+        return b.extracted()
+
+    def slow_tree(html: str):
+        b = _SlowTree()
+        b.feed(html)
+        b.close()
+        b.finish()
+        return b.document
+
+    docs = list(_R7_EDGE_DOCS)
+    pdf = gen_pages_pdf(0, 120, seed=11, rich=8)
+    docs += [bytes(h).decode("utf-8", errors="replace") for h in pdf["html"]]
+    for doc in docs:
+        assert ho.extract_text(doc) == slow_extract(doc), doc[:60]
+        assert ho.parse_raw(doc).document == slow_tree(doc), doc[:60]

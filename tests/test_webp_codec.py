@@ -362,3 +362,69 @@ def test_two_symbol_green_with_length_code_uses_normal_form():
     img = np.full((4, 4, 4), (200, 100, 50, 128), dtype=np.uint8)
     _check(img, use_lz77=True)
     _check(np.full((30, 50, 3), 7, dtype=np.uint8), use_lz77=True)
+
+
+def test_fast_argb_decode_matches_reference_bitwise(monkeypatch):
+    """r7: _decode_argb_image inlines the bit reader and packs pixels as
+    ints; pin it bitwise against _decode_argb_image_ref at EVERY internal
+    call site (main image, entropy images, palettes, meta images,
+    animation frames) by pairing the two on cloned readers mid-stream."""
+    from web_template_forensics_spark.functions import webp_codec as wc
+    from web_template_forensics_spark.functions.webp_codec import (
+        decode_webp,
+        decode_webp_frames,
+        encode_webp,
+        encode_webp_animation,
+    )
+
+    fast = wc._decode_argb_image
+    calls = {"n": 0}
+
+    def paired(br, w, h, allow_meta):
+        clone = wc._BitReader.__new__(wc._BitReader)
+        clone.w32, clone.pos, clone.n = br.w32, br.pos, br.n
+        # ref runs UNPATCHED (self-recursive) so each outer call compares
+        # whole subtrees; fast recursion is itself re-paired per call
+        ref_out = wc._decode_argb_image_ref(clone, w, h, allow_meta)
+        out = fast(br, w, h, allow_meta)
+        assert out.dtype == ref_out.dtype and out.shape == ref_out.shape
+        assert (out == ref_out).all()
+        assert br.pos == clone.pos and br.n == clone.n
+        calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(wc, "_decode_argb_image", paired)
+
+    rng = np.random.RandomState(77)
+    payloads = []
+    noise = rng.randint(0, 256, (21, 29, 3), dtype=np.uint8)
+    flat = np.zeros((16, 24, 3), np.uint8)
+    flat[4:12, 3:20] = (9, 180, 40)
+    pal = rng.randint(0, 256, (7, 3), np.uint8)
+    indexed = pal[rng.randint(0, 7, (18, 22))]
+    rgba = rng.randint(0, 256, (11, 13, 4), dtype=np.uint8)
+    payloads.append(encode_webp(noise))
+    payloads.append(encode_webp(noise, subtract_green=True, cache_bits=6))
+    payloads.append(encode_webp(flat, use_lz77=True, cache_bits=4))
+    payloads.append(encode_webp(flat, use_lz77=True, cache_bits=0))
+    payloads.append(encode_webp(indexed))
+    payloads.append(encode_webp(rgba, cache_bits=11))
+    payloads.append(encode_webp(rgba, cache_bits=1))
+    meta_img = np.empty((18, 26, 3), dtype=np.uint8)
+    meta_img[:, :13] = rng.randint(0, 8, (18, 13, 3))
+    meta_img[:, 13:] = rng.randint(200, 256, (18, 13, 3))
+    payloads.append(encode_webp(meta_img, meta_split=True))  # meta branch
+    smooth = np.clip(
+        np.linspace(0, 255, 19)[None, :, None]
+        + np.linspace(0, 60, 14)[:, None, None]
+        + rng.randint(0, 9, (14, 19, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    payloads.append(encode_webp(smooth, predictor_mode=11))  # predictor image
+    payloads.append(encode_webp(smooth, color_transform=(12, 250, 7)))
+    for pl in payloads:
+        decode_webp(pl)
+    frames = [rng.randint(0, 256, (10, 12, 3), dtype=np.uint8) for _ in range(3)]
+    decode_webp_frames(encode_webp_animation(frames))
+    assert calls["n"] >= len(payloads) + 3  # palettes/meta add more

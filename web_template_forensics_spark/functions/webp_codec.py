@@ -284,13 +284,15 @@ def _subsample_size(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
 
 
-def _decode_argb_image(
+def _decode_argb_image_ref(
     br: _BitReader, width: int, height: int, allow_meta: bool
 ) -> np.ndarray:
-    """Spatially-coded ARGB image -> (height*width, 4) uint8 [a, r, g, b].
-    Implements color cache, meta prefix codes (when ``allow_meta``) and
-    LZ77 — the shared machinery for the main image, entropy images and
-    palettes."""
+    """Reference twin of :func:`_decode_argb_image` (the readable
+    per-pixel form, kept for the bitwise parity pin in
+    tests/test_webp_codec.py). Spatially-coded ARGB image ->
+    (height*width, 4) uint8 [a, r, g, b]. Implements color cache, meta
+    prefix codes (when ``allow_meta``) and LZ77 — the shared machinery
+    for the main image, entropy images and palettes."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -303,7 +305,7 @@ def _decode_argb_image(
         meta_bits = br.read(3) + 2
         mw = _subsample_size(width, meta_bits)
         mh = _subsample_size(height, meta_bits)
-        meta_img = _decode_argb_image(br, mw, mh, allow_meta=False)
+        meta_img = _decode_argb_image_ref(br, mw, mh, allow_meta=False)
         # meta prefix ids live in (red << 8 | green)
         meta_codes = (
             meta_img[:, 1].astype(np.int64) << 8 | meta_img[:, 2].astype(np.int64)
@@ -372,6 +374,190 @@ def _decode_argb_image(
             out[pos, 2] = (argb >> 8) & 0xFF
             out[pos, 3] = argb & 0xFF
             pos += 1
+    return out
+
+
+def _decode_argb_image(
+    br: _BitReader, width: int, height: int, allow_meta: bool
+) -> np.ndarray:
+    """Fast form of :func:`_decode_argb_image_ref` (same bitstream, same
+    errors, bitwise-identical output — pinned in tests/test_webp_codec.py):
+    the per-pixel prefix decodes are inlined over the reader's 32-bit
+    window (one list index + shift per symbol instead of two method calls),
+    pixels accumulate as packed ARGB ints in a plain list (numpy scalar
+    stores were ~40% of the loop), and LZ77 copies run chunk-wise with the
+    cache folded in afterwards — legal because nothing reads the cache
+    mid-copy, so only the final slot values matter and those are the last
+    writer's in both forms."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise WebpFormatError(f"invalid color cache bits {cache_bits}")
+    meta_rows = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = _subsample_size(width, meta_bits)
+        mh = _subsample_size(height, meta_bits)
+        meta_img = _decode_argb_image(br, mw, mh, allow_meta=False)
+        # meta prefix ids live in (red << 8 | green)
+        meta_rows = (
+            (meta_img[:, 1].astype(np.int64) << 8 | meta_img[:, 2].astype(np.int64))
+            .reshape(mh, mw)
+            .tolist()
+        )
+    green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups if meta_rows is None else max(r for row in meta_rows for r in row) + 1):
+        codes = (
+            _read_prefix_code(br, green_size),
+            _read_prefix_code(br, 256),  # red
+            _read_prefix_code(br, 256),  # blue
+            _read_prefix_code(br, 256),  # alpha
+            _read_prefix_code(br, 40),  # distance
+        )
+        # inline decode spec per code: (lut, mask, single)
+        groups.append(
+            tuple(
+                (c.lut, (1 << c.max_len) - 1, c.single) for c in codes
+            )
+        )
+    n_groups = len(groups)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cshift = 32 - cache_bits if cache_bits else 0
+    total = height * width
+    data = [0] * total  # packed (a<<24|r<<16|g<<8|b) ints
+    pos = 0
+    w32 = br.w32
+    nw = len(w32)
+    p = br.pos
+    n = br.n
+    (g_lut, g_mask, g_single), (r_lut, r_mask, r_single), (
+        b_lut,
+        b_mask,
+        b_single,
+    ), (a_lut, a_mask, a_single), (d_lut, d_mask, d_single) = groups[0]
+    gid = 0
+    while pos < total:
+        if meta_rows is not None:
+            mg = meta_rows[(pos // width) >> meta_bits][(pos % width) >> meta_bits]
+            if mg >= n_groups:
+                raise WebpFormatError("meta prefix id out of range")
+            if mg != gid:
+                gid = mg
+                (g_lut, g_mask, g_single), (r_lut, r_mask, r_single), (
+                    b_lut,
+                    b_mask,
+                    b_single,
+                ), (a_lut, a_mask, a_single), (d_lut, d_mask, d_single) = groups[mg]
+        if g_single is not None:
+            sym = g_single
+        else:
+            i = p >> 3
+            e = g_lut[((w32[i] if i < nw else 0) >> (p & 7)) & g_mask]
+            ln = e & 15
+            if p + ln > n:
+                raise WebpFormatError("bitstream truncated")
+            p += ln
+            sym = e >> 4
+        if sym < 256:  # literal
+            if r_single is not None:
+                r = r_single
+            else:
+                i = p >> 3
+                e = r_lut[((w32[i] if i < nw else 0) >> (p & 7)) & r_mask]
+                ln = e & 15
+                if p + ln > n:
+                    raise WebpFormatError("bitstream truncated")
+                p += ln
+                r = e >> 4
+            if b_single is not None:
+                b = b_single
+            else:
+                i = p >> 3
+                e = b_lut[((w32[i] if i < nw else 0) >> (p & 7)) & b_mask]
+                ln = e & 15
+                if p + ln > n:
+                    raise WebpFormatError("bitstream truncated")
+                p += ln
+                b = e >> 4
+            if a_single is not None:
+                a = a_single
+            else:
+                i = p >> 3
+                e = a_lut[((w32[i] if i < nw else 0) >> (p & 7)) & a_mask]
+                ln = e & 15
+                if p + ln > n:
+                    raise WebpFormatError("bitstream truncated")
+                p += ln
+                a = e >> 4
+            argb = (a << 24) | (r << 16) | (sym << 8) | b
+            data[pos] = argb
+            if cache is not None:
+                cache[((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> cshift] = argb
+            pos += 1
+        elif sym < 280:  # backward reference
+            code = sym - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                if p + extra > n:
+                    raise WebpFormatError("bitstream truncated")
+                bits = (w32[p >> 3] >> (p & 7)) & ((1 << extra) - 1)
+                p += extra
+                length = (((2 + (code & 1)) << extra) | bits) + 1
+            if d_single is not None:
+                code = d_single
+            else:
+                i = p >> 3
+                e = d_lut[((w32[i] if i < nw else 0) >> (p & 7)) & d_mask]
+                ln = e & 15
+                if p + ln > n:
+                    raise WebpFormatError("bitstream truncated")
+                p += ln
+                code = e >> 4
+            if code < 4:
+                dist_code = code + 1
+            else:
+                extra = (code - 2) >> 1
+                if p + extra > n:
+                    raise WebpFormatError("bitstream truncated")
+                bits = (w32[p >> 3] >> (p & 7)) & ((1 << extra) - 1)
+                p += extra
+                dist_code = (((2 + (code & 1)) << extra) | bits) + 1
+            dist = _plane_distance(dist_code, width)
+            if dist > pos or pos + length > total:
+                raise WebpFormatError("LZ77 reference out of bounds")
+            # chunk-wise sequential copy: each chunk is fully written
+            # before the source window advances past it, so overlapping
+            # references (dist < length) replicate exactly as the
+            # per-pixel loop does
+            end = pos + length
+            while pos < end:
+                m = dist if pos + dist <= end else end - pos
+                data[pos : pos + m] = data[pos - dist : pos - dist + m]
+                pos += m
+            if cache is not None:
+                for argb in data[end - length : end]:
+                    cache[((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> cshift] = argb
+        else:  # color cache hit
+            if cache is None:
+                raise WebpFormatError("cache symbol without color cache")
+            idx = sym - 280
+            if idx >= len(cache):
+                raise WebpFormatError("color cache index out of range")
+            data[pos] = cache[idx]
+            pos += 1
+    br.pos = p
+    arr = np.asarray(data, dtype=np.uint32)
+    out = np.empty((total, 4), dtype=np.uint8)
+    out[:, 0] = arr >> np.uint32(24)
+    out[:, 1] = arr >> np.uint32(16)
+    out[:, 2] = arr >> np.uint32(8)
+    out[:, 3] = arr
     return out
 
 

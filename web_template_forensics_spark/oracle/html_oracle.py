@@ -113,6 +113,14 @@ class _RawTreeBuilder(_StdHTMLParser):
         self._data: list[str] = []
         self.first_body: dict[str, Any] | None = None
 
+    def updatepos(self, i: int, j: int) -> int:
+        # _markupbase's version only maintains lineno/offset (newline
+        # counting over every consumed span, ~9% of extract_text); neither
+        # builder ever reads getpos(), and tokenization never branches on
+        # position, so skipping the bookkeeping cannot change the event
+        # stream. The return value (j) is what goahead consumes.
+        return j
+
     # -- data buffering (bs4 endData coalesces consecutive data runs) ----
     def _flush(self) -> None:
         if self._data:
@@ -293,6 +301,8 @@ class _TextOnlyBuilder(_StdHTMLParser):
         self._in_body: list[bool] = []
         self._body_idx: int | None = None  # stack index of the OPEN first body
         self.body_seen = False
+
+    updatepos = _RawTreeBuilder.updatepos  # same argument: positions unread
 
     def _flush(self) -> None:
         if self._data:
