@@ -142,7 +142,8 @@ class _RawTreeBuilder(_StdHTMLParser):
 
     # -- tag events -------------------------------------------------------
     def _open_element(self, tag: str, attrs: list[tuple[str, str | None]]) -> dict[str, Any]:
-        self._flush()
+        if self._data:  # guard: most tag events have no pending text
+            self._flush()
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             attr_dict[k] = "" if v is None else v  # bare attr -> ''; dup -> last wins
@@ -166,11 +167,19 @@ class _RawTreeBuilder(_StdHTMLParser):
         self._open_element(tag, attrs)  # <tag/> closes immediately for any tag
 
     def handle_endtag(self, tag: str) -> None:
-        self._flush()
+        if self._data:
+            self._flush()
         # bs4 Tag._popToTag: pop to nearest matching open tag, else ignore.
-        for i in range(len(self._stack) - 1, 0, -1):
-            if self._stack[i]["tag"] == tag:
-                del self._stack[i:]
+        # Fast path: well-formed markup closes the top of the stack, which
+        # is the i = n-1 iteration of the general scan below.
+        stack = self._stack
+        n = len(stack) - 1
+        if n > 0 and stack[n]["tag"] == tag:
+            del stack[n:]
+            return
+        for i in range(n - 1, 0, -1):
+            if stack[i]["tag"] == tag:
+                del stack[i:]
                 return
 
     # -- character data and pseudo-text ------------------------------------
@@ -323,7 +332,8 @@ class _TextOnlyBuilder(_StdHTMLParser):
                 self._in_body.append(self._body_idx is not None)
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        self._flush()
+        if self._data:  # guard: most tag events have no pending text
+            self._flush()
         first_body = tag == "body" and not self.body_seen
         if first_body:
             self.body_seen = True
@@ -333,17 +343,28 @@ class _TextOnlyBuilder(_StdHTMLParser):
                 self._body_idx = len(self._tags) - 1
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self._flush()
+        if self._data:
+            self._flush()
         if tag == "body" and not self.body_seen:
             self.body_seen = True  # <body/> closes immediately: empty subtree
 
     def handle_endtag(self, tag: str) -> None:
-        self._flush()
-        for i in range(len(self._tags) - 1, 0, -1):
-            if self._tags[i] == tag:
+        if self._data:
+            self._flush()
+        # Fast path = the i = n-1 iteration of the general scan (top of
+        # stack matches, the well-formed-markup common case).
+        tags = self._tags
+        n = len(tags) - 1
+        if n > 0 and tags[n] == tag:
+            if self._body_idx is not None and n <= self._body_idx:
+                self._body_idx = None
+            del tags[n:]
+            return
+        for i in range(n - 1, 0, -1):
+            if tags[i] == tag:
                 if self._body_idx is not None and i <= self._body_idx:
                     self._body_idx = None
-                del self._tags[i:]
+                del tags[i:]
                 return
 
     def handle_data(self, data: str) -> None:
